@@ -1,0 +1,63 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Last-writer-wins dedupe by key + monotonic sequence — the engine's core
+  * reduction (SURVEY.md A4; reference semantics: staged file overwritten per
+  * id, PantherLocalWrapper.java:211-225; Solr doc replaced on re-add,
+  * PhylogenesServerWrapper.java:925-931).
+  *
+  * Three interchangeable implementations (benchmarked against each other):
+  *
+  *  - [[lww]] — single `max_by(struct(*), seq)` hash aggregate. Spark's
+  *    partial aggregation gives map-side combine for free, so hot keys are
+  *    already pre-reduced per input partition before the shuffle.
+  *  - [[lwwSalted]] — explicit two-phase: partial LWW per (key, salt) then
+  *    final LWW per key. The salt (`pmod(hash(seq), S)`) spreads a hot key's
+  *    residual shuffle rows over S reducers — the north-rule's salted-key
+  *    repartition for Zipf-skewed repos.
+  *  - [[lwwWindow]] — `row_number() over (partition by key order by seq desc)
+  *    = 1`. Requires a full sort per key; kept for benchmark comparison.
+  *
+  * All three are deterministic for unique `seq` (ties impossible by
+  * construction — seq is the WAL LSN).
+  */
+object Dedupe {
+
+  /** max_by(struct(payload...), seq) per key. */
+  def lww(df: DataFrame, keys: Seq[String], seqCol: String): DataFrame = {
+    val payload = df.columns.filterNot(keys.contains)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*), col(seqCol)).as("_w"))
+      .select(keys.map(col) ++ payload.map(c => col(s"_w.$c").as(c)): _*)
+      .select(df.columns.map(col): _*) // original column order
+  }
+
+  /** Two-phase salted LWW: partial reduce per (key, salt) → final per key.
+    * Salt derives from `seq` so a key's events spread uniformly.
+    */
+  def lwwSalted(df: DataFrame, keys: Seq[String], seqCol: String, saltBuckets: Int = 16): DataFrame = {
+    val payload = df.columns.filterNot(keys.contains)
+    val keyCols = keys.map(col)
+    val salted = df.withColumn("_salt", pmod(hash(col(seqCol)), lit(saltBuckets)))
+    val partial = salted
+      .repartition((keyCols :+ col("_salt")): _*)
+      .groupBy((keyCols :+ col("_salt")): _*)
+      .agg(max_by(struct(payload.map(col): _*), col(seqCol)).as("_w"))
+    partial
+      .groupBy(keyCols: _*)
+      .agg(max_by(col("_w"), col(s"_w.$seqCol")).as("_w"))
+      .select(keyCols ++ payload.map(c => col(s"_w.$c").as(c)): _*)
+      .select(df.columns.map(col): _*)
+  }
+
+  /** Window-function variant (row_number desc = 1) for benchmarking. */
+  def lwwWindow(df: DataFrame, keys: Seq[String], seqCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+}

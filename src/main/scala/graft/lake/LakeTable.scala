@@ -1,0 +1,271 @@
+package graft.lake
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-v2-STYLE snapshot table, self-implemented (no Iceberg jar ships in
+  * this environment): immutable Parquet data files + JSON snapshot metadata +
+  * an atomically-replaced HEAD pointer.
+  *
+  * Layout:
+  * {{{
+  *   <root>/meta/HEAD              # one line: "v<N>.json" (atomic rename)
+  *   <root>/meta/v<N>.json         # snapshot: manifest + summary + fence
+  *   <root>/data/snap-<N>/_b=<B>/  # data files written by snapshot N
+  * }}}
+  *
+  * Key properties (north_rule):
+  *  - '''copy-on-write MERGE''': a batch only rewrites the key-hash buckets
+  *    it touches; untouched files are carried by reference into the next
+  *    manifest. Buckets hash (repo, path) so a hot repo's writes spread
+  *    across buckets (write-side skew handling, SURVEY §7.4.2).
+  *  - '''seq guard''': a matched row is replaced only when `src.seq >
+  *    tgt.seq` — stale replays lose (reference analog: skip-if-exists,
+  *    PantherETLPipeline.java:139-141).
+  *  - '''exactly-once fence''': each snapshot records the micro-batch id;
+  *    `merge` with `batchId <= lastBatchId` is a no-op (reference analog:
+  *    `last_processed` offset resume, PaintServerWrapper.java:102-111).
+  *  - '''atomic commit''': snapshot JSON is written to a temp name and the
+  *    HEAD pointer is replaced with ATOMIC_MOVE; a crash between data write
+  *    and HEAD flip leaves orphan files that no manifest references.
+  *  - '''schema evolution''': the snapshot records the writer schema-id
+  *    list; readers always use the latest registry schema (field-id mapped
+  *    upstream by [[graft.cdc.Normalize]]).
+  *
+  * A production deployment would swap java.nio for the Hadoop FileSystem
+  * API + a locking catalog (HMS/REST) for multi-writer commits; the commit
+  * protocol (manifest immutability + pointer swap + fence) is unchanged.
+  */
+final class LakeTable(val root: String, val numBuckets: Int = 32) {
+  import LakeTable._
+
+  private val metaDir: Path = Paths.get(root, "meta")
+  private val headFile: Path = metaDir.resolve("HEAD")
+
+  /** Table schema (latest reader epoch + the seq column for the MERGE guard). */
+  val schema: StructType = StructType(Seq(
+    StructField("repo", StringType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("commit", StringType, nullable = true),
+    StructField("language", StringType, nullable = true),
+    StructField("content", StringType, nullable = true),
+    StructField("size_bytes", LongType, nullable = true),
+    StructField("seq", LongType, nullable = false)
+  ))
+  private val payloadCols = Seq("commit", "language", "content", "size_bytes", "seq")
+
+  def bucketExpr: Column = pmod(hash(col("repo"), col("path")), lit(numBuckets))
+
+  // --- snapshot persistence ---------------------------------------------
+
+  def init(): Unit = {
+    Files.createDirectories(metaDir)
+    Files.createDirectories(Paths.get(root, "data"))
+    if (!Files.exists(headFile))
+      commitSnapshot(Snapshot(0, parent = -1, lastBatchId = -1L,
+        schemaIds = Seq(graft.model.SchemaRegistry.latest.schemaId),
+        files = Nil, summary = Map("created" -> "true")), expectedParent = -1)
+  }
+
+  def head(): Snapshot = {
+    val name = Files.readString(headFile).trim
+    readSnapshot(metaDir.resolve(name))
+  }
+
+  private def readSnapshot(p: Path): Snapshot = {
+    val n = mapper.readTree(Files.readString(p))
+    Snapshot(
+      version = n.get("version").asInt,
+      parent = n.get("parent").asInt,
+      lastBatchId = n.get("lastBatchId").asLong,
+      schemaIds = n.get("schemaIds").elements.asScala.map(_.asInt).toSeq,
+      files = n.get("files").elements.asScala.map { f =>
+        DataFile(f.get("path").asText, f.get("bucket").asInt, f.get("rowCount").asLong)
+      }.toSeq,
+      summary = n.get("summary").fields.asScala.map(e => e.getKey -> e.getValue.asText).toMap)
+  }
+
+  /** Write v<N>.json then atomically flip HEAD. Single-writer CAS: verifies
+    * HEAD still points at the expected parent before the flip.
+    */
+  private def commitSnapshot(s: Snapshot, expectedParent: Int): Unit = {
+    val node = mapper.createObjectNode()
+    node.put("version", s.version)
+    node.put("parent", s.parent)
+    node.put("lastBatchId", s.lastBatchId)
+    val sids = node.putArray("schemaIds"); s.schemaIds.foreach(sids.add)
+    val arr = node.putArray("files")
+    s.files.foreach { f =>
+      val fn = arr.addObject()
+      fn.put("path", f.path); fn.put("bucket", f.bucket); fn.put("rowCount", f.rowCount)
+    }
+    val sum = node.putObject("summary")
+    s.summary.foreach { case (k, v) => sum.put(k, v) }
+    val snapPath = metaDir.resolve(s"v${s.version}.json")
+    val tmp = metaDir.resolve(s".v${s.version}.json.tmp")
+    Files.writeString(tmp, mapper.writerWithDefaultPrettyPrinter.writeValueAsString(node))
+    Files.move(tmp, snapPath, StandardCopyOption.REPLACE_EXISTING)
+    if (expectedParent >= 0) {
+      val cur = Files.readString(headFile).trim
+      require(cur == s"v$expectedParent.json",
+        s"concurrent commit detected: HEAD=$cur expected v$expectedParent.json")
+    }
+    val headTmp = metaDir.resolve(".HEAD.tmp")
+    Files.writeString(headTmp, s"v${s.version}.json")
+    Files.move(headTmp, headFile, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // --- reads --------------------------------------------------------------
+
+  /** Full-table read from the current snapshot's manifest. */
+  def read(spark: SparkSession): DataFrame = readFiles(spark, head().files)
+
+  private def readFiles(spark: SparkSession, files: Seq[DataFile]): DataFrame =
+    if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files.map(f => s"$root/${f.path}"): _*)
+
+  /** Point lookup with bucket pruning: scans only the key's bucket files
+    * (reference analog: per-key doc fetch, PantherLocalWrapper.java:373-383).
+    */
+  def lookup(spark: SparkSession, repo: String, path: String): DataFrame = {
+    val b = bucketOf(repo, path)
+    readFiles(spark, head().files.filter(_.bucket == b))
+      .filter(col("repo") === repo && col("path") === path)
+  }
+
+  /** Driver-side bucket id — must agree with [[bucketExpr]]; uses Catalyst's
+    * own Murmur3 so there is one hash definition.
+    */
+  def bucketOf(repo: String, path: String): Int = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash, Pmod}
+    Pmod(Murmur3Hash(Seq(Literal(repo), Literal(path)), 42), Literal(numBuckets))
+      .eval(InternalRow.empty).asInstanceOf[Int]
+  }
+
+  // --- MERGE ---------------------------------------------------------------
+
+  final case class MergeStats(applied: Boolean, version: Int, srcRows: Long,
+                              touchedBuckets: Int, rowsAfter: Long)
+
+  /** Apply one deduped micro-batch (columns: repo, path, op, seq, commit,
+    * language, content, size_bytes — one row per key) as an idempotent MERGE:
+    * {{{
+    *   WHEN MATCHED AND src.seq > tgt.seq AND src.op =  'D' THEN DELETE
+    *   WHEN MATCHED AND src.seq > tgt.seq AND src.op <> 'D' THEN UPDATE *
+    *   WHEN NOT MATCHED AND src.op <> 'D'                   THEN INSERT *
+    *   (stale src.seq <= tgt.seq → target row kept unchanged)
+    * }}}
+    */
+  def merge(spark: SparkSession, batch: DataFrame, batchId: Long): MergeStats = {
+    val h0 = head()
+    if (batchId <= h0.lastBatchId)
+      return MergeStats(applied = false, h0.version, 0L, 0, h0.totalRows)
+
+    val src = batch.withColumn("_b", bucketExpr).persist()
+    try {
+      val touched = src.select("_b").distinct().collect().map(_.getInt(0)).toSet
+      val (touchedFiles, carried) = h0.files.partition(f => touched.contains(f.bucket))
+      val tgt = readFiles(spark, touchedFiles)
+
+      val s = src.select(
+        col("repo").as("s_repo"), col("path").as("s_path"),
+        col("op").as("s_op"), col("_b").as("s_b"),
+        col("seq").as("s_seq"), col("commit").as("s_commit"),
+        col("language").as("s_language"), col("content").as("s_content"),
+        col("size_bytes").as("s_size_bytes"))
+      val j = tgt.join(s,
+        tgt("repo") === s("s_repo") && tgt("path") === s("s_path"), "full_outer")
+      val takeSrc = col("s_seq").isNotNull &&
+        (col("seq").isNull || col("s_seq") > col("seq"))
+      val merged = j
+        .filter(!(takeSrc && col("s_op") === "D")) // DELETE arm (absent-key D is a no-op)
+        .select(
+          coalesce(col("repo"), col("s_repo")).as("repo"),
+          coalesce(col("path"), col("s_path")).as("path"),
+          when(takeSrc, col("s_commit")).otherwise(col("commit")).as("commit"),
+          when(takeSrc, col("s_language")).otherwise(col("language")).as("language"),
+          when(takeSrc, col("s_content")).otherwise(col("content")).as("content"),
+          when(takeSrc, col("s_size_bytes")).otherwise(col("size_bytes")).as("size_bytes"),
+          when(takeSrc, col("s_seq")).otherwise(col("seq")).as("seq"))
+
+      val newVersion = h0.version + 1
+      val outDir = s"data/snap-$newVersion"
+      merged
+        .withColumn("_b", bucketExpr)
+        .repartition(col("_b")) // ≤1 file per bucket
+        .write.mode(SaveMode.ErrorIfExists)
+        .partitionBy("_b")
+        .parquet(s"$root/$outDir")
+
+      val newFiles = listDataFiles(Paths.get(root, outDir), outDir)
+      val snap = Snapshot(
+        version = newVersion, parent = h0.version, lastBatchId = batchId,
+        schemaIds = h0.schemaIds,
+        files = carried ++ newFiles,
+        summary = Map(
+          "batchId" -> batchId.toString,
+          "srcRows" -> "-1",
+          "touchedBuckets" -> touched.size.toString,
+          "totalRows" -> (carried.map(_.rowCount).sum + newFiles.map(_.rowCount).sum).toString))
+      commitSnapshot(snap, expectedParent = h0.version)
+      MergeStats(applied = true, newVersion, src.count(), touched.size, snap.totalRows)
+    } finally src.unpersist()
+  }
+
+  /** TRUNCATE: new snapshot referencing zero files (reference analog:
+    * deleteByQuery("*:*"), PhylogenesServerWrapper.java:137-145).
+    */
+  def truncate(): Unit = {
+    val h0 = head()
+    commitSnapshot(Snapshot(h0.version + 1, h0.version, h0.lastBatchId,
+      h0.schemaIds, Nil, Map("truncate" -> "true")), expectedParent = h0.version)
+  }
+
+  /** Scan freshly-written snapshot files, reading row counts from parquet
+    * footers (no extra Spark job).
+    */
+  private def listDataFiles(dir: Path, rel: String): Seq[DataFile] = {
+    if (!Files.exists(dir)) return Nil
+    val conf = new org.apache.hadoop.conf.Configuration()
+    Files.walk(dir).iterator.asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .map { p =>
+        val bucket = p.getParent.getFileName.toString.stripPrefix("_b=").toInt
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.toUri), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val count = try r.getRecordCount finally r.close()
+        DataFile(s"$rel/${dir.relativize(p)}", bucket, count)
+      }.toSeq
+  }
+}
+
+object LakeTable {
+  private val mapper = new ObjectMapper()
+
+  final case class DataFile(path: String, bucket: Int, rowCount: Long)
+
+  final case class Snapshot(
+      version: Int,
+      parent: Int,
+      lastBatchId: Long,
+      schemaIds: Seq[Int],
+      files: Seq[DataFile],
+      summary: Map[String, String]) {
+    def totalRows: Long = files.map(_.rowCount).sum
+  }
+
+  /** Open-or-create. */
+  def apply(root: String, numBuckets: Int = 32): LakeTable = {
+    val t = new LakeTable(root, numBuckets)
+    t.init()
+    t
+  }
+}

@@ -1,0 +1,106 @@
+package graft.stream
+
+import graft.cdc.{Dedupe, Normalize}
+import graft.lake.LakeTable
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured-Streaming change-log tailer: file source over the WAL
+  * directory → normalize per schema epoch → salted LWW dedupe → idempotent
+  * MERGE into the [[LakeTable]], with per-partition lineage rows and
+  * metrics appended per micro-batch.
+  *
+  * Exactly-once: the file source's offset log (checkpointLocation) gives
+  * replayable batches; the sink is idempotent because the lake snapshot
+  * records the applied batchId (fence) — a replayed batch is a no-op,
+  * so restart-from-checkpoint converges to the same final state
+  * (reference analog: skip-if-exists + `last_processed`,
+  * PantherETLPipeline.java:139-141; PaintServerWrapper.java:102-111).
+  *
+  * Lineage/metrics appends are keyed by batchId; a crash between MERGE
+  * commit and lineage append can duplicate lineage rows for one batch —
+  * readers dedupe by (batchId, partitionId) (same contract as Iceberg's
+  * metadata tables being eventually reconciled).
+  */
+object Tailer {
+
+  final case class TailerConfig(
+      logDir: String,
+      tableRoot: String,
+      checkpointDir: String,
+      lineageDir: String,
+      metricsDir: String,
+      numBuckets: Int = 32,
+      saltBuckets: Int = 16,
+      useSalt: Boolean = true,
+      maxFilesPerTrigger: Option[Int] = None,
+      availableNow: Boolean = true)
+
+  val mergeCols: Seq[String] =
+    Seq("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes")
+
+  /** One micro-batch: raw events → lineage stats → normalize → LWW → MERGE. */
+  def applyBatch(table: LakeTable, cfg: TailerConfig)(raw: DataFrame, batchId: Long): Unit = {
+    val spark = raw.sparkSession
+    if (raw.isEmpty) return
+
+    // per-partition lineage over the RAW input (offsets = seq range seen)
+    val lineage = raw
+      .groupBy(spark_partition_id().as("partitionId"))
+      .agg(
+        min("seq").as("firstOffset"),
+        max("seq").as("lastOffset"),
+        count(lit(1)).as("rowsApplied"),
+        sum(coalesce(length(col("payload")).cast("long"), lit(0L))).as("bytesIn"))
+      .select(lit(batchId).as("batchId"), col("partitionId"),
+        col("firstOffset"), col("lastOffset"), col("rowsApplied"), col("bytesIn"))
+
+    val normalized = Normalize(raw).select(mergeCols.map(col): _*)
+    val deduped =
+      if (cfg.useSalt) Dedupe.lwwSalted(normalized, Seq("repo", "path"), "seq", cfg.saltBuckets)
+      else Dedupe.lww(normalized, Seq("repo", "path"), "seq")
+
+    val t0 = System.nanoTime()
+    val stats = table.merge(spark, deduped, batchId)
+    val secs = (System.nanoTime() - t0) / 1e9
+
+    lineage.write.mode(SaveMode.Append).parquet(cfg.lineageDir)
+    val metrics = Seq(
+      ("merge.applied", if (stats.applied) 1.0 else 0.0),
+      ("merge.srcRows", stats.srcRows.toDouble),
+      ("merge.touchedBuckets", stats.touchedBuckets.toDouble),
+      ("merge.rowsAfter", stats.rowsAfter.toDouble),
+      ("merge.seconds", secs))
+    import spark.implicits._
+    metrics.toDF("name", "value")
+      .select(lit(batchId).as("batchId"), col("name"), col("value"),
+        current_timestamp().as("ts"))
+      .coalesce(1)
+      .write.mode(SaveMode.Append).parquet(cfg.metricsDir)
+  }
+
+  /** Start the tailer. With `availableNow` it drains the existing log and
+    * stops (replay-to-parity mode); otherwise it runs on a processing-time
+    * trigger (sustained-throughput mode).
+    */
+  def run(spark: SparkSession, cfg: TailerConfig): StreamingQuery = {
+    val table = LakeTable(cfg.tableRoot, cfg.numBuckets)
+    val reader = spark.readStream
+      .schema(graft.model.Model.changeLogSchema)
+    val withOpt = cfg.maxFilesPerTrigger
+      .map(n => reader.option("maxFilesPerTrigger", n)).getOrElse(reader)
+    val src = withOpt.parquet(cfg.logDir)
+    val writer = src.writeStream
+      .option("checkpointLocation", cfg.checkpointDir)
+      .foreachBatch(applyBatch(table, cfg) _)
+    (if (cfg.availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer.trigger(Trigger.ProcessingTime("1 second"))).start()
+  }
+
+  /** Drain the whole log and wait (replay-to-parity). */
+  def replay(spark: SparkSession, cfg: TailerConfig): Unit = {
+    val q = run(spark, cfg.copy(availableNow = true))
+    q.awaitTermination()
+  }
+}

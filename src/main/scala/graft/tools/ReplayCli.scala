@@ -1,0 +1,74 @@
+package graft.tools
+
+import graft.Sessions
+import graft.gen.ChangeLogGen
+import graft.gen.ChangeLogGen.GenConfig
+import graft.lake.LakeTable
+import graft.stream.Tailer
+import graft.stream.Tailer.TailerConfig
+import org.apache.spark.sql.functions._
+
+/** spark-submit / java -cp entry point: generate (optional) + replay a
+  * change log into a LakeTable and report final-state stats.
+  *
+  * {{{
+  * ReplayCli gen    <logDir> <nEvents> [seed] [nFiles]
+  * ReplayCli replay <logDir> <workDir> [cores] [saltBuckets] [numBuckets]
+  * ReplayCli show   <workDir> [repo path]
+  * }}}
+  */
+object ReplayCli {
+  def main(args: Array[String]): Unit = args.toList match {
+    case "gen" :: logDir :: n :: rest =>
+      val seed = rest.headOption.map(_.toLong).getOrElse(42L)
+      val nFiles = rest.drop(1).headOption.map(_.toInt).getOrElse(32)
+      val spark = Sessions.local(sys.env.getOrElse("GRAFT_CORES", "8").toInt, "graft-gen")
+      val t0 = System.nanoTime()
+      ChangeLogGen.write(spark, GenConfig(seed = seed, nEvents = n.toLong, nFiles = nFiles), logDir)
+      println(f"[gen] wrote ${n.toLong}%,d events to $logDir in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      spark.stop()
+
+    case "replay" :: logDir :: workDir :: rest =>
+      val cores = rest.headOption.map(_.toInt)
+        .getOrElse(sys.env.getOrElse("GRAFT_CORES", "8").toInt)
+      val salt = rest.drop(1).headOption.map(_.toInt).getOrElse(16)
+      val buckets = rest.drop(2).headOption.map(_.toInt).getOrElse(32)
+      val spark = Sessions.local(cores, "graft-replay")
+      val cfg = TailerConfig(
+        logDir = logDir, tableRoot = s"$workDir/table",
+        checkpointDir = s"$workDir/ckpt", lineageDir = s"$workDir/lineage",
+        metricsDir = s"$workDir/metrics", numBuckets = buckets, saltBuckets = salt)
+      val t0 = System.nanoTime()
+      Tailer.replay(spark, cfg)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val table = LakeTable(cfg.tableRoot, buckets)
+      val h = table.head()
+      val nEvents = spark.read.schema(graft.model.Model.changeLogSchema)
+        .parquet(logDir).count()
+      println(f"[replay] events=$nEvents%,d finalRows=${h.totalRows}%,d " +
+        f"snapshots=${h.version} lastBatchId=${h.lastBatchId} " +
+        f"secs=$secs%.1f eventsPerSec=${nEvents / secs}%,.0f cores=$cores")
+
+    case "show" :: workDir :: rest =>
+      val spark = Sessions.local(4, "graft-show")
+      val table = LakeTable(s"$workDir/table")
+      val df = table.read(spark)
+      rest match {
+        case repo :: path :: Nil =>
+          table.lookup(spark, repo, path).show(5, truncate = 60)
+        case _ =>
+          println(s"[show] rows=${df.count()} snapshot=${table.head().version}")
+          df.select(col("repo"), col("path"), col("seq"), col("language"),
+            col("size_bytes"), sha2(col("content"), 256).as("sha256"))
+            .orderBy(desc("seq")).show(5, truncate = 48)
+          val lin = spark.read.parquet(s"$workDir/lineage")
+          println(s"[show] lineage rows=${lin.count()}")
+          lin.orderBy(desc("batchId"), col("partitionId")).show(5)
+      }
+      spark.stop()
+
+    case _ =>
+      System.err.println("usage: ReplayCli gen|replay|show ...")
+      sys.exit(2)
+  }
+}

@@ -1,0 +1,165 @@
+package graft
+
+import graft.gen.ChangeLogGen
+import graft.gen.ChangeLogGen.GenConfig
+import graft.lake.LakeTable
+import graft.model.Model._
+import graft.stream.Tailer
+import graft.stream.Tailer.TailerConfig
+import org.apache.spark.sql.functions._
+
+/** Golden end-to-end: deterministic log → streamed replay → LakeTable;
+  * final state must equal the single-threaded HashMap oracle on every
+  * column, including per-row sha256(content) (SURVEY §5.3, input_hint
+  * invariant). Also: idempotent re-apply, checkpoint resume, truncate.
+  */
+class ReplaySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cfg = GenConfig(seed = 42L, nEvents = 20000L, nFiles = 8)
+
+  private def mkTailer(logDir: String): (TailerConfig, String) = {
+    val base = tmpDir("replay")
+    (TailerConfig(
+      logDir = logDir, tableRoot = s"$base/table",
+      checkpointDir = s"$base/ckpt", lineageDir = s"$base/lineage",
+      metricsDir = s"$base/metrics", numBuckets = 16, saltBuckets = 8), base)
+  }
+
+  private lazy val logDir: String = {
+    val d = tmpDir("changelog")
+    ChangeLogGen.write(spark, cfg, d)
+    d
+  }
+  private lazy val golden: Map[(String, String), RepoRecord] = {
+    val evs = spark.read.schema(changeLogSchema).parquet(logDir)
+      .as[ChangeEvent].collect().toSeq
+    ChangeLogGen.oracle(evs)
+  }
+
+  private def assertParity(table: LakeTable): Unit = {
+    val actual = table.read(spark)
+      .select($"repo", $"path", $"commit", $"language", $"content",
+        $"size_bytes", $"seq", sha2($"content", 256).as("sha"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r)
+      .toMap
+    assert(actual.size === golden.size, "row-count parity")
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+    golden.foreach { case (k, g) =>
+      val a = actual(k)
+      assert(a.getString(2) === g.commit, s"commit @$k")
+      assert(a.getString(3) === g.language, s"language @$k")
+      assert(a.getString(4) === g.content, s"content @$k")
+      assert((if (a.isNullAt(5)) None else Some(a.getLong(5))) === g.size_bytes, s"size_bytes @$k")
+      assert(a.getLong(6) === g.seq, s"seq @$k")
+      // sha256(content) parity — engine-computed vs oracle-computed
+      val gh = sha.digest(g.content.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(a.getString(7) === gh, s"sha256 @$k")
+    }
+  }
+
+  test("streamed replay reaches golden state (sha256 + row-count parity)") {
+    val (tc, _) = mkTailer(logDir)
+    Tailer.replay(spark, tc)
+    assertParity(LakeTable(tc.tableRoot, tc.numBuckets))
+
+    // lineage rows exist, cover the full offset range, and sum to all events
+    val lin = spark.read.parquet(tc.lineageDir)
+    assert(lin.agg(sum("rowsApplied")).head.getLong(0) === cfg.nEvents)
+    assert(lin.agg(min("firstOffset")).head.getLong(0) === 0L)
+    assert(lin.agg(max("lastOffset")).head.getLong(0) === cfg.nEvents - 1)
+    assert(lin.agg(sum("bytesIn")).head.getLong(0) > 0L)
+    // metrics emitted
+    val met = spark.read.parquet(tc.metricsDir)
+    assert(met.filter($"name" === "merge.applied" && $"value" === 1.0).count() > 0)
+  }
+
+  test("exactly-once: replaying the same batch is a no-op (batchId fence)") {
+    val (tc, _) = mkTailer(logDir)
+    Tailer.replay(spark, tc)
+    val table = LakeTable(tc.tableRoot, tc.numBuckets)
+    val v1 = table.head()
+    // re-apply the whole log as an already-seen batchId
+    val raw = spark.read.schema(changeLogSchema).parquet(logDir)
+    val normalized = graft.cdc.Normalize(raw).select(Tailer.mergeCols.map(col): _*)
+    val deduped = graft.cdc.Dedupe.lww(normalized, Seq("repo", "path"), "seq")
+    val stats = table.merge(spark, deduped, batchId = v1.lastBatchId)
+    assert(!stats.applied)
+    assert(table.head().version === v1.version, "snapshot unchanged on replay")
+    assertParity(table)
+  }
+
+  test("resume from checkpoint: restart mid-log converges to golden state") {
+    // stage the full log, then expose it to the tailer in two halves with a
+    // "restart" (fresh query, same checkpoint) in between — the offset log
+    // must carry over so no event is lost or double-applied.
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val live = tmpDir("resume-log")
+    val parts = Files.list(Paths.get(logDir)).iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    val (h1, h2) = parts.splitAt(parts.size / 2)
+    val (tc, _) = mkTailer(live)
+    h1.foreach(p => Files.copy(p, Paths.get(live, p.getFileName.toString)))
+    Tailer.replay(spark, tc.copy(maxFilesPerTrigger = Some(2))) // multiple micro-batches
+    val midRows = LakeTable(tc.tableRoot, tc.numBuckets).read(spark).count()
+    assert(midRows > 0 && midRows < golden.size.toLong + 1)
+    h2.foreach(p => Files.copy(p, Paths.get(live, p.getFileName.toString)))
+    Tailer.replay(spark, tc) // restart: same checkpoint, new files only
+    assertParity(LakeTable(tc.tableRoot, tc.numBuckets))
+  }
+
+  test("stale events lose: merging an old seq after a newer one is a no-op") {
+    val base = tmpDir("stale")
+    val table = LakeTable(s"$base/t", numBuckets = 4)
+    def batch(seq: Long, content: String, op: String = "U") =
+      Seq((("r1"), ("p1"), op, seq, "c" + seq, "scala", content, Option(content.length.toLong)))
+        .toDF("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes")
+    table.merge(spark, batch(10L, "newer"), batchId = 0L)
+    table.merge(spark, batch(5L, "older"), batchId = 1L) // applied, but seq-guard rejects row
+    val rows = table.read(spark).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("content") === "newer")
+    assert(rows.head.getAs[Long]("seq") === 10L)
+  }
+
+  test("merge arms: insert / update / delete / absent-delete") {
+    val base = tmpDir("arms")
+    val table = LakeTable(s"$base/t", numBuckets = 4)
+    def df(rows: Seq[(String, String, String, Long, String)]) =
+      rows.map { case (r, p, op, s, c) => (r, p, op, s, "cm" + s, "scala", c, Option.empty[Long]) }
+        .toDF("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes")
+    table.merge(spark, df(Seq(("r1", "a", "I", 1L, "A1"), ("r1", "b", "I", 2L, "B1"))), 0L)
+    table.merge(spark, df(Seq(
+      ("r1", "a", "U", 3L, "A2"), // update
+      ("r1", "b", "D", 4L, null), // delete
+      ("r2", "c", "U", 5L, "C1"), // not-matched upsert-insert
+      ("r9", "z", "D", 6L, null) // delete of absent key = no-op
+    )), 1L)
+    val got = table.read(spark).select("repo", "path", "content").as[(String, String, String)]
+      .collect().toSet
+    assert(got === Set(("r1", "a", "A2"), ("r2", "c", "C1")))
+  }
+
+  test("truncate produces an empty snapshot") {
+    val base = tmpDir("trunc")
+    val table = LakeTable(s"$base/t", numBuckets = 4)
+    table.merge(spark,
+      Seq(("r", "p", "I", 1L, "c", "scala", "x", Option.empty[Long]))
+        .toDF("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes"), 0L)
+    assert(table.read(spark).count() === 1)
+    table.truncate()
+    assert(table.read(spark).count() === 0)
+  }
+
+  test("point lookup prunes to one bucket") {
+    val (tc, _) = mkTailer(logDir)
+    Tailer.replay(spark, tc)
+    val table = LakeTable(tc.tableRoot, tc.numBuckets)
+    val k = golden.keysIterator.next()
+    val row = table.lookup(spark, k._1, k._2).collect()
+    assert(row.length === 1)
+    assert(row.head.getAs[String]("content") === golden(k).content)
+  }
+}
