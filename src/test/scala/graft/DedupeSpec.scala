@@ -1,0 +1,88 @@
+package graft
+
+import graft.cdc.{Dedupe, Normalize}
+import graft.gen.ChangeLogGen
+import graft.gen.ChangeLogGen.GenConfig
+import graft.model.Model._
+import org.apache.spark.sql.functions._
+/** Property tests for the LWW core (SURVEY §5.2): all three dedupe
+  * implementations agree with each other and with a HashMap fold, at any
+  * parallelism, and are idempotent under log duplication. (Properties run
+  * as seeded multi-trial loops: the offline cache has no scalatestplus
+  * bridge, so generators are hand-rolled and fully deterministic.)
+  */
+class DedupeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lwwKeys(df: org.apache.spark.sql.DataFrame) =
+    df.select($"repo", $"path", $"seq").as[(String, String, Long)]
+      .collect().map { case (r, p, s) => (r, p) -> s }.toMap
+
+  private lazy val normalized = {
+    val dir = tmpDir("dedupe-log")
+    ChangeLogGen.write(spark, GenConfig(seed = 11L, nEvents = 10000L, nFiles = 4), dir)
+    Normalize(spark.read.schema(changeLogSchema).parquet(dir)).cache()
+  }
+
+  test("lww == lwwSalted == lwwWindow on a generated log") {
+    val a = lwwKeys(Dedupe.lww(normalized, Seq("repo", "path"), "seq"))
+    val b = lwwKeys(Dedupe.lwwSalted(normalized, Seq("repo", "path"), "seq", 8))
+    val c = lwwKeys(Dedupe.lwwWindow(normalized, Seq("repo", "path"), "seq"))
+    assert(a === b)
+    assert(a === c)
+    assert(a.nonEmpty)
+  }
+
+  test("partition invariance: result identical at parallelism 2 / 16 / 64") {
+    val base = lwwKeys(Dedupe.lww(normalized, Seq("repo", "path"), "seq"))
+    Seq(2, 16, 64).foreach { n =>
+      val r = lwwKeys(Dedupe.lww(normalized.repartition(n), Seq("repo", "path"), "seq"))
+      assert(r === base, s"parallelism $n changed the result")
+    }
+  }
+
+  test("idempotence: lww(log ++ log) == lww(log)") {
+    val once = lwwKeys(Dedupe.lww(normalized, Seq("repo", "path"), "seq"))
+    val twice = lwwKeys(Dedupe.lww(normalized.union(normalized), Seq("repo", "path"), "seq"))
+    assert(once === twice)
+  }
+
+  test("property: LWW over random event sets equals HashMap fold oracle (20 seeded trials)") {
+    (1 to 20).foreach { trial =>
+      val rnd = new scala.util.Random(trial * 7919L)
+      val n = 50 + rnd.nextInt(300)
+      // unique seq per event so ties are impossible, like the WAL
+      val rows = (0 until n).map { i =>
+        val k = rnd.nextInt(25)
+        (s"r${k % 5}", s"p$k", i.toLong, rnd.alphanumeric.take(8).mkString)
+      }
+      val df = rows.toDF("repo", "path", "seq", "content")
+      val got = Dedupe.lwwSalted(df, Seq("repo", "path"), "seq", 4)
+        .select($"repo", $"path", $"seq", $"content")
+        .as[(String, String, Long, String)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+      val oracle = rows.foldLeft(Map.empty[(String, String), (Long, String)]) {
+        case (m, (r, p, s, c)) =>
+          val k = (r, p)
+          if (m.get(k).forall(_._1 < s)) m.updated(k, (s, c)) else m
+      }
+      assert(got === oracle, s"trial $trial")
+    }
+  }
+
+  test("schema epochs: normalizer maps lang→language, widens size_bytes, nulls epoch-0 adds") {
+    val raw = Seq(
+      ChangeEvent(1L, "I", "r", "p0", 0, new java.sql.Timestamp(0),
+        """{"commit":"c0","lang":"scala","content":"e0"}"""),
+      ChangeEvent(2L, "I", "r", "p1", 1, new java.sql.Timestamp(0),
+        """{"commit":"c1","lang":"java","content":"e1","size_bytes":2}"""),
+      ChangeEvent(3L, "I", "r", "p2", 2, new java.sql.Timestamp(0),
+        """{"commit":"c2","language":"go","content":"e2","size_bytes":9999999999}""")
+    ).toDS().toDF()
+    val n = Normalize(raw).select("seq", "language", "size_bytes")
+      .as[(Long, String, Option[Long])].collect().sortBy(_._1)
+    assert(n(0) === ((1L, "scala", None)))
+    assert(n(1) === ((2L, "java", Some(2L))))
+    assert(n(2) === ((3L, "go", Some(9999999999L)))) // long survives widening
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import org.apache.spark.sql.functions._
+
+/** In-JVM oracles for the operators whose semantics DuckDB SQL can't
+  * mirror (LSH internals, heuristic scores, stubbed multimodal kernel).
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet").cache()
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet").cache()
+
+  test("minhash-LSH pairs are a subset of exact jaccard pairs, with recall ≥ 0.7") {
+    val exact = DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = DedupOps.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH+verify must never emit a false positive")
+    if (exact.nonEmpty)
+      assert(lsh.size.toDouble / exact.size >= 0.7,
+        s"LSH recall ${lsh.size}/${exact.size} < 0.7")
+  }
+
+  test("simhash: identical texts collide; near-identical texts are close") {
+    val base = docs.limit(20).select($"doc_id", $"text")
+    // clones with ids offset by 10000 — identical text ⇒ identical simhash
+    val clones = base.select(($"doc_id" + 10000).as("doc_id"), $"text")
+    val both = base.union(clones)
+    val sh = DedupOps.simhash(both, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    (0 until 20).foreach { _ => }
+    sh.keys.filter(_ < 10000).foreach { id =>
+      assert(sh(id) === sh(id + 10000), s"clone of $id must collide")
+    }
+    // and the pair finder reports them at distance 0
+    val pairs = DedupOps.simhashPairs(both, "doc_id", "text", maxDist = 0)
+      .as[(Long, Long, Int)].collect()
+    val clonePairs = pairs.filter(p => p._2 - p._1 == 10000).map(_._1).toSet
+    assert(sh.keys.filter(_ < 10000).forall(clonePairs.contains), "all clone pairs found")
+  }
+
+  test("LSH ANN recall vs brute force ≥ 0.5 at k=5 (and exact rerank ⇒ no false cos)") {
+    val queries = emb.filter($"vec_id" < 20)
+    val bf = SimilarityOps.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // these fixture embeddings are near-uniform (top-1 cos ≈ 0.37), the
+    // hardest LSH regime — use short signatures × many tables
+    val lsh = SimilarityOps.lshTopK(emb, queries, "vec_id", "embedding", k = 5,
+        bits = 4, tables = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect lsh).size.toDouble / bf.size
+    assert(recall >= 0.5, s"ANN recall $recall < 0.5")
+  }
+
+  test("langId picks the profile language on natural text; und on noise") {
+    val samples = Seq(
+      ("the cat sat on the mat and it is a good day for the dog", "en"),
+      ("el perro y el gato en la casa de los abuelos por la tarde", "es"),
+      ("le chat et le chien dans la maison des grands parents", "fr"),
+      ("der hund und die katze sind mit den kindern zu hause", "de"),
+      ("qqq zzz xxx www", "und")
+    ).toDF("text", "expected")
+    val got = samples.withColumn("pred", TextOps.langId($"text"))
+      .select("expected", "pred").as[(String, String)].collect()
+    got.foreach { case (exp, pred) => assert(pred === exp) }
+  }
+
+  test("quality score is in [0,1] and penalizes degenerate text") {
+    val scored = docs.select(TextOps.qualityScore($"text").as("q"))
+      .agg(min($"q"), max($"q")).as[(Double, Double)].head()
+    assert(scored._1 >= 0.0 && scored._2 <= 1.0)
+    val degenerate = Seq("x x x x x x x x x x x x x x x x x x x x").toDF("text")
+      .select(TextOps.qualityScore($"text")).as[Double].head()
+    val healthy = Seq("the quick brown fox jumps over the lazy dog near the river bank today")
+      .toDF("text").select(TextOps.qualityScore($"text")).as[Double].head()
+    assert(degenerate < healthy, s"degenerate $degenerate !< healthy $healthy")
+  }
+
+  test("multimodal pipeline: one feature row per input, real sha256, stub dims stable") {
+    val feats = MultimodalOps.pipeline(docs, "doc_id", "text").cache()
+    assert(feats.count() === docs.count())
+    // checksum is the REAL part of the kernel: must equal sha2 of the bytes
+    val joined = feats.join(docs, feats("media_id") === docs("doc_id"))
+      .select(($"checksum" === sha2(encode($"text", "UTF-8"), 256)).as("ok"))
+      .agg(sum(when($"ok", 0).otherwise(1))).as[Long].head()
+    assert(joined === 0L, "every checksum must match sha256(payload)")
+    // deterministic stub: same input twice ⇒ same features
+    val again = MultimodalOps.pipeline(docs, "doc_id", "text")
+    assert(feats.except(again).count() === 0L)
+  }
+
+  test("token counts: subwordCount ≥ tokenCount; fingerprint invariant to case/space") {
+    val r = docs.select(
+      (TextOps.subwordCount($"text") >= TextOps.tokenCount($"text")).as("ge"))
+      .agg(sum(when($"ge", 0).otherwise(1))).as[Long].head()
+    assert(r === 0L)
+    val fp = Seq(("Hello  World", "hello world"), ("A  B\tC", "a b c"))
+      .toDF("a", "b")
+      .select((TextOps.fingerprint($"a") === TextOps.fingerprint($"b")).as("eq"))
+      .as[Boolean].collect()
+    assert(fp.forall(identity))
+  }
+}
