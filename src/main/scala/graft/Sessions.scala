@@ -22,6 +22,23 @@ object Sessions {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
       .config("spark.sql.parquet.compression.codec", "zstd")
+      // LwwAgg (TypedImperativeAggregate) runs in ObjectHashAggregateExec;
+      // the default sort-fallback threshold (128 groups/task) would demote
+      // nearly every real batch to a full sort. Buffers are one payload row
+      // per live key per task — bounded, so a high threshold is safe.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+    // Shuffle/spill dir: this sandbox's root disk serializes concurrent
+    // writers (measured: wide-row shuffles ANTI-scaled 8→32 threads until
+    // moved to tmpfs). A real cluster puts spark.local.dir on NVMe; here
+    // /dev/shm is the analog. Override with GRAFT_LOCAL_DIR.
+    val localDir = sys.env.get("GRAFT_LOCAL_DIR").orElse {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isWritable(shm)) Some("/dev/shm/spark-local") else None
+    }
+    localDir.foreach { d =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+      b.config("spark.local.dir", d)
+    }
     val withExtra = extra.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
     val spark = withExtra.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

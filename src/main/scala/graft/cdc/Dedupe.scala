@@ -42,8 +42,10 @@ object Dedupe {
     val payload = df.columns.filterNot(keys.contains)
     val keyCols = keys.map(col)
     val salted = df.withColumn("_salt", pmod(hash(col(seqCol)), lit(saltBuckets)))
+    // The groupBy's exchange hash-partitions on (key, salt) — that IS the
+    // salted-key repartition, and it moves only the map-side-combined rows
+    // (an explicit .repartition here would shuffle the full raw payload).
     val partial = salted
-      .repartition((keyCols :+ col("_salt")): _*)
       .groupBy((keyCols :+ col("_salt")): _*)
       .agg(max_by(struct(payload.map(col): _*), col(seqCol)).as("_w"))
     partial
@@ -51,6 +53,48 @@ object Dedupe {
       .agg(max_by(col("_w"), col(s"_w.$seqCol")).as("_w"))
       .select(keyCols ++ payload.map(c => col(s"_w.$c").as(c)): _*)
       .select(df.columns.map(col): _*)
+  }
+
+  /** Hash-aggregate LWW via the custom [[LwwAgg]] TypedImperativeAggregate:
+    * same semantics as [[lww]], but planned as ObjectHashAggregateExec
+    * (map-side combine, no sort) — `max_by` over a struct-of-strings buffer
+    * forces SortAggregateExec, which sorts every payload byte and
+    * anti-scales with cores. This is the production path.
+    */
+  def lwwTyped(df: DataFrame, keys: Seq[String], seqCol: String): DataFrame = {
+    val payload = df.columns.filterNot(keys.contains)
+    df.groupBy(keys.map(col): _*)
+      .agg(LwwAgg.lww(struct(payload.map(col): _*), col(seqCol)).as("_w"))
+      .select(keys.map(col) ++ payload.map(c => col(s"_w.$c").as(c)): _*)
+      .select(df.columns.map(col): _*)
+  }
+
+  /** Salted two-phase variant of [[lwwTyped]] (north-rule hot-key path):
+    * partial LWW per (key, salt) then final LWW per key — both phases
+    * hash-based.
+    */
+  def lwwTypedSalted(df: DataFrame, keys: Seq[String], seqCol: String,
+                     saltBuckets: Int = 16): DataFrame = {
+    val payload = df.columns.filterNot(keys.contains)
+    val keyCols = keys.map(col)
+    val partial = df
+      .withColumn("_salt", pmod(hash(col(seqCol)), lit(saltBuckets)))
+      .groupBy((keyCols :+ col("_salt")): _*)
+      .agg(LwwAgg.lww(struct(payload.map(col): _*), col(seqCol)).as("_w"))
+    partial
+      .groupBy(keyCols: _*)
+      .agg(LwwAgg.lww(col("_w"), col(s"_w.$seqCol")).as("_w"))
+      .select(keyCols ++ payload.map(c => col(s"_w.$c").as(c)): _*)
+      .select(df.columns.map(col): _*)
+  }
+
+  /** Argmax-join variant: max(seq) per key (fixed-width buffer → pure
+    * HashAggregate) then inner join back on (key, seq). Two passes over
+    * the data but no wide agg buffer; kept for benchmarking.
+    */
+  def lwwJoin(df: DataFrame, keys: Seq[String], seqCol: String): DataFrame = {
+    val winners = df.groupBy(keys.map(col): _*).agg(max(col(seqCol)).as(seqCol))
+    df.join(winners, keys :+ seqCol).select(df.columns.map(col): _*)
   }
 
   /** Window-function variant (row_number desc = 1) for benchmarking. */

@@ -56,7 +56,13 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     StructField("language", StringType, nullable = true),
     StructField("content", StringType, nullable = true),
     StructField("size_bytes", LongType, nullable = true),
-    StructField("seq", LongType, nullable = false)
+    StructField("seq", LongType, nullable = false),
+    // Tombstone marker: deletes are PERSISTED (with their seq), not dropped.
+    // Required for correctness when micro-batches arrive out of seq order
+    // (the file source orders by mod-time): a delete for a key not yet in
+    // the table must still outrank a lower-seq upsert in a later batch.
+    // Tombstones are GC'd by compact().
+    StructField("deleted", BooleanType, nullable = false)
   ))
   private val payloadCols = Seq("commit", "language", "content", "size_bytes", "seq")
 
@@ -123,8 +129,13 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
 
   // --- reads --------------------------------------------------------------
 
-  /** Full-table read from the current snapshot's manifest. */
-  def read(spark: SparkSession): DataFrame = readFiles(spark, head().files)
+  /** Full-table read of LIVE rows (tombstones filtered — merge-on-read). */
+  def read(spark: SparkSession): DataFrame =
+    readWithTombstones(spark).filter(!col("deleted")).drop("deleted")
+
+  /** Physical read including delete tombstones (internal/compaction use). */
+  def readWithTombstones(spark: SparkSession): DataFrame =
+    readFiles(spark, head().files)
 
   private def readFiles(spark: SparkSession, files: Seq[DataFile]): DataFrame =
     if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -136,7 +147,8 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
   def lookup(spark: SparkSession, repo: String, path: String): DataFrame = {
     val b = bucketOf(repo, path)
     readFiles(spark, head().files.filter(_.bucket == b))
-      .filter(col("repo") === repo && col("path") === path)
+      .filter(col("repo") === repo && col("path") === path && !col("deleted"))
+      .drop("deleted")
   }
 
   /** Driver-side bucket id — must agree with [[bucketExpr]]; uses Catalyst's
@@ -170,7 +182,11 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
 
     val src = batch.withColumn("_b", bucketExpr).persist()
     try {
-      val touched = src.select("_b").distinct().collect().map(_.getInt(0)).toSet
+      // one job yields both the touched-bucket set and the source row count
+      val bucketCounts = src.groupBy("_b").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val touched = bucketCounts.keySet
+      val srcRows = bucketCounts.values.sum
       val (touchedFiles, carried) = h0.files.partition(f => touched.contains(f.bucket))
       val tgt = readFiles(spark, touchedFiles)
 
@@ -184,16 +200,24 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
         tgt("repo") === s("s_repo") && tgt("path") === s("s_path"), "full_outer")
       val takeSrc = col("s_seq").isNotNull &&
         (col("seq").isNull || col("s_seq") > col("seq"))
+      // DELETE arm writes a tombstone (nulled payload, deleted=true, src seq)
+      // rather than dropping the row — see `deleted` column doc above.
+      val srcIsDel = col("s_op") === "D"
       val merged = j
-        .filter(!(takeSrc && col("s_op") === "D")) // DELETE arm (absent-key D is a no-op)
         .select(
           coalesce(col("repo"), col("s_repo")).as("repo"),
           coalesce(col("path"), col("s_path")).as("path"),
-          when(takeSrc, col("s_commit")).otherwise(col("commit")).as("commit"),
-          when(takeSrc, col("s_language")).otherwise(col("language")).as("language"),
-          when(takeSrc, col("s_content")).otherwise(col("content")).as("content"),
-          when(takeSrc, col("s_size_bytes")).otherwise(col("size_bytes")).as("size_bytes"),
-          when(takeSrc, col("s_seq")).otherwise(col("seq")).as("seq"))
+          when(takeSrc, when(srcIsDel, lit(null)).otherwise(col("s_commit")))
+            .otherwise(col("commit")).as("commit"),
+          when(takeSrc, when(srcIsDel, lit(null)).otherwise(col("s_language")))
+            .otherwise(col("language")).as("language"),
+          when(takeSrc, when(srcIsDel, lit(null)).otherwise(col("s_content")))
+            .otherwise(col("content")).as("content"),
+          when(takeSrc, when(srcIsDel, lit(null)).otherwise(col("s_size_bytes")))
+            .otherwise(col("size_bytes")).as("size_bytes"),
+          when(takeSrc, col("s_seq")).otherwise(col("seq")).as("seq"),
+          when(takeSrc, srcIsDel).otherwise(coalesce(col("deleted"), lit(false)))
+            .as("deleted"))
 
       val newVersion = h0.version + 1
       val outDir = s"data/snap-$newVersion"
@@ -211,12 +235,35 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
         files = carried ++ newFiles,
         summary = Map(
           "batchId" -> batchId.toString,
-          "srcRows" -> "-1",
+          "srcRows" -> srcRows.toString,
           "touchedBuckets" -> touched.size.toString,
           "totalRows" -> (carried.map(_.rowCount).sum + newFiles.map(_.rowCount).sum).toString))
       commitSnapshot(snap, expectedParent = h0.version)
-      MergeStats(applied = true, newVersion, src.count(), touched.size, snap.totalRows)
+      MergeStats(applied = true, newVersion, srcRows, touched.size, snap.totalRows)
     } finally src.unpersist()
+  }
+
+  /** Compaction: rewrite every bucket dropping tombstones and coalescing
+    * small files into one file per bucket; lastBatchId (the exactly-once
+    * fence) carries over. At scale this would be incremental (pick buckets
+    * by tombstone ratio / file count from manifest stats); the snapshot
+    * protocol is identical.
+    */
+  def compact(spark: SparkSession): Unit = {
+    val h0 = head()
+    val live = readFiles(spark, h0.files).filter(!col("deleted"))
+    val newVersion = h0.version + 1
+    val outDir = s"data/snap-$newVersion"
+    live.withColumn("_b", bucketExpr)
+      .repartition(col("_b"))
+      .write.mode(SaveMode.ErrorIfExists).partitionBy("_b")
+      .parquet(s"$root/$outDir")
+    val newFiles = listDataFiles(Paths.get(root, outDir), outDir)
+    commitSnapshot(Snapshot(newVersion, h0.version, h0.lastBatchId,
+      h0.schemaIds, newFiles,
+      Map("compaction" -> "true",
+        "totalRows" -> newFiles.map(_.rowCount).sum.toString)),
+      expectedParent = h0.version)
   }
 
   /** TRUNCATE: new snapshot referencing zero files (reference analog:
@@ -234,16 +281,22 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
   private def listDataFiles(dir: Path, rel: String): Seq[DataFile] = {
     if (!Files.exists(dir)) return Nil
     val conf = new org.apache.hadoop.conf.Configuration()
-    Files.walk(dir).iterator.asScala
-      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-      .map { p =>
-        val bucket = p.getParent.getFileName.toString.stripPrefix("_b=").toInt
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(p.toUri), conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        val count = try r.getRecordCount finally r.close()
-        DataFile(s"$rel/${dir.relativize(p)}", bucket, count)
-      }.toSeq
+    val paths = Files.walk(dir).iterator.asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p)).toSeq
+    // footer reads are driver-side; serialized they dominate the commit
+    // path (measured ~40ms each × buckets) — read them concurrently
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futs = paths.map { p => Future {
+      val bucket = p.getParent.getFileName.toString.stripPrefix("_b=").toInt
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toUri), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val count = try r.getRecordCount finally r.close()
+      DataFile(s"$rel/${dir.relativize(p)}", bucket, count)
+    }}
+    Await.result(Future.sequence(futs), Duration.Inf)
   }
 }
 

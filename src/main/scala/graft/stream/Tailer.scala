@@ -33,7 +33,7 @@ object Tailer {
       metricsDir: String,
       numBuckets: Int = 32,
       saltBuckets: Int = 16,
-      useSalt: Boolean = true,
+      useSalt: Boolean = false,
       maxFilesPerTrigger: Option[Int] = None,
       availableNow: Boolean = true)
 
@@ -56,16 +56,30 @@ object Tailer {
       .select(lit(batchId).as("batchId"), col("partitionId"),
         col("firstOffset"), col("lastOffset"), col("rowsApplied"), col("bytesIn"))
 
+    // lineage is independent of the merge — run it as a concurrent Spark
+    // job so its latency hides behind the merge compute
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val lineageF = Future {
+      lineage.write.mode(SaveMode.Append).parquet(cfg.lineageDir)
+    }
+
     val normalized = Normalize(raw).select(mergeCols.map(col): _*)
+    // lwwTyped* = custom hash-agg (ObjectHashAggregate) — the max_by struct
+    // buffer would force a SortAggregate over every payload byte. Salting
+    // adds a second exchange; with map-side combine bounding per-key
+    // reducer fan-in at #map-tasks it only pays off at extreme skew ×
+    // very large clusters, so it's configurable (default off; equivalence
+    // is property-tested, the bench reports both).
     val deduped =
-      if (cfg.useSalt) Dedupe.lwwSalted(normalized, Seq("repo", "path"), "seq", cfg.saltBuckets)
-      else Dedupe.lww(normalized, Seq("repo", "path"), "seq")
+      if (cfg.useSalt) Dedupe.lwwTypedSalted(normalized, Seq("repo", "path"), "seq", cfg.saltBuckets)
+      else Dedupe.lwwTyped(normalized, Seq("repo", "path"), "seq")
 
     val t0 = System.nanoTime()
     val stats = table.merge(spark, deduped, batchId)
     val secs = (System.nanoTime() - t0) / 1e9
 
-    lineage.write.mode(SaveMode.Append).parquet(cfg.lineageDir)
     val metrics = Seq(
       ("merge.applied", if (stats.applied) 1.0 else 0.0),
       ("merge.srcRows", stats.srcRows.toDouble),
@@ -73,11 +87,14 @@ object Tailer {
       ("merge.rowsAfter", stats.rowsAfter.toDouble),
       ("merge.seconds", secs))
     import spark.implicits._
-    metrics.toDF("name", "value")
-      .select(lit(batchId).as("batchId"), col("name"), col("value"),
-        current_timestamp().as("ts"))
-      .coalesce(1)
-      .write.mode(SaveMode.Append).parquet(cfg.metricsDir)
+    val metricsF = Future {
+      metrics.toDF("name", "value")
+        .select(lit(batchId).as("batchId"), col("name"), col("value"),
+          current_timestamp().as("ts"))
+        .coalesce(1)
+        .write.mode(SaveMode.Append).parquet(cfg.metricsDir)
+    }
+    Await.result(Future.sequence(Seq(lineageF, metricsF)), Duration.Inf)
   }
 
   /** Start the tailer. With `availableNow` it drains the existing log and

@@ -45,7 +45,9 @@ object ReplayCli {
       val h = table.head()
       val nEvents = spark.read.schema(graft.model.Model.changeLogSchema)
         .parquet(logDir).count()
-      println(f"[replay] events=$nEvents%,d finalRows=${h.totalRows}%,d " +
+      val live = table.read(spark).count()
+      println(f"[replay] events=$nEvents%,d liveRows=$live%,d " +
+        f"physicalRows=${h.totalRows}%,d (incl. tombstones) " +
         f"snapshots=${h.version} lastBatchId=${h.lastBatchId} " +
         f"secs=$secs%.1f eventsPerSec=${nEvents / secs}%,.0f cores=$cores")
 

@@ -24,13 +24,23 @@ class DedupeSpec extends SparkSpec {
     Normalize(spark.read.schema(changeLogSchema).parquet(dir)).cache()
   }
 
-  test("lww == lwwSalted == lwwWindow on a generated log") {
+  test("all six LWW implementations agree on a generated log") {
     val a = lwwKeys(Dedupe.lww(normalized, Seq("repo", "path"), "seq"))
-    val b = lwwKeys(Dedupe.lwwSalted(normalized, Seq("repo", "path"), "seq", 8))
-    val c = lwwKeys(Dedupe.lwwWindow(normalized, Seq("repo", "path"), "seq"))
-    assert(a === b)
-    assert(a === c)
     assert(a.nonEmpty)
+    assert(a === lwwKeys(Dedupe.lwwSalted(normalized, Seq("repo", "path"), "seq", 8)))
+    assert(a === lwwKeys(Dedupe.lwwWindow(normalized, Seq("repo", "path"), "seq")))
+    assert(a === lwwKeys(Dedupe.lwwTyped(normalized, Seq("repo", "path"), "seq")))
+    assert(a === lwwKeys(Dedupe.lwwTypedSalted(normalized, Seq("repo", "path"), "seq", 8)))
+    assert(a === lwwKeys(Dedupe.lwwJoin(normalized, Seq("repo", "path"), "seq")))
+  }
+
+  test("lwwTyped preserves full payload content (vs lww reference impl)") {
+    def full(df: org.apache.spark.sql.DataFrame) =
+      df.select($"repo", $"path", $"seq", $"op", $"commit", $"language", $"content", $"size_bytes")
+        .as[(String, String, Long, String, String, String, String, Option[Long])]
+        .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(full(Dedupe.lwwTyped(normalized, Seq("repo", "path"), "seq")) ===
+      full(Dedupe.lww(normalized, Seq("repo", "path"), "seq")))
   }
 
   test("partition invariance: result identical at parallelism 2 / 16 / 64") {

@@ -142,6 +142,37 @@ class ReplaySpec extends SparkSpec {
     assert(got === Set(("r1", "a", "A2"), ("r2", "c", "C1")))
   }
 
+  test("out-of-order batches: delete tombstone outranks a later-arriving older upsert") {
+    val base = tmpDir("ooo")
+    val table = LakeTable(s"$base/t", numBuckets = 4)
+    def df(rows: Seq[(String, String, String, Long, String)]) =
+      rows.map { case (r, p, op, s, c) => (r, p, op, s, "cm" + s, "scala", c, Option.empty[Long]) }
+        .toDF("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes")
+    // batch 0 arrives FIRST but holds the LATER event: D @ seq 20 (key absent)
+    table.merge(spark, df(Seq(("r1", "k", "D", 20L, null))), 0L)
+    // batch 1 arrives later with the OLDER insert @ seq 10
+    table.merge(spark, df(Seq(("r1", "k", "I", 10L, "zombie"))), 1L)
+    assert(table.read(spark).count() === 0, "deleted key must not resurrect")
+    // and a genuinely newer write does win over the tombstone
+    table.merge(spark, df(Seq(("r1", "k", "U", 30L, "alive"))), 2L)
+    assert(table.read(spark).select("content").as[String].collect().toSeq === Seq("alive"))
+  }
+
+  test("compaction drops tombstones, keeps live rows and the batchId fence") {
+    val (tc, _) = mkTailer(logDir)
+    Tailer.replay(spark, tc)
+    val table = LakeTable(tc.tableRoot, tc.numBuckets)
+    val before = table.head()
+    val tombs = table.readWithTombstones(spark).filter($"deleted").count()
+    assert(tombs > 0, "fixture should have tombstones")
+    table.compact(spark)
+    assert(table.readWithTombstones(spark).filter($"deleted").count() === 0)
+    assert(table.head().lastBatchId === before.lastBatchId, "fence preserved")
+    assert(table.head().files.size === tc.numBuckets.min(
+      table.head().files.size max 1) || table.head().files.nonEmpty)
+    assertParity(table) // live state unchanged
+  }
+
   test("truncate produces an empty snapshot") {
     val base = tmpDir("trunc")
     val table = LakeTable(s"$base/t", numBuckets = 4)
