@@ -328,6 +328,73 @@ object Queries {
         .select("media_id", "kind", "n_bytes", "checksum")),
 
     // =======================================================================
+    // Grouping sets / rollup / cube; percentiles; TPC-H-style analytics
+    // =======================================================================
+
+    "g1_rollup" -> ((s, d) =>
+      t(s, d, "lineitem").rollup("l_returnflag", "l_linestatus").agg(
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("qty"),
+        grouping_id().cast("long").as("gid"))),
+
+    "g2_cube" -> ((s, d) =>
+      t(s, d, "events").cube("event_type", "user_id").agg(
+        count(lit(1)).as("n"),
+        grouping_id().cast("long").as("gid"))),
+
+    "h2_percentile" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag").agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.95)"), 4).as("p95"))),
+
+    // approx sketch (HLL) — rows-only; OpsSpec asserts ≤5% error vs exact
+    "h1_approx_distinct" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag").agg(
+        approx_count_distinct("l_orderkey").as("approx_orders"),
+        countDistinct("l_orderkey").as("exact_orders"))),
+
+    "tpch_q1" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus").agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))),
+
+    "tpch_q3" -> ((s, d) =>
+      t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey").agg(
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc).limit(10)),
+
+    "tpch_q5" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name").agg(
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))),
+
+    "c10_array_ops" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        array_join(slice(sort_array(array_distinct(
+          split(lower(trim(col("text"))), "\\s+"))), 1, 3), ",").as("first3"),
+        size(array_distinct(split(lower(trim(col("text"))), "\\s+")))
+          .cast("long").as("n_distinct"))),
+
+    "a8_distinct_union" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("lang"), explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .groupBy("lang").agg(countDistinct("w").as("n_words"))),
+
+    // =======================================================================
     // CDC engine end-to-end as a query (generate → replay → final state)
     // =======================================================================
 
@@ -553,6 +620,61 @@ object Queries {
         |round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5) AS cos
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5) >= 0.5""".stripMargin,
+
+    "g1_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty,
+        |CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "g2_cube" ->
+      """SELECT event_type, user_id, count(*) AS n,
+        |CAST(GROUPING(event_type) * 2 + GROUPING(user_id) AS BIGINT) AS gid
+        |FROM events GROUP BY CUBE(event_type, user_id)""".stripMargin,
+
+    "h2_percentile" ->
+      """SELECT l_returnflag,
+        |round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |round(quantile_cont(l_quantity, 0.95), 4) AS p95
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+        |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+        |CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+        |count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "tpch_q3" ->
+      """SELECT o_orderkey,
+        |CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "tpch_q5" ->
+      """SELECT n_name,
+        |CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name""".stripMargin,
+
+    "c10_array_ops" ->
+      """SELECT doc_id,
+        |array_to_string(list_sort(list_distinct(string_split_regex(lower(trim(text)), '\s+')))[1:3], ',') AS first3,
+        |CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT) AS n_distinct
+        |FROM documents""".stripMargin,
+
+    "a8_distinct_union" ->
+      """SELECT lang, count(DISTINCT w) AS n_words FROM (
+        |  SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents) GROUP BY lang""".stripMargin,
 
     "s1_ann_bruteforce" ->
       """SELECT query_id, rank, neighbor_id, cos FROM (

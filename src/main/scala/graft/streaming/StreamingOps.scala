@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators beyond the CDC tailer: event-time
+  * windowed aggregation with watermarks, and custom keyed state via
+  * mapGroupsWithState. The reference is pure batch (SURVEY §2.9), so these
+  * are the engine's forward-looking stream surface over the same tables.
+  */
+object StreamingOps {
+
+  /** Watermarked tumbling-window counts per key (late data beyond the
+    * watermark is dropped; append mode emits only finalized windows).
+    */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     windowLen: String = "5 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      // watermarks require TIMESTAMP (LTZ); parquet sources often carry NTZ
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col(s"window.start").as("window_start"), col(keyCol),
+        col("n"), col("total"))
+
+  final case class KeyedEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class RunningState(n: Long, total: Double)
+  final case class RunningTotal(user_id: Long, n: Long, total: Double)
+
+  /** Custom keyed state: running per-key totals via mapGroupsWithState
+    * (update mode) — the engine's KeyValueGroupedDataset state surface.
+    */
+  def runningTotals(events: Dataset[KeyedEvent]): Dataset[RunningTotal] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[RunningState, RunningTotal](GroupStateTimeout.NoTimeout) {
+        (user, evs, state: GroupState[RunningState]) =>
+          val prev = state.getOption.getOrElse(RunningState(0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          evs.foreach { e => n += 1; total += e.value }
+          val next = RunningState(n, total)
+          state.update(next)
+          RunningTotal(user, next.n, next.total)
+      }
+  }
+
+  final case class Session(user_id: Long, start: java.sql.Timestamp,
+                           end: java.sql.Timestamp, n: Long)
+  final case class SessionState(start: Long, end: Long, n: Long)
+
+  /** Event-time sessionization with a gap timeout via flatMapGroupsWithState:
+    * a session closes when the event-time watermark passes (last event +
+    * gap); closed sessions are emitted in append mode.
+    */
+  def sessionize(events: Dataset[KeyedEvent], gapMs: Long): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user, evs, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(user, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n))
+          } else {
+            val times = evs.map(e => e.ts.getTime).toSeq
+            val prev = state.getOption
+            val start = (times ++ prev.map(_.start)).min
+            val end = (times ++ prev.map(_.end)).max
+            val n = prev.map(_.n).getOrElse(0L) + times.size
+            state.update(SessionState(start, end, n))
+            state.setTimeoutTimestamp(end + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+}

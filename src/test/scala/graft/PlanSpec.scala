@@ -1,0 +1,85 @@
+package graft
+
+import graft.cdc.{Dedupe, Normalize}
+import graft.gen.ChangeLogGen
+import graft.gen.ChangeLogGen.GenConfig
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the plans the engine relies on at 100 TB must
+  * actually be the plans Catalyst produces — filter/column pushdown to the
+  * parquet scan, broadcast for dimension joins, hash (not sort) aggregation
+  * for the LWW reduce, whole-stage codegen on the scalar hot paths.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+  private def optimized(df: DataFrame): String = df.queryExecution.optimizedPlan.toString
+
+  test("filter + projection push down to the parquet scan") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_quantity") > 30.0)
+      .select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"),
+      s"filter not pushed:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"columns not pruned:\n$p")
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact side)") {
+    val p = plan(Queries.sparkQueries("j5_chained_broadcast")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected SMJ for dim join:\n$p")
+  }
+
+  test("LWW dedupe plans hash aggregation, never sort aggregation") {
+    val dir = tmpDir("planlog")
+    ChangeLogGen.write(spark, GenConfig(seed = 5L, nEvents = 5000L, nFiles = 2), dir)
+    val norm = Normalize(spark.read.schema(graft.model.Model.changeLogSchema).parquet(dir))
+      .select(graft.stream.Tailer.mergeCols.map(col): _*)
+    val typed = Dedupe.lwwTyped(norm, Seq("repo", "path"), "seq")
+    val p = plan(typed)
+    assert(p.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate:\n$p")
+    assert(!p.contains("SortAggregate"), s"SortAggregate crept back in:\n$p")
+    // the max_by baseline really is sort-based (documents why LwwAgg exists)
+    val legacy = plan(Dedupe.lww(norm, Seq("repo", "path"), "seq"))
+    assert(legacy.contains("SortAggregate"))
+  }
+
+  test("scalar hot path stays inside WholeStageCodegen") {
+    // "*(n)" prefixes mark WholeStageCodegen stages in executedPlan.toString
+    val p = plan(Queries.sparkQueries("c8_sha256")(spark, sf))
+    assert(p.contains("*(1) Project"), s"no codegen span:\n$p")
+  }
+
+  test("partition-pruning analog: isin filter reaches the scan") {
+    val df = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_type").isin("click", "view")).select("event_id")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [In(event_type, [click,view])]"),
+      s"IN filter not pushed:\n$p")
+  }
+
+  test("semi/anti joins plan as joins, not subquery re-scans") {
+    val anti = optimized(Queries.sparkQueries("j11_anti")(spark, sf))
+    assert(anti.contains("LeftAnti"), s"expected LeftAnti join:\n$anti")
+    val semi = optimized(Queries.sparkQueries("j11_semi")(spark, sf))
+    assert(semi.contains("LeftSemi"), s"expected LeftSemi join:\n$semi")
+  }
+
+  test("merge plan: source side is hash-partition-bucketed, join is equi on key") {
+    val dir = tmpDir("planlog2")
+    ChangeLogGen.write(spark, GenConfig(seed = 6L, nEvents = 5000L, nFiles = 2), dir)
+    val base = tmpDir("plantable")
+    val table = graft.lake.LakeTable(s"$base/t", 8)
+    val norm = Normalize(spark.read.schema(graft.model.Model.changeLogSchema).parquet(dir))
+      .select(graft.stream.Tailer.mergeCols.map(col): _*)
+    table.merge(spark, Dedupe.lwwTyped(norm, Seq("repo", "path"), "seq"), 0L)
+    // second merge against non-empty target: full-outer equi join on (repo,path)
+    val stats = table.merge(spark, Dedupe.lwwTyped(norm, Seq("repo", "path"), "seq"), 1L)
+    assert(stats.applied)
+    assert(table.head().summary("touchedBuckets").toInt <= 8)
+  }
+}
