@@ -297,7 +297,7 @@ object Queries {
       DedupOps.exactGroups(t(s, d, "documents"), "doc_id", "text")),
 
     "d2_ngram_jaccard" -> ((s, d) =>
-      DedupOps.jaccardPairs(t(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.5)),
+      DedupOps.jaccardPairsPrefix(t(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.5)),
 
     "d3_minhash_lsh" -> ((s, d) =>
       DedupOps.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",

@@ -137,6 +137,24 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
   def readWithTombstones(spark: SparkSession): DataFrame =
     readFiles(spark, head().files)
 
+  /** Time travel: read LIVE rows as of snapshot `version` (snapshots are
+    * immutable; the manifest pins the exact file set).
+    */
+  def readAt(spark: SparkSession, version: Int): DataFrame = {
+    val snap = readSnapshot(metaDir.resolve(s"v$version.json"))
+    readFiles(spark, snap.files).filter(!col("deleted")).drop("deleted")
+  }
+
+  /** All snapshot versions present in meta/ (ascending). */
+  def versions(): Seq[Int] = {
+    import scala.jdk.CollectionConverters._
+    Files.list(metaDir).iterator.asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toInt }
+      .toSeq.sorted
+  }
+
   private def readFiles(spark: SparkSession, files: Seq[DataFile]): DataFrame =
     if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(files.map(f => s"$root/${f.path}"): _*)

@@ -53,6 +53,40 @@ object DedupOps {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Prefix-filtered exact Jaccard (same output as [[jaccardPairs]], much
+    * smaller candidate set): order each doc's shingles by global rarity;
+    * two docs with Jaccard ≥ t must share at least one of each other's
+    * first ⌊(1-t)·|S|⌋+1 shingles (prefix-filter principle, AllPairs/
+    * PPJoin family), so candidates come from joining only the prefixes.
+    * Candidates are then verified with the true intersection via
+    * array_intersect over the full shingle sets.
+    */
+  def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = postings(df, idCol, textCol, n)
+    val freq = p.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val ranked = p.join(freq, "shingle")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("shingle"))))
+      .filter(col("rnk") <= floor(lit(1.0 - threshold) * col("n_sh")) + 1)
+    val a = ranked.select(col("shingle"), col("id").as("id_a"))
+    val b = ranked.select(col("shingle"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sets = df.select(col(idCol).as("id"),
+      array_distinct(TextOps.shingles(col(textCol), n)).as("sh"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** MinHash signature column: array of `numHashes` minima of
     * xxhash64(shingle, perm-salt).
     */

@@ -97,6 +97,34 @@ object Tailer {
     Await.result(Future.sequence(Seq(lineageF, metricsF)), Duration.Inf)
   }
 
+  /** StreamingQueryListener → metrics table: appends Dropwizard-style rows
+    * (inputRows, processedRowsPerSecond, trigger/addBatch durations) per
+    * progress event; detaches itself when its query terminates.
+    */
+  private final class ProgressListener(spark: SparkSession, metricsDir: String,
+                                       queryId: java.util.UUID)
+    extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      if (e.progress.id == queryId && e.progress.numInputRows > 0) {
+        import spark.implicits._
+        val durs = e.progress.durationMs
+        Seq(
+          ("progress.numInputRows", e.progress.numInputRows.toDouble),
+          ("progress.processedRowsPerSecond", e.progress.processedRowsPerSecond),
+          ("progress.triggerMs", Option(durs.get("triggerExecution")).map(_.toDouble).getOrElse(-1.0)),
+          ("progress.addBatchMs", Option(durs.get("addBatch")).map(_.toDouble).getOrElse(-1.0)))
+          .toDF("name", "value")
+          .select(lit(e.progress.batchId).as("batchId"), col("name"), col("value"),
+            current_timestamp().as("ts"))
+          .coalesce(1).write.mode(SaveMode.Append).parquet(metricsDir)
+      }
+    }
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+      if (e.id == queryId) spark.streams.removeListener(this)
+  }
+
   /** Start the tailer. With `availableNow` it drains the existing log and
     * stops (replay-to-parity mode); otherwise it runs on a processing-time
     * trigger (sustained-throughput mode).
@@ -111,8 +139,10 @@ object Tailer {
     val writer = src.writeStream
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch(applyBatch(table, cfg) _)
-    (if (cfg.availableNow) writer.trigger(Trigger.AvailableNow())
-     else writer.trigger(Trigger.ProcessingTime("1 second"))).start()
+    val q = (if (cfg.availableNow) writer.trigger(Trigger.AvailableNow())
+             else writer.trigger(Trigger.ProcessingTime("1 second"))).start()
+    spark.streams.addListener(new ProgressListener(spark, cfg.metricsDir, q.id))
+    q
   }
 
   /** Drain the whole log and wait (replay-to-parity). */

@@ -25,6 +25,24 @@ class OpsSpec extends SparkSpec {
         s"LSH recall ${lsh.size}/${exact.size} < 0.7")
   }
 
+  test("prefix-filtered jaccard ≡ inverted-index jaccard (exact same pairs)") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val full = pairs(DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.4))
+    val pref = pairs(DedupOps.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.4))
+    assert(full === pref)
+    assert(full.nonEmpty)
+  }
+
+  test("approx_count_distinct within 5% of exact on lineitem") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    // default rsd=0.05 means ~5% σ — ask for 2% to assert a 5% bound
+    val r = li.agg(
+      approx_count_distinct(col("l_orderkey"), 0.02).as("a"),
+      countDistinct("l_orderkey").as("e")).as[(Long, Long)].head()
+    assert(math.abs(r._1 - r._2).toDouble / r._2 <= 0.05, s"approx ${r._1} vs exact ${r._2}")
+  }
+
   test("simhash: identical texts collide; near-identical texts are close") {
     val base = docs.limit(20).select($"doc_id", $"text")
     // clones with ids offset by 10000 — identical text ⇒ identical simhash

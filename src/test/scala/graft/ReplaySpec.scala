@@ -173,6 +173,43 @@ class ReplaySpec extends SparkSpec {
     assertParity(table) // live state unchanged
   }
 
+  test("time travel: readAt(v) returns each snapshot's state immutably") {
+    val base = tmpDir("tt")
+    val table = LakeTable(s"$base/t", numBuckets = 4)
+    def df(seq: Long, c: String) =
+      Seq(("r", "p", "U", seq, "cm" + seq, "scala", c, Option.empty[Long]))
+        .toDF("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes")
+    table.merge(spark, df(1L, "v1"), 0L)
+    table.merge(spark, df(2L, "v2"), 1L)
+    assert(table.versions() === Seq(0, 1, 2))
+    assert(table.readAt(spark, 1).select("content").as[String].head() === "v1")
+    assert(table.readAt(spark, 2).select("content").as[String].head() === "v2")
+    assert(table.readAt(spark, 0).count() === 0)
+  }
+
+  test("crash safety: data files written without a HEAD flip are invisible") {
+    val base = tmpDir("orphan")
+    val table = LakeTable(s"$base/t", numBuckets = 4)
+    table.merge(spark,
+      Seq(("r", "p", "I", 1L, "c", "scala", "real", Option.empty[Long]))
+        .toDF("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes"), 0L)
+    // simulate a crash mid-commit: orphan parquet in a new snapshot dir +
+    // an orphan snapshot json, but HEAD untouched
+    val orphanDir = s"${table.root}/data/snap-99"
+    Seq(("rX", "pX", "ghost", "scala", "ghost", Option.empty[Long], 9L, false))
+      .toDF("repo", "path", "commit", "language", "content", "size_bytes", "seq", "deleted")
+      .write.parquet(s"$orphanDir/_b=0")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(table.root, "meta", "v99.json"), "{bogus")
+    val rows = table.read(spark).select("content").as[String].collect().toSeq
+    assert(rows === Seq("real"), "orphans must be invisible")
+    // and the next merge continues cleanly from the real HEAD
+    table.merge(spark,
+      Seq(("r", "p", "U", 2L, "c2", "scala", "real2", Option.empty[Long]))
+        .toDF("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes"), 1L)
+    assert(table.read(spark).select("content").as[String].head() === "real2")
+  }
+
   test("truncate produces an empty snapshot") {
     val base = tmpDir("trunc")
     val table = LakeTable(s"$base/t", numBuckets = 4)
