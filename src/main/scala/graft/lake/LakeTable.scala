@@ -193,7 +193,17 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     *   (stale src.seq <= tgt.seq → target row kept unchanged)
     * }}}
     */
-  def merge(spark: SparkSession, batch: DataFrame, batchId: Long): MergeStats = {
+  def merge(spark: SparkSession, batch: DataFrame, batchId: Long): MergeStats =
+    merge(spark, batch, batchId, updateColumns = None)
+
+  /** Column-subset MERGE (reference K2: Solr atomic `{"set": value}` partial
+    * update, PhylogenesServerWrapper.java:286-295): when `updateColumns` is
+    * given, a matched row takes the source's values ONLY for those columns
+    * (plus `seq`); all other columns keep the target's values. Not-matched
+    * rows insert whatever the source carries. Delete arm unchanged.
+    */
+  def merge(spark: SparkSession, batch: DataFrame, batchId: Long,
+            updateColumns: Option[Seq[String]]): MergeStats = {
     val h0 = head()
     if (batchId <= h0.lastBatchId)
       return MergeStats(applied = false, h0.version, 0L, 0, h0.totalRows)
@@ -221,18 +231,23 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
       // DELETE arm writes a tombstone (nulled payload, deleted=true, src seq)
       // rather than dropping the row — see `deleted` column doc above.
       val srcIsDel = col("s_op") === "D"
+      val matched = col("seq").isNotNull && !coalesce(col("deleted"), lit(false))
+      def arm(c: String) = {
+        // column-subset semantics: on a matched UPDATE, non-listed columns
+        // keep the target value; inserts take the source value regardless
+        val pickSrc: Column = updateColumns match {
+          case Some(cols) if !cols.contains(c) => !matched
+          case _ => lit(true)
+        }
+        when(takeSrc, when(srcIsDel, lit(null)).otherwise(
+          when(pickSrc, col(s"s_$c")).otherwise(col(c))))
+          .otherwise(col(c)).as(c)
+      }
       val merged = j
         .select(
           coalesce(col("repo"), col("s_repo")).as("repo"),
           coalesce(col("path"), col("s_path")).as("path"),
-          when(takeSrc, when(srcIsDel, lit(null)).otherwise(col("s_commit")))
-            .otherwise(col("commit")).as("commit"),
-          when(takeSrc, when(srcIsDel, lit(null)).otherwise(col("s_language")))
-            .otherwise(col("language")).as("language"),
-          when(takeSrc, when(srcIsDel, lit(null)).otherwise(col("s_content")))
-            .otherwise(col("content")).as("content"),
-          when(takeSrc, when(srcIsDel, lit(null)).otherwise(col("s_size_bytes")))
-            .otherwise(col("size_bytes")).as("size_bytes"),
+          arm("commit"), arm("language"), arm("content"), arm("size_bytes"),
           when(takeSrc, col("s_seq")).otherwise(col("seq")).as("seq"),
           when(takeSrc, srcIsDel).otherwise(coalesce(col("deleted"), lit(false)))
             .as("deleted"))

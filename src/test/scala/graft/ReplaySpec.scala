@@ -173,6 +173,27 @@ class ReplaySpec extends SparkSpec {
     assertParity(table) // live state unchanged
   }
 
+  test("column-subset merge: only listed columns update on match; others kept") {
+    val base = tmpDir("partial")
+    val table = LakeTable(s"$base/t", numBuckets = 4)
+    def df(seq: Long, commit: String, lang: String, content: String) =
+      Seq(("r", "p", "U", seq, commit, lang, content, Option.empty[Long]))
+        .toDF("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes")
+    table.merge(spark, df(1L, "c1", "scala", "body1"), 0L)
+    // partial update: only `commit` listed — language/content must survive
+    table.merge(spark, df(2L, "c2", "go", "body2"), 1L, updateColumns = Some(Seq("commit")))
+    val row = table.read(spark).select("commit", "language", "content", "seq")
+      .as[(String, String, String, Long)].head()
+    assert(row === (("c2", "scala", "body1", 2L)))
+    // partial update on a NOT-matched key inserts the full source row
+    val ins = Seq(("r", "q", "U", 3L, "c3", "rs", "body3", Option.empty[Long]))
+      .toDF("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes")
+    table.merge(spark, ins, 2L, updateColumns = Some(Seq("commit")))
+    val got = table.lookup(spark, "r", "q").select("language", "content")
+      .as[(String, String)].head()
+    assert(got === (("rs", "body3")))
+  }
+
   test("time travel: readAt(v) returns each snapshot's state immutably") {
     val base = tmpDir("tt")
     val table = LakeTable(s"$base/t", numBuckets = 4)
