@@ -676,6 +676,13 @@ object Queries {
         |  SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
         |  FROM documents) GROUP BY lang""".stripMargin,
 
+    "m1_multimodal" ->
+      """SELECT doc_id AS media_id,
+        |CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |sha256(text) AS checksum
+        |FROM documents""".stripMargin,
+
     "s1_ann_bruteforce" ->
       """SELECT query_id, rank, neighbor_id, cos FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -51,6 +51,18 @@ object ReplayCli {
         f"snapshots=${h.version} lastBatchId=${h.lastBatchId} " +
         f"secs=$secs%.1f eventsPerSec=${nEvents / secs}%,.0f cores=$cores")
 
+    case "compact" :: workDir :: Nil =>
+      val spark = Sessions.local(sys.env.getOrElse("GRAFT_CORES", "8").toInt, "graft-compact")
+      val table = LakeTable(s"$workDir/table")
+      val before = table.head()
+      val tombs = table.readWithTombstones(spark).filter(col("deleted")).count()
+      table.compact(spark)
+      val after = table.head()
+      println(f"[compact] v${before.version}→v${after.version} " +
+        f"rows ${before.totalRows}%,d→${after.totalRows}%,d " +
+        f"(dropped $tombs%,d tombstones) files ${before.files.size}→${after.files.size}")
+      spark.stop()
+
     case "show" :: workDir :: rest =>
       val spark = Sessions.local(4, "graft-show")
       val table = LakeTable(s"$workDir/table")

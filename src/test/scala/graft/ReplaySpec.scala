@@ -242,6 +242,36 @@ class ReplaySpec extends SparkSpec {
     assert(table.read(spark).count() === 0)
   }
 
+  test("tail mode: ProcessingTime trigger picks up files arriving while running") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val live = tmpDir("tail-log")
+    val parts = Files.list(Paths.get(logDir)).iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    val (h1, h2) = parts.splitAt(parts.size / 2)
+    h1.foreach(p => Files.copy(p, Paths.get(live, p.getFileName.toString)))
+    val (tc, _) = mkTailer(live)
+    val q = Tailer.run(spark, tc.copy(availableNow = false)) // continuous tail
+    try {
+      def waitRows(min: Long): Long = {
+        val deadline = System.nanoTime() + 120e9.toLong
+        var n = 0L
+        while (n < min && System.nanoTime() < deadline) {
+          Thread.sleep(500)
+          n = try LakeTable(tc.tableRoot, tc.numBuckets).read(spark).count()
+          catch { case _: Throwable => 0L }
+        }
+        n
+      }
+      assert(waitRows(1L) > 0, "first wave applied while query is live")
+      // second wave arrives while the query is running — binlog-tail shape
+      h2.foreach(p => Files.copy(p, Paths.get(live, p.getFileName.toString)))
+      assert(waitRows(golden.size.toLong) === golden.size.toLong,
+        "tailer converged to golden row count")
+    } finally q.stop()
+    assertParity(LakeTable(tc.tableRoot, tc.numBuckets))
+  }
+
   test("point lookup prunes to one bucket") {
     val (tc, _) = mkTailer(logDir)
     Tailer.replay(spark, tc)
