@@ -676,6 +676,26 @@ object Queries {
         |  SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
         |  FROM documents) GROUP BY lang""".stripMargin,
 
+    "t3_langid" ->
+      """WITH profiles(plang, words) AS (VALUES
+        |  ('de', ['der','die','das','und','von','zu','mit','den','ist','nicht']),
+        |  ('en', ['the','a','of','and','to','in','is','that','it','for']),
+        |  ('es', ['el','la','de','que','y','en','un','los','se','por']),
+        |  ('fr', ['le','la','de','et','les','des','un','une','que','dans']),
+        |  ('zh', ['的','是','在','了','和','有','我','不','这','他'])
+        |), scored AS (
+        |  SELECT d.doc_id, d.lang, p.plang,
+        |    len(list_intersect(string_split_regex(lower(d.text), '\s+'), p.words))
+        |    + CASE WHEN p.plang = 'zh'
+        |        THEN len(list_filter(p.words, w -> contains(d.text, w))) ELSE 0 END AS score
+        |  FROM documents d CROSS JOIN profiles p
+        |), ranked AS (
+        |  SELECT doc_id, lang, plang, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang ASC) AS rn
+        |  FROM scored)
+        |SELECT doc_id, lang, CASE WHEN score <= 0 THEN 'und' ELSE plang END AS lang_pred
+        |FROM ranked WHERE rn = 1""".stripMargin,
+
     "m1_multimodal" ->
       """SELECT doc_id AS media_id,
         |CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

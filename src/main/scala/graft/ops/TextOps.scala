@@ -57,11 +57,15 @@ object TextOps {
     */
   def langId(text: Column): Column = {
     val words = split(lower(text), "\\s+")
-    val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, stop) =>
+    val langs = langProfiles.toSeq.sortBy(_._1)
+    val scored = langs.zipWithIndex.map { case ((lang, stop), i) =>
       val hits = size(array_intersect(words, array(stop.map(lit): _*))) +
         // zh has no spaces — count profile chars contained in the raw text
         (if (lang == "zh") size(filter(array(stop.map(lit): _*), c => contains(text, c))) else lit(0))
-      struct(hits.cast("int").as("score"), lit(lang).as("lang"))
+      // priority descends with lang code so score ties resolve to the
+      // alphabetically FIRST language under greatest()
+      struct(hits.cast("int").as("score"),
+        lit(langs.size - 1 - i).as("prio"), lit(lang).as("lang"))
     }
     val best = greatest(scored: _*)
     when(best.getField("score") <= 0, lit("und")).otherwise(best.getField("lang"))
