@@ -42,7 +42,8 @@ import scala.jdk.CollectionConverters._
   * API + a locking catalog (HMS/REST) for multi-writer commits; the commit
   * protocol (manifest immutability + pointer swap + fence) is unchanged.
   */
-final class LakeTable(val root: String, val numBuckets: Int = 32) {
+final class LakeTable(val root: String, val numBuckets: Int = 32,
+                      createMode: String = LakeTable.Cow) {
   import LakeTable._
 
   private val metaDir: Path = Paths.get(root, "meta")
@@ -76,8 +77,19 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     if (!Files.exists(headFile))
       commitSnapshot(Snapshot(0, parent = -1, lastBatchId = -1L,
         schemaIds = Seq(graft.model.SchemaRegistry.latest.schemaId),
-        files = Nil, summary = Map("created" -> "true")), expectedParent = -1)
+        files = Nil, summary = Map("created" -> "true"), mode = createMode),
+        expectedParent = -1)
   }
+
+  /** Table apply mode, pinned at creation and carried by every snapshot:
+    * [[LakeTable.Cow]] (copy-on-write: each batch rewrites touched buckets,
+    * reads are plain scans) or [[LakeTable.Mor]] (merge-on-read: each batch
+    * APPENDS its rows + tombstones — O(batch) writes regardless of table
+    * size — and reads resolve last-writer-wins per key; compact() folds).
+    * COW favors read-heavy / infrequent batches; MOR favors sustained
+    * high-frequency ingest on a huge table (the 10^10-event tail shape).
+    */
+  def tableMode: String = head().mode
 
   def head(): Snapshot = {
     val name = Files.readString(headFile).trim
@@ -94,7 +106,8 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
       files = n.get("files").elements.asScala.map { f =>
         DataFile(f.get("path").asText, f.get("bucket").asInt, f.get("rowCount").asLong)
       }.toSeq,
-      summary = n.get("summary").fields.asScala.map(e => e.getKey -> e.getValue.asText).toMap)
+      summary = n.get("summary").fields.asScala.map(e => e.getKey -> e.getValue.asText).toMap,
+      mode = Option(n.get("mode")).map(_.asText).getOrElse(Cow))
   }
 
   /** Write v<N>.json then atomically flip HEAD. Single-writer CAS: verifies
@@ -105,6 +118,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     node.put("version", s.version)
     node.put("parent", s.parent)
     node.put("lastBatchId", s.lastBatchId)
+    node.put("mode", s.mode)
     val sids = node.putArray("schemaIds"); s.schemaIds.foreach(sids.add)
     val arr = node.putArray("files")
     s.files.foreach { f =>
@@ -129,9 +143,28 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
 
   // --- reads --------------------------------------------------------------
 
-  /** Full-table read of LIVE rows (tombstones filtered — merge-on-read). */
-  def read(spark: SparkSession): DataFrame =
-    readWithTombstones(spark).filter(!col("deleted")).drop("deleted")
+  /** Full-table read of LIVE rows: MOR tables resolve LWW per key first;
+    * tombstones filtered either way.
+    */
+  def read(spark: SparkSession): DataFrame = {
+    val h = head()
+    liveRows(readFiles(spark, h.files), h.mode)
+  }
+
+  private def liveRows(physical: DataFrame, mode: String): DataFrame = {
+    val base = if (mode == Mor) resolve(physical) else physical
+    base.filter(!col("deleted")).drop("deleted")
+  }
+
+  /** Read-time LWW resolution for MOR manifests (duplicate keys across
+    * files; highest seq wins — same hash-agg shape as the ingest dedupe).
+    */
+  private def resolve(df: DataFrame): DataFrame = {
+    val payload = Seq("commit", "language", "content", "size_bytes", "seq", "deleted")
+    df.groupBy(col("repo"), col("path"))
+      .agg(graft.cdc.LwwAgg.lww(struct(payload.map(col): _*), col("seq")).as("_w"))
+      .select(Seq(col("repo"), col("path")) ++ payload.map(c => col(s"_w.$c").as(c)): _*)
+  }
 
   /** Physical read including delete tombstones (internal/compaction use). */
   def readWithTombstones(spark: SparkSession): DataFrame =
@@ -142,7 +175,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     */
   def readAt(spark: SparkSession, version: Int): DataFrame = {
     val snap = readSnapshot(metaDir.resolve(s"v$version.json"))
-    readFiles(spark, snap.files).filter(!col("deleted")).drop("deleted")
+    liveRows(readFiles(spark, snap.files), snap.mode)
   }
 
   /** All snapshot versions present in meta/ (ascending). */
@@ -163,10 +196,12 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     * (reference analog: per-key doc fetch, PantherLocalWrapper.java:373-383).
     */
   def lookup(spark: SparkSession, repo: String, path: String): DataFrame = {
+    val h = head()
     val b = bucketOf(repo, path)
-    readFiles(spark, head().files.filter(_.bucket == b))
-      .filter(col("repo") === repo && col("path") === path && !col("deleted"))
-      .drop("deleted")
+    liveRows(
+      readFiles(spark, h.files.filter(_.bucket == b))
+        .filter(col("repo") === repo && col("path") === path),
+      h.mode)
   }
 
   /** Driver-side bucket id — must agree with [[bucketExpr]]; uses Catalyst's
@@ -207,6 +242,11 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     val h0 = head()
     if (batchId <= h0.lastBatchId)
       return MergeStats(applied = false, h0.version, 0L, 0, h0.totalRows)
+    if (h0.mode == Mor) {
+      require(updateColumns.isEmpty,
+        "column-subset merge needs the target row — COW mode only")
+      return mergeAppend(spark, batch, batchId, h0)
+    }
 
     val src = batch.withColumn("_b", bucketExpr).persist()
     try {
@@ -270,9 +310,52 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
           "batchId" -> batchId.toString,
           "srcRows" -> srcRows.toString,
           "touchedBuckets" -> touched.size.toString,
-          "totalRows" -> (carried.map(_.rowCount).sum + newFiles.map(_.rowCount).sum).toString))
+          "totalRows" -> (carried.map(_.rowCount).sum + newFiles.map(_.rowCount).sum).toString),
+        mode = h0.mode)
       commitSnapshot(snap, expectedParent = h0.version)
       MergeStats(applied = true, newVersion, srcRows, touched.size, snap.totalRows)
+    } finally src.unpersist()
+  }
+
+  /** MOR apply: append the deduped batch as new bucket files — upserts as
+    * table rows, deletes as tombstones — carrying ALL existing files in the
+    * manifest. Writes are O(batch) regardless of table size; the seq guard
+    * moves to read-time LWW resolution (which also absorbs out-of-order
+    * batches). Fence semantics identical to COW.
+    */
+  private def mergeAppend(spark: SparkSession, batch: DataFrame, batchId: Long,
+                          h0: Snapshot): MergeStats = {
+    val src = batch.withColumn("_b", bucketExpr).persist()
+    try {
+      val bucketCounts = src.groupBy("_b").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val isDel = col("op") === "D"
+      val rows = src.select(
+        col("repo"), col("path"),
+        when(isDel, lit(null)).otherwise(col("commit")).as("commit"),
+        when(isDel, lit(null)).otherwise(col("language")).as("language"),
+        when(isDel, lit(null)).otherwise(col("content")).as("content"),
+        when(isDel, lit(null)).otherwise(col("size_bytes")).as("size_bytes"),
+        col("seq"), isDel.as("deleted"), col("_b"))
+      val newVersion = h0.version + 1
+      val outDir = s"data/snap-$newVersion"
+      rows.repartition(col("_b"))
+        .write.mode(SaveMode.ErrorIfExists).partitionBy("_b")
+        .parquet(s"$root/$outDir")
+      val newFiles = listDataFiles(Paths.get(root, outDir), outDir)
+      val snap = Snapshot(
+        version = newVersion, parent = h0.version, lastBatchId = batchId,
+        schemaIds = h0.schemaIds,
+        files = h0.files ++ newFiles,
+        summary = Map(
+          "batchId" -> batchId.toString,
+          "srcRows" -> bucketCounts.values.sum.toString,
+          "touchedBuckets" -> bucketCounts.size.toString,
+          "totalRows" -> (h0.files.map(_.rowCount).sum + newFiles.map(_.rowCount).sum).toString),
+        mode = Mor)
+      commitSnapshot(snap, expectedParent = h0.version)
+      MergeStats(applied = true, newVersion, bucketCounts.values.sum,
+        bucketCounts.size, snap.totalRows)
     } finally src.unpersist()
   }
 
@@ -284,7 +367,12 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     */
   def compact(spark: SparkSession): Unit = {
     val h0 = head()
-    val live = readFiles(spark, h0.files).filter(!col("deleted"))
+    // mode-aware: MOR resolves LWW duplicates before the rewrite, so the
+    // compacted snapshot is unique-per-key in both modes
+    // liveRows drops the tombstone column; restore it (all false) so the
+    // compacted files keep the physical table schema
+    val live = liveRows(readFiles(spark, h0.files), h0.mode)
+      .withColumn("deleted", lit(false))
     val newVersion = h0.version + 1
     val outDir = s"data/snap-$newVersion"
     live.withColumn("_b", bucketExpr)
@@ -295,7 +383,8 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     commitSnapshot(Snapshot(newVersion, h0.version, h0.lastBatchId,
       h0.schemaIds, newFiles,
       Map("compaction" -> "true",
-        "totalRows" -> newFiles.map(_.rowCount).sum.toString)),
+        "totalRows" -> newFiles.map(_.rowCount).sum.toString),
+      mode = h0.mode),
       expectedParent = h0.version)
   }
 
@@ -305,7 +394,8 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
   def truncate(): Unit = {
     val h0 = head()
     commitSnapshot(Snapshot(h0.version + 1, h0.version, h0.lastBatchId,
-      h0.schemaIds, Nil, Map("truncate" -> "true")), expectedParent = h0.version)
+      h0.schemaIds, Nil, Map("truncate" -> "true"), mode = h0.mode),
+      expectedParent = h0.version)
   }
 
   /** Scan freshly-written snapshot files, reading row counts from parquet
@@ -338,19 +428,27 @@ object LakeTable {
 
   final case class DataFile(path: String, bucket: Int, rowCount: Long)
 
+  /** Copy-on-write mode tag. */
+  val Cow = "cow"
+  /** Merge-on-read mode tag. */
+  val Mor = "mor"
+
   final case class Snapshot(
       version: Int,
       parent: Int,
       lastBatchId: Long,
       schemaIds: Seq[Int],
       files: Seq[DataFile],
-      summary: Map[String, String]) {
+      summary: Map[String, String],
+      mode: String = Cow) {
     def totalRows: Long = files.map(_.rowCount).sum
   }
 
-  /** Open-or-create. */
-  def apply(root: String, numBuckets: Int = 32): LakeTable = {
-    val t = new LakeTable(root, numBuckets)
+  /** Open-or-create (mode applies only at creation; existing tables keep
+    * the mode pinned in their snapshots).
+    */
+  def apply(root: String, numBuckets: Int = 32, mode: String = Cow): LakeTable = {
+    val t = new LakeTable(root, numBuckets, mode)
     t.init()
     t
   }

@@ -34,6 +34,7 @@ object Tailer {
       numBuckets: Int = 32,
       saltBuckets: Int = 16,
       useSalt: Boolean = false,
+      tableMode: String = graft.lake.LakeTable.Cow,
       maxFilesPerTrigger: Option[Int] = None,
       availableNow: Boolean = true)
 
@@ -130,7 +131,7 @@ object Tailer {
     * trigger (sustained-throughput mode).
     */
   def run(spark: SparkSession, cfg: TailerConfig): StreamingQuery = {
-    val table = LakeTable(cfg.tableRoot, cfg.numBuckets)
+    val table = LakeTable(cfg.tableRoot, cfg.numBuckets, cfg.tableMode)
     val reader = spark.readStream
       .schema(graft.model.Model.changeLogSchema)
     val withOpt = cfg.maxFilesPerTrigger

@@ -33,11 +33,14 @@ object ReplayCli {
         .getOrElse(sys.env.getOrElse("GRAFT_CORES", "8").toInt)
       val salt = rest.drop(1).headOption.map(_.toInt).getOrElse(16)
       val buckets = rest.drop(2).headOption.map(_.toInt).getOrElse(32)
+      val mode = rest.drop(3).headOption.getOrElse(
+        sys.env.getOrElse("GRAFT_TABLE_MODE", graft.lake.LakeTable.Cow))
       val spark = Sessions.local(cores, "graft-replay")
       val cfg = TailerConfig(
         logDir = logDir, tableRoot = s"$workDir/table",
         checkpointDir = s"$workDir/ckpt", lineageDir = s"$workDir/lineage",
-        metricsDir = s"$workDir/metrics", numBuckets = buckets, saltBuckets = salt)
+        metricsDir = s"$workDir/metrics", numBuckets = buckets, saltBuckets = salt,
+        tableMode = mode)
       val t0 = System.nanoTime()
       Tailer.replay(spark, cfg)
       val secs = (System.nanoTime() - t0) / 1e9

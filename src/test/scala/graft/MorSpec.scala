@@ -1,0 +1,125 @@
+package graft
+
+import graft.gen.ChangeLogGen
+import graft.gen.ChangeLogGen.GenConfig
+import graft.lake.LakeTable
+import graft.model.Model._
+import graft.stream.Tailer
+import graft.stream.Tailer.TailerConfig
+
+/** Merge-on-read mode: O(batch) appends + read-time LWW resolution must
+  * reach exactly the same final state as copy-on-write, under multi-batch
+  * replay, out-of-order batches, replays, and compaction.
+  */
+class MorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cfg = GenConfig(seed = 77L, nEvents = 15000L, nFiles = 6)
+
+  private lazy val logDir: String = {
+    val d = tmpDir("morlog")
+    ChangeLogGen.write(spark, cfg, d)
+    d
+  }
+  private lazy val golden: Map[(String, String), RepoRecord] = {
+    val evs = spark.read.schema(changeLogSchema).parquet(logDir)
+      .as[ChangeEvent].collect().toSeq
+    ChangeLogGen.oracle(evs)
+  }
+
+  private def mkTailer(): TailerConfig = {
+    val base = tmpDir("mor")
+    TailerConfig(
+      logDir = logDir, tableRoot = s"$base/table",
+      checkpointDir = s"$base/ckpt", lineageDir = s"$base/lineage",
+      metricsDir = s"$base/metrics", numBuckets = 8,
+      tableMode = LakeTable.Mor,
+      maxFilesPerTrigger = Some(2)) // multiple micro-batches = multiple appends
+  }
+
+  private def assertGolden(table: LakeTable): Unit = {
+    val actual = table.read(spark)
+      .select($"repo", $"path", $"content", $"seq")
+      .as[(String, String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(actual.size === golden.size)
+    golden.foreach { case (k, g) =>
+      assert(actual(k) === ((g.content, g.seq)), s"@$k")
+    }
+  }
+
+  test("MOR multi-batch replay reaches golden state; appends never rewrite") {
+    val tc = mkTailer()
+    Tailer.replay(spark, tc)
+    val table = LakeTable(tc.tableRoot, tc.numBuckets)
+    assert(table.tableMode === LakeTable.Mor)
+    assertGolden(table)
+    // physical rows = all applied upserts+tombstones (no rewrite happened)
+    val h = table.head()
+    assert(h.totalRows > golden.size.toLong, "appends accumulate versions")
+    assert(h.version >= 3, "one snapshot per micro-batch")
+  }
+
+  test("MOR replayed batch is fenced (no duplicate appends)") {
+    val tc = mkTailer()
+    Tailer.replay(spark, tc)
+    val table = LakeTable(tc.tableRoot, tc.numBuckets)
+    val v = table.head()
+    val raw = spark.read.schema(changeLogSchema).parquet(logDir)
+    val deduped = graft.cdc.Dedupe.lwwTyped(
+      graft.cdc.Normalize(raw).select(Tailer.mergeCols.map(org.apache.spark.sql.functions.col): _*),
+      Seq("repo", "path"), "seq")
+    val stats = table.merge(spark, deduped, batchId = v.lastBatchId)
+    assert(!stats.applied)
+    assert(table.head().version === v.version)
+  }
+
+  test("MOR out-of-order: tombstone appended before an older upsert still wins") {
+    val base = tmpDir("morooo")
+    val table = LakeTable(s"$base/t", 4, LakeTable.Mor)
+    def df(rows: Seq[(String, String, String, Long, String)]) =
+      rows.map { case (r, p, op, s, c) => (r, p, op, s, "cm" + s, "scala", c, Option.empty[Long]) }
+        .toDF("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes")
+    table.merge(spark, df(Seq(("r1", "k", "D", 20L, null))), 0L)
+    table.merge(spark, df(Seq(("r1", "k", "I", 10L, "zombie"))), 1L)
+    assert(table.read(spark).count() === 0)
+    table.merge(spark, df(Seq(("r1", "k", "U", 30L, "alive"))), 2L)
+    assert(table.read(spark).select("content").as[String].collect().toSeq === Seq("alive"))
+    assert(table.lookup(spark, "r1", "k").count() === 1)
+  }
+
+  test("MOR compaction folds to unique-per-key files, preserves state + fence + mode") {
+    val tc = mkTailer()
+    Tailer.replay(spark, tc)
+    val table = LakeTable(tc.tableRoot, tc.numBuckets)
+    val before = table.head()
+    table.compact(spark)
+    val after = table.head()
+    assert(after.totalRows === golden.size.toLong, "compacted = live rows only")
+    assert(after.lastBatchId === before.lastBatchId)
+    assert(after.mode === LakeTable.Mor)
+    assertGolden(table)
+    // and ingest continues after compaction
+    val extra = Seq(("zz/new", "a", "I", 999999999L, "c", "scala", "post-compact", Option.empty[Long]))
+      .toDF("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes")
+    table.merge(spark, extra, after.lastBatchId + 1)
+    assert(table.lookup(spark, "zz/new", "a").count() === 1)
+  }
+
+  test("MOR and COW replays of the same log agree exactly") {
+    val tcMor = mkTailer()
+    Tailer.replay(spark, tcMor)
+    val baseCow = tmpDir("cow")
+    val tcCow = tcMor.copy(tableRoot = s"$baseCow/table", checkpointDir = s"$baseCow/ckpt",
+      lineageDir = s"$baseCow/lineage", metricsDir = s"$baseCow/metrics",
+      tableMode = LakeTable.Cow)
+    Tailer.replay(spark, tcCow)
+    val mor = LakeTable(tcMor.tableRoot, 8).read(spark)
+      .select("repo", "path", "commit", "language", "content", "seq")
+      .as[(String, String, String, String, String, Long)].collect().toSet
+    val cow = LakeTable(tcCow.tableRoot, 8).read(spark)
+      .select("repo", "path", "commit", "language", "content", "seq")
+      .as[(String, String, String, String, String, Long)].collect().toSet
+    assert(mor === cow)
+  }
+}
