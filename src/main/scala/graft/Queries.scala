@@ -213,6 +213,16 @@ object Queries {
         .orderBy(lower(col("lang")).asc, col("n_chars").desc, col("doc_id").asc)
         .limit(50).select("doc_id", "lang", "n_chars")),
 
+    // O2: null-aware ordering (reference: paralog sort, null AGIs last)
+    "o2_nulls_order" -> ((s, d) => {
+      val o = t(s, d, "orders").groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+      t(s, d, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("n_orders")) // nulls for order-less customers
+        .orderBy(col("n_orders").asc_nulls_last, col("c_custkey").asc)
+        .limit(100)
+    }),
+
     "o4_sorted_concat" -> ((s, d) =>
       t(s, d, "documents").groupBy("source").agg(
         array_join(sort_array(collect_set(col("lang"))), "|").as("langs"))),
@@ -547,6 +557,12 @@ object Queries {
     "o1_multisort_limit" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |ORDER BY lower(lang) ASC, n_chars DESC, doc_id ASC LIMIT 50""".stripMargin,
+
+    "o2_nulls_order" ->
+      """SELECT c_custkey, n_orders FROM customer
+        |LEFT JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) o
+        |ON c_custkey = o_custkey
+        |ORDER BY n_orders ASC NULLS LAST, c_custkey ASC LIMIT 100""".stripMargin,
 
     "o4_sorted_concat" ->
       """SELECT source, string_agg(DISTINCT lang, '|' ORDER BY lang) AS langs

@@ -111,6 +111,20 @@ class OpsSpec extends SparkSpec {
     assert(feats.except(again).count() === 0L)
   }
 
+  test("groupBy-collect struct build (SURVEY A9): per-key ordered struct lists") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val built = events.groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"event_id", $"event_type"))).as("evs"))
+    val row = built.filter($"user_id" === 0L)
+      .select(size($"evs")).as[Int].head()
+    val expected = events.filter($"user_id" === 0L).count().toInt
+    assert(row === expected, "collect_list holds every event of the key")
+    // arrays are sorted by event_id (struct ordering) → deterministic
+    val ids = built.filter($"user_id" === 0L)
+      .select($"evs.event_id").as[Seq[Long]].head()
+    assert(ids === ids.sorted)
+  }
+
   test("token counts: subwordCount ≥ tokenCount; fingerprint invariant to case/space") {
     val r = docs.select(
       (TextOps.subwordCount($"text") >= TextOps.tokenCount($"text")).as("ge"))
