@@ -66,16 +66,20 @@ object Tailer {
       lineage.write.mode(SaveMode.Append).parquet(cfg.lineageDir)
     }
 
-    val normalized = Normalize(raw).select(mergeCols.map(col): _*)
-    // lwwTyped* = custom hash-agg (ObjectHashAggregate) — the max_by struct
-    // buffer would force a SortAggregate over every payload byte. Salting
-    // adds a second exchange; with map-side combine bounding per-key
-    // reducer fan-in at #map-tasks it only pays off at extreme skew ×
-    // very large clusters, so it's configurable (default off; equivalence
-    // is property-tested, the bench reports both).
-    val deduped =
-      if (cfg.useSalt) Dedupe.lwwTypedSalted(normalized, Seq("repo", "path"), "seq", cfg.saltBuckets)
-      else Dedupe.lwwTyped(normalized, Seq("repo", "path"), "seq")
+    // Dedupe BEFORE decode: LWW needs only (key, seq), so the raw payload
+    // rides opaquely through the aggregation and from_json runs on the
+    // winners only (~|keys| rows, not |events| — a large multiple saved on
+    // update-heavy logs). lwwTyped* = custom hash-agg (ObjectHashAggregate);
+    // the max_by struct buffer would force a SortAggregate over every
+    // payload byte. Salting adds a second exchange; with map-side combine
+    // bounding per-key reducer fan-in at #map-tasks it only pays off at
+    // extreme skew × very large clusters, so it's configurable (default
+    // off; equivalence is property-tested, the bench reports both).
+    val rawCols = raw.select("repo", "path", "seq", "op", "schema_id", "ts", "payload")
+    val dedupedRaw =
+      if (cfg.useSalt) Dedupe.lwwTypedSalted(rawCols, Seq("repo", "path"), "seq", cfg.saltBuckets)
+      else Dedupe.lwwTyped(rawCols, Seq("repo", "path"), "seq")
+    val deduped = Normalize(dedupedRaw).select(mergeCols.map(col): _*)
 
     val t0 = System.nanoTime()
     val stats = table.merge(spark, deduped, batchId)
