@@ -359,20 +359,22 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     } finally src.unpersist()
   }
 
-  /** Compaction: rewrite every bucket dropping tombstones and coalescing
-    * small files into one file per bucket; lastBatchId (the exactly-once
-    * fence) carries over. At scale this would be incremental (pick buckets
-    * by tombstone ratio / file count from manifest stats); the snapshot
-    * protocol is identical.
+  /** Compaction: fold each key to its single latest version and coalesce
+    * small files (one per bucket); lastBatchId (the exactly-once fence)
+    * carries over. Tombstones are RETAINED by default — they still guard
+    * against late out-of-order batches carrying older upserts; pass
+    * `gcTombstones = true` only when no earlier-seq data can still arrive
+    * (end of stream / past the ingest low-watermark). At scale this would
+    * be incremental (pick buckets by tombstone ratio / file count from
+    * manifest stats); the snapshot protocol is identical.
     */
-  def compact(spark: SparkSession): Unit = {
+  def compact(spark: SparkSession, gcTombstones: Boolean = false): Unit = {
     val h0 = head()
     // mode-aware: MOR resolves LWW duplicates before the rewrite, so the
     // compacted snapshot is unique-per-key in both modes
-    // liveRows drops the tombstone column; restore it (all false) so the
-    // compacted files keep the physical table schema
-    val live = liveRows(readFiles(spark, h0.files), h0.mode)
-      .withColumn("deleted", lit(false))
+    val resolved = if (h0.mode == Mor) resolve(readFiles(spark, h0.files))
+                   else readFiles(spark, h0.files)
+    val live = if (gcTombstones) resolved.filter(!col("deleted")) else resolved
     val newVersion = h0.version + 1
     val outDir = s"data/snap-$newVersion"
     live.withColumn("_b", bucketExpr)

@@ -35,6 +35,7 @@ object Tailer {
       saltBuckets: Int = 16,
       useSalt: Boolean = false,
       tableMode: String = graft.lake.LakeTable.Cow,
+      compactEvery: Option[Int] = None, // auto-compact after every N applied batches
       maxFilesPerTrigger: Option[Int] = None,
       availableNow: Boolean = true)
 
@@ -83,6 +84,12 @@ object Tailer {
 
     val t0 = System.nanoTime()
     val stats = table.merge(spark, deduped, batchId)
+    // periodic compaction keeps MOR read amplification bounded (GCs
+    // tombstones + folds duplicate key versions); fence is preserved so
+    // exactly-once is unaffected
+    cfg.compactEvery.foreach { n =>
+      if (stats.applied && n > 0 && (batchId + 1) % n == 0) table.compact(spark)
+    }
     val secs = (System.nanoTime() - t0) / 1e9
 
     val metrics = Seq(

@@ -54,12 +54,13 @@ object ReplayCli {
         f"snapshots=${h.version} lastBatchId=${h.lastBatchId} " +
         f"secs=$secs%.1f eventsPerSec=${nEvents / secs}%,.0f cores=$cores")
 
-    case "compact" :: workDir :: Nil =>
+    case "compact" :: workDir :: rest =>
+      val gc = rest.headOption.contains("gc") // GC tombstones: end-of-stream only
       val spark = Sessions.local(sys.env.getOrElse("GRAFT_CORES", "8").toInt, "graft-compact")
       val table = LakeTable(s"$workDir/table")
       val before = table.head()
       val tombs = table.readWithTombstones(spark).filter(col("deleted")).count()
-      table.compact(spark)
+      table.compact(spark, gcTombstones = gc)
       val after = table.head()
       println(f"[compact] v${before.version}→v${after.version} " +
         f"rows ${before.totalRows}%,d→${after.totalRows}%,d " +

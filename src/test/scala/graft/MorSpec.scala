@@ -93,7 +93,7 @@ class MorSpec extends SparkSpec {
     Tailer.replay(spark, tc)
     val table = LakeTable(tc.tableRoot, tc.numBuckets)
     val before = table.head()
-    table.compact(spark)
+    table.compact(spark, gcTombstones = true) // stream fully drained
     val after = table.head()
     assert(after.totalRows === golden.size.toLong, "compacted = live rows only")
     assert(after.lastBatchId === before.lastBatchId)
@@ -104,6 +104,21 @@ class MorSpec extends SparkSpec {
       .toDF("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes")
     table.merge(spark, extra, after.lastBatchId + 1)
     assert(table.lookup(spark, "zz/new", "a").count() === 1)
+  }
+
+  test("MOR with auto-compaction (compactEvery=2): parity + bounded file count") {
+    val base = tmpDir("morauto")
+    val tc = mkTailer().copy(
+      tableRoot = s"$base/table", checkpointDir = s"$base/ckpt",
+      lineageDir = s"$base/lineage", metricsDir = s"$base/metrics",
+      compactEvery = Some(2))
+    Tailer.replay(spark, tc)
+    val table = LakeTable(tc.tableRoot, tc.numBuckets)
+    assertGolden(table)
+    // after the periodic compactions, physical rows stay close to live rows
+    val physical = table.head().totalRows
+    assert(physical < golden.size.toLong * 2,
+      s"auto-compaction bounded versions: physical=$physical live=${golden.size}")
   }
 
   test("MOR and COW replays of the same log agree exactly") {

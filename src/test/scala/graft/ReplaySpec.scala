@@ -165,7 +165,12 @@ class ReplaySpec extends SparkSpec {
     val before = table.head()
     val tombs = table.readWithTombstones(spark).filter($"deleted").count()
     assert(tombs > 0, "fixture should have tombstones")
+    // default compaction RETAINS tombstones (late-data guard)
     table.compact(spark)
+    assert(table.readWithTombstones(spark).filter($"deleted").count() === tombs)
+    assertParity(table)
+    // end-of-stream compaction may GC them
+    table.compact(spark, gcTombstones = true)
     assert(table.readWithTombstones(spark).filter($"deleted").count() === 0)
     assert(table.head().lastBatchId === before.lastBatchId, "fence preserved")
     assert(table.head().files.size === tc.numBuckets.min(
