@@ -8,6 +8,19 @@ import org.apache.spark.sql.SparkSession
   * joins. On a real cluster the same confs apply via spark-submit.
   */
 object Sessions {
+
+  /** Runtime-settable SQL confs the engine depends on — applied defensively
+    * when running inside a session we didn't build (e.g. the driver's):
+    * LwwAgg needs the ObjectHashAggregate fallback threshold above the
+    * default 128 groups/task or every real batch demotes to a sort.
+    */
+  def tune(spark: SparkSession): Unit = {
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val cur = scala.util.Try(spark.conf.get(key).toLong).getOrElse(128L)
+    if (cur < 4194304L) spark.conf.set(key, "4194304")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+  }
   def local(cores: Int, appName: String = "graft",
             extra: Map[String, String] = Map.empty): SparkSession = {
     val b = SparkSession.builder()

@@ -142,6 +142,7 @@ object Tailer {
     * trigger (sustained-throughput mode).
     */
   def run(spark: SparkSession, cfg: TailerConfig): StreamingQuery = {
+    graft.Sessions.tune(spark) // defensively, for sessions we didn't build
     val table = LakeTable(cfg.tableRoot, cfg.numBuckets, cfg.tableMode)
     val reader = spark.readStream
       .schema(graft.model.Model.changeLogSchema)
