@@ -49,6 +49,28 @@ object StreamingOps {
       }
   }
 
+  /** Stream-stream inner join with watermarked state cleanup: clicks ⋈
+    * purchases per user within a bounded event-time interval. Both sides
+    * carry watermarks so Spark can GC join state (unbounded otherwise —
+    * the thing that kills naive stream joins at scale).
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       keyCol: String, tsCol: String,
+                       within: String = "10 minutes"): DataFrame = {
+    val l = left.withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, within)
+      .select(col(keyCol).as("k"), col(tsCol).as("l_ts"), col("value").as("l_value"))
+    val r = right.withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, within)
+      .select(col(keyCol).as("r_k"), col(tsCol).as("r_ts"), col("value").as("r_value"))
+    l.join(r,
+      col("k") === col("r_k") &&
+        col("r_ts").between(col("l_ts"), col("l_ts") + expr(s"INTERVAL $within")),
+      "inner")
+      .select(col("k").as(keyCol), col("l_ts"), col("r_ts"),
+        col("l_value"), col("r_value"))
+  }
+
   final case class Session(user_id: Long, start: java.sql.Timestamp,
                            end: java.sql.Timestamp, n: Long)
   final case class SessionState(start: Long, end: Long, n: Long)

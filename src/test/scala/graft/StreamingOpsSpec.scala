@@ -61,6 +61,31 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join matches pairs within the event-time interval") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = StreamingOps.streamStreamJoin(
+        clicks.toDF().toDF("user_id", "ts", "value"),
+        buys.toDF().toDF("user_id", "ts", "value"),
+        "user_id", "ts", within = "10 minutes")
+      .writeStream.format("memory").queryName("ssj").outputMode(OutputMode.Append())
+      .start()
+    try {
+      clicks.addData((1L, ts(0), 1.0), (2L, ts(0), 2.0))
+      buys.addData((1L, ts(5), 100.0)) // within 10 min of user 1's click
+      buys.addData((2L, ts(30), 200.0)) // outside the interval for user 2
+      q.processAllAvailable()
+      // advance both watermarks so results finalize
+      clicks.addData((9L, ts(59), 0.0)); buys.addData((9L, ts(59), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssj").select($"user_id", $"r_value")
+        .as[(Long, Double)].collect().toSet
+      assert(rows.contains((1L, 100.0)), s"got $rows")
+      assert(!rows.exists(_._1 == 2L), "out-of-interval purchase must not join")
+    } finally q.stop()
+  }
+
   test("event-time sessionization closes sessions after the gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[KeyedEvent]
