@@ -326,6 +326,12 @@ object Queries {
         "vec_id", "embedding", k = 5)
     }),
 
+    "s3_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      SimilarityOps.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nLists = 8, nProbe = 3)
+    }),
+
     "s2_ann_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       SimilarityOps.lshTopK(emb, emb.filter(col("vec_id") < 10),

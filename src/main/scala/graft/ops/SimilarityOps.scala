@@ -96,6 +96,53 @@ object SimilarityOps {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
+    * corpus vector to one of `nLists` cells; a query probes its `nProbe`
+    * nearest cells and reranks exactly by cosine inside them. The scale
+    * path for clustered corpora: the corpus-side join key is the cell id,
+    * the per-query candidate set is |corpus| × nProbe / nLists on average.
+    * Deterministic for a fixed seed.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int = 5, nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = corpus.select(array_to_vector(asD(col(vecCol))).as("features"))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(20).fit(train)
+    val centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+
+    def sqDistTo(c: Array[Double], v: Column): Column =
+      aggregate(zip_with(v, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, d) => acc + d)
+
+    // corpus side: nearest cell only (min squared distance)
+    val cellOf = {
+      val scored = centers.zipWithIndex.map { case (c, i) =>
+        struct(sqDistTo(c, col("cv")).as("d"), lit(i).as("cell"))
+      }
+      least(scored: _*).getField("cell")
+    }
+    val c = corpus.select(col(idCol).as("neighbor_id"), asD(col(vecCol)).as("cv"))
+      .withColumn("cell", cellOf)
+
+    // query side: nProbe nearest cells, exploded
+    val qScored = centers.zipWithIndex.map { case (cn, i) =>
+      struct(sqDistTo(cn, col("qv")).as("d"), lit(i).as("cell"))
+    }
+    val q = queries.select(col(idCol).as("query_id"), asD(col(vecCol)).as("qv"))
+      .withColumn("cell",
+        explode(slice(array_sort(array(qScored: _*)), 1, nProbe).getField("cell")))
+
+    val cand = c.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "qv", "neighbor_id", "cv").distinct()
+    val scored = cand.withColumn("cos", round(cosine(col("qv"), col("cv")), 5))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   /** Embedding near-duplicate pairs: all (a < b) with cosine ≥ threshold.
     * Exact but bucketed by one LSH table to avoid the full cross join at
     * scale; with `exact=true` falls back to the O(N²) broadcast product

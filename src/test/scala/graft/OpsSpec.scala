@@ -74,6 +74,22 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"ANN recall $recall < 0.5")
   }
 
+  test("IVF ANN recall vs brute force ≥ 0.6 at k=5, nProbe=3/8 cells") {
+    val queries = emb.filter($"vec_id" < 20)
+    val bf = SimilarityOps.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = SimilarityOps.ivfTopK(emb, queries, "vec_id", "embedding",
+        k = 5, nLists = 8, nProbe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall >= 0.6, s"IVF recall $recall < 0.6")
+    // determinism: same seed → same result
+    val again = SimilarityOps.ivfTopK(emb, queries, "vec_id", "embedding",
+        k = 5, nLists = 8, nProbe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf === again)
+  }
+
   test("langId picks the profile language on natural text; und on noise") {
     val samples = Seq(
       ("the cat sat on the mat and it is a good day for the dog", "en"),
