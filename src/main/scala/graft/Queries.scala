@@ -398,6 +398,37 @@ object Queries {
         .groupBy("n_name").agg(
           dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))),
 
+    // TPC-H Q6 shape: filter-heavy scan + single-value aggregate
+    "tpch_q6" -> ((s, d) =>
+      t(s, d, "lineitem").filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz") &&
+            col("l_discount").between(0.04, 0.07) && col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n"))),
+
+    // TPC-H Q4 shape: EXISTS subquery (semi join) + count by priority
+    "tpch_q4" -> ((s, d) => {
+      val late = t(s, d, "lineitem").select(col("l_orderkey")).distinct()
+      t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+        .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+    }),
+
+    // TPC-H Q14 shape: conditional-sum ratio over a dim join
+    "tpch_q14" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1996-07-01").cast("timestamp_ntz"))
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(
+          dsum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0)))
+            .as("promo_revenue"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_revenue"))),
+
     "c10_array_ops" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         array_join(slice(sort_array(array_distinct(
@@ -686,6 +717,26 @@ object Queries {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY n_name""".stripMargin,
+
+    "tpch_q6" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+        |count(*) AS n FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |AND l_discount BETWEEN 0.04 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "tpch_q14" ->
+      """SELECT
+        |CAST(round(sum(CASE WHEN p_type = 'PROMO'
+        |  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) ELSE 0 END), 2) AS DOUBLE) AS promo_revenue,
+        |CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'""".stripMargin,
 
     "c10_array_ops" ->
       """SELECT doc_id,
