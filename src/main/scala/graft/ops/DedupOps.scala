@@ -64,7 +64,8 @@ object DedupOps {
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, threshold: Double = 0.8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val p = postings(df, idCol, textCol, n)
+    // postings feed both the document-frequency pass and the ranking pass
+    val p = postings(df, idCol, textCol, n).persist()
     val freq = p.groupBy("shingle").agg(count(lit(1)).as("df"))
     val ranked = p.join(freq, "shingle")
       .withColumn("rnk", row_number().over(
