@@ -749,6 +749,21 @@ object Queries {
         |  SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
         |  FROM documents) GROUP BY lang""".stripMargin,
 
+    "t2_quality" ->
+      """SELECT doc_id, round(
+        |  least(CASE WHEN nw >= 10 AND nw <= 100000 THEN 1.0 ELSE nw/10.0 END, 1.0)*0.25 +
+        |  (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.25 END)*0.25 +
+        |  least(ar, 1.0)*0.25 + least(dr*2.0, 1.0)*0.25, 4) AS quality
+        |FROM (SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS nw,
+        |  CAST(length(text) AS DOUBLE) /
+        |    greatest(CAST(len(string_split_regex(trim(text),'\s+')) AS DOUBLE), 1.0) AS mwl,
+        |  CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE) /
+        |    greatest(CAST(len(string_split_regex(trim(text),'\s+')) AS DOUBLE), 1.0) AS dr,
+        |  CAST(length(regexp_replace(text, '[^\p{L}\p{Nd}\s]', '', 'g')) AS DOUBLE) /
+        |    greatest(CAST(length(text) AS DOUBLE), 1.0) AS ar
+        | FROM documents)""".stripMargin,
+
     "t3_langid" ->
       """WITH profiles(plang, words) AS (VALUES
         |  ('de', ['der','die','das','und','von','zu','mit','den','ist','nicht']),
