@@ -1,6 +1,7 @@
 package graft
 
 import graft.cdc.{Dedupe, Normalize}
+import graft.lake.LakeTable
 import graft.gen.ChangeLogGen
 import graft.gen.ChangeLogGen.GenConfig
 import graft.model.Model._
@@ -18,11 +19,13 @@ class DedupeSpec extends SparkSpec {
     df.select($"repo", $"path", $"seq").as[(String, String, Long)]
       .collect().map { case (r, p, s) => (r, p) -> s }.toMap
 
-  private lazy val normalized = {
+  private lazy val dedupeLogDir: String = {
     val dir = tmpDir("dedupe-log")
     ChangeLogGen.write(spark, GenConfig(seed = 11L, nEvents = 10000L, nFiles = 4), dir)
-    Normalize(spark.read.schema(changeLogSchema).parquet(dir)).cache()
+    dir
   }
+  private lazy val normalized =
+    Normalize(spark.read.schema(changeLogSchema).parquet(dedupeLogDir)).cache()
 
   test("all six LWW implementations agree on a generated log") {
     val a = lwwKeys(Dedupe.lww(normalized, Seq("repo", "path"), "seq"))
@@ -78,6 +81,50 @@ class DedupeSpec extends SparkSpec {
       }
       assert(got === oracle, s"trial $trial")
     }
+  }
+
+  test("malformed payloads survive the pipeline: corrupt JSON → null columns, no crash") {
+    val raw = Seq(
+      ChangeEvent(1L, "I", "r", "ok", 0, new java.sql.Timestamp(0),
+        """{"commit":"c0","lang":"scala","content":"fine"}"""),
+      ChangeEvent(2L, "I", "r", "bad", 0, new java.sql.Timestamp(0),
+        """{"commit": NOT VALID JSON"""),
+      ChangeEvent(3L, "I", "r", "empty", 1, new java.sql.Timestamp(0), "")
+    ).toDS().toDF()
+    val n = Normalize(raw).select("path", "commit", "content")
+      .as[(String, Option[String], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(n("ok") === ((Some("c0"), Some("fine"))))
+    assert(n("bad") === ((None, None)), "corrupt payload → nulls, row kept")
+    assert(n("empty") === ((None, None)))
+    // and the merge ingests them without failing (null-payload upserts)
+    val base = tmpDir("badjson")
+    val table = LakeTable(s"$base/t", 4)
+    val deduped = Dedupe.lwwTyped(
+      Normalize(raw).select(graft.stream.Tailer.mergeCols.map(
+        org.apache.spark.sql.functions.col): _*),
+      Seq("repo", "path"), "seq")
+    table.merge(spark, deduped, 0L)
+    assert(table.read(spark).count() === 3)
+  }
+
+  test("two tables ingest concurrently in one session without interference") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def replayInto(mode: String): Long = {
+      val base = tmpDir(s"conc$mode")
+      graft.stream.Tailer.replay(spark, graft.stream.Tailer.TailerConfig(
+        logDir = dedupeLogDir, tableRoot = s"$base/table",
+        checkpointDir = s"$base/ckpt", lineageDir = s"$base/lineage",
+        metricsDir = s"$base/metrics", numBuckets = 8, tableMode = mode))
+      LakeTable(s"$base/table", 8).read(spark).count()
+    }
+    val (a, b) = Await.result(
+      Future(replayInto(LakeTable.Cow)).zip(Future(replayInto(LakeTable.Mor))),
+      Duration.Inf)
+    assert(a === b)
+    assert(a > 0)
   }
 
   test("schema epochs: normalizer maps lang→language, widens size_bytes, nulls epoch-0 adds") {
