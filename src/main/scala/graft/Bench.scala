@@ -54,8 +54,11 @@ object Bench {
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum + cdcSecs
+    // stop FIRST, print LAST: the result JSON must be the final stdout line
+    // (round 1 lost its bench numbers to a post-print listener stack trace)
+    spark.stop()
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cores":$cpus,"cdcReplay":{"events":1000000,"secs":$cdcSecs%.3f,"eventsPerSec":$cdcEps%.0f}}""")
-    spark.stop()
+    System.out.flush()
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps, TreeOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -316,9 +316,22 @@ object Queries {
     "d4_simhash" -> ((s, d) =>
       DedupOps.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxDist = 3)),
 
+    // Bucketed LSH candidates + exact verify (the scale path; the exact
+    // O(N²) product exists only as the ground-truth variant in OpsSpec).
+    // bits/tables are tuned to the 0.5 threshold — per-plane agreement at
+    // cos 0.5 is only 2/3, so recall needs few bits × many tables.
     "d5_embed_neardup" -> ((s, d) =>
       SimilarityOps.cosineNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
-        threshold = 0.5)),
+        threshold = 0.5, exact = false, bits = 4, tables = 32)),
+
+    // Near-dup GROUPS: connected components over the jaccard pairs →
+    // (doc_id, group_id = canonical survivor). What dedup consumers
+    // actually need (reference dedupe-on-append analog,
+    // PantherBookXmlToJson.java:73-131).
+    "d6_dup_groups" -> ((s, d) =>
+      DedupOps.connectedComponents(
+        DedupOps.jaccardPairsPrefix(t(s, d, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.5))),
 
     "s1_ann_bruteforce" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -336,6 +349,23 @@ object Queries {
       val emb = t(s, d, "embeddings")
       SimilarityOps.lshTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, bits = 4, tables = 16)
+    }),
+
+    // Tree-flatten over nested JSON (the reference's core transform): build
+    // a depth-3 tree (source → lang → doc) as a REAL JSON string, then
+    // flatten it back to node rows with the depth-bounded recursive schema.
+    // The oracle computes the expected node set relationally.
+    "a1_tree_flatten" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val langNodes = docs.groupBy(col("source"), col("lang"))
+        .agg(collect_list(concat(lit("doc-"), col("doc_id"))).as("docNames"))
+        .select(col("source"), struct(col("lang").as("name"),
+          transform(col("docNames"), x => struct(x.as("name"))).as("children"))
+          .as("langNode"))
+      val trees = langNodes.groupBy("source")
+        .agg(collect_list(col("langNode")).as("children"))
+        .select(to_json(struct(col("source").as("name"), col("children"))).as("json"))
+      TreeOps.flattenTree(trees, "json", maxDepth = 3)
     }),
 
     // Multimodal plumbing (STUB decode kernel; real schema/batching)
@@ -673,6 +703,81 @@ object Queries {
         |round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5) AS cos
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5) >= 0.5""".stripMargin,
+
+    // MinHash+LSH: the md5-derived double-hash family g_i = h60 + i·h52 is
+    // reproduced exactly (h60/h52 = integer value of md5 hex chars 1-15 /
+    // 16-28), then banding, bucket join, and exact-Jaccard verification.
+    "d3_minhash_lsh" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |    ELSE list_transform(range(1, len(ws) - 1),
+        |         i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) END) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents)
+        |), p AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+        |ph AS (SELECT doc_id,
+        |  list_reduce(list_transform(range(1, 16), i -> CAST(strpos('0123456789abcdef', substring(md5(shingle), CAST(i AS INT), 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS h1,
+        |  list_reduce(list_transform(range(16, 29), i -> CAST(strpos('0123456789abcdef', substring(md5(shingle), CAST(i AS INT), 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS h2
+        |  FROM p),
+        |sig AS (SELECT doc_id, i, min(h1 + i * h2) AS h
+        |        FROM ph CROSS JOIN (SELECT unnest(range(0, 32)) AS i) GROUP BY doc_id, i),
+        |sigarr AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM sig GROUP BY doc_id),
+        |banded AS (SELECT doc_id, b, sig[CAST(b*2+1 AS INT):CAST(b*2+2 AS INT)] AS bucket
+        |           FROM sigarr CROSS JOIN (SELECT unnest(range(0, 16)) AS b)),
+        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |         FROM banded x JOIN banded y ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
+        |SELECT c.id_a, c.id_b,
+        |  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+        |FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+        |WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5""".stripMargin,
+
+    // 60-bit md5-derived SimHash, sign-sum per bit, Hamming ≤ 3 pairs.
+    "d4_simhash" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok FROM documents),
+        |tw AS (SELECT doc_id, tok, count(*)::BIGINT AS w FROM toks GROUP BY doc_id, tok),
+        |th AS (SELECT doc_id, w,
+        |  list_reduce(list_transform(range(1, 16), i -> CAST(strpos('0123456789abcdef', substring(md5(tok), CAST(i AS INT), 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS h
+        |  FROM tw),
+        |bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN w ELSE -w END) AS s
+        |         FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS b) GROUP BY doc_id, b),
+        |sim AS (SELECT doc_id,
+        |  sum(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0::BIGINT END)::BIGINT AS simhash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+        |FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin,
+
+    // Connected components over the jaccard pairs: recursive transitive
+    // closure, component label = min reachable id.
+    "d6_dup_groups" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |    ELSE list_transform(range(1, len(ws) - 1),
+        |         i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) END) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents)
+        |), p AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |  HAVING round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) >= 0.5),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (SELECT a, b FROM edges
+        |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a)
+        |SELECT a AS doc_id, least(a, min(b)) AS group_id FROM reach GROUP BY a""".stripMargin,
+
+    // Tree-flatten: the expected node rows computed relationally (the Spark
+    // side must round-trip source→lang→doc through REAL nested JSON).
+    "a1_tree_flatten" ->
+      """SELECT CAST(0 AS BIGINT) AS depth, source AS name, CAST(NULL AS VARCHAR) AS parent
+        |FROM (SELECT DISTINCT source FROM documents)
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), lang, source FROM (SELECT DISTINCT source, lang FROM documents)
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'doc-' || doc_id, lang FROM documents""".stripMargin,
 
     "g1_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -110,10 +110,18 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
       mode = Option(n.get("mode")).map(_.asText).getOrElse(Cow))
   }
 
-  /** Write v<N>.json then atomically flip HEAD. Single-writer CAS: verifies
-    * HEAD still points at the expected parent before the flip.
+  /** Write v<N>.json then atomically flip HEAD. Single-writer CAS, checked
+    * BEFORE any file is written (a racing writer must not overwrite a
+    * committed snapshot before its own require() fails), and the snapshot
+    * file itself is create-new: losing a rename race surfaces as
+    * FileAlreadyExistsException instead of silent state corruption.
     */
   private def commitSnapshot(s: Snapshot, expectedParent: Int): Unit = {
+    if (expectedParent >= 0) {
+      val cur = Files.readString(headFile).trim
+      require(cur == s"v$expectedParent.json",
+        s"concurrent commit detected: HEAD=$cur expected v$expectedParent.json")
+    }
     val node = mapper.createObjectNode()
     node.put("version", s.version)
     node.put("parent", s.parent)
@@ -130,12 +138,9 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     val snapPath = metaDir.resolve(s"v${s.version}.json")
     val tmp = metaDir.resolve(s".v${s.version}.json.tmp")
     Files.writeString(tmp, mapper.writerWithDefaultPrettyPrinter.writeValueAsString(node))
-    Files.move(tmp, snapPath, StandardCopyOption.REPLACE_EXISTING)
-    if (expectedParent >= 0) {
-      val cur = Files.readString(headFile).trim
-      require(cur == s"v$expectedParent.json",
-        s"concurrent commit detected: HEAD=$cur expected v$expectedParent.json")
-    }
+    // no REPLACE_EXISTING: a concurrent writer that produced the same
+    // version number loses here rather than clobbering the committed file
+    Files.move(tmp, snapPath)
     val headTmp = metaDir.resolve(".HEAD.tmp")
     Files.writeString(headTmp, s"v${s.version}.json")
     Files.move(headTmp, headFile, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
@@ -179,14 +184,14 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
   }
 
   /** All snapshot versions present in meta/ (ascending). */
-  def versions(): Seq[Int] = {
-    import scala.jdk.CollectionConverters._
-    Files.list(metaDir).iterator.asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
-        s.stripPrefix("v").stripSuffix(".json").toInt }
-      .toSeq.sorted
-  }
+  def versions(): Seq[Int] =
+    scala.util.Using.resource(Files.list(metaDir)) { stream =>
+      stream.iterator.asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+          s.stripPrefix("v").stripSuffix(".json").toInt }
+        .toSeq.sorted
+    }
 
   private def readFiles(spark: SparkSession, files: Seq[DataFile]): DataFrame =
     if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -406,8 +411,10 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
   private def listDataFiles(dir: Path, rel: String): Seq[DataFile] = {
     if (!Files.exists(dir)) return Nil
     val conf = new org.apache.hadoop.conf.Configuration()
-    val paths = Files.walk(dir).iterator.asScala
-      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p)).toSeq
+    val paths = scala.util.Using.resource(Files.walk(dir)) { stream =>
+      stream.iterator.asScala
+        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p)).toSeq
+    }
     // footer reads are driver-side; serialized they dominate the commit
     // path (measured ~40ms each × buckets) — read them concurrently
     import scala.concurrent.{Await, Future}

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, scale-first:
@@ -9,15 +10,31 @@ import org.apache.spark.sql.functions._
   *  - [[jaccardPairs]] — exact n-gram Jaccard via shingle-inverted-index
   *    self-join (the scalable exact method: pairs only materialize for
   *    docs sharing ≥1 shingle, never O(N²) over the corpus).
+  *  - [[jaccardPairsPrefix]] — same output, PPJoin-style prefix filter.
   *  - [[minhashLshPairs]] — MinHash signatures + banded LSH: candidate
-  *    pairs come from band-bucket joins (sub-linear), then are verified
-  *    with exact Jaccard. The 100-TB path.
-  *  - [[simhash]] / [[simhashPairs]] — 64-bit SimHash + Hamming ball.
+  *    pairs come from band-bucket joins (sub-linear) and ONLY candidates
+  *    are verified (array_intersect over the two shingle sets — never a
+  *    full-corpus join). The 100-TB path.
+  *  - [[simhash]] / [[simhashPairs]] — 60-bit SimHash + Hamming ball.
+  *  - [[connectedComponents]] — fold near-dup PAIRS into duplicate GROUPS
+  *    with a canonical survivor (min-label propagation).
   *
-  * All hashing is Spark-built-in (xxhash64 with a per-permutation literal
-  * salt) — deterministic across runs and cluster sizes.
+  * Hashing is md5-derived (leading hex chars → integer): deterministic
+  * across runs and cluster sizes AND bit-for-bit reproducible in external
+  * SQL engines, so every operator here can be DuckDB-oracled.
   */
 object DedupOps {
+
+  /** 60-bit hash: integer value of md5's leading 15 hex chars. */
+  private[ops] def h60(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** 52-bit companion hash (md5 hex chars 16..28) for double hashing:
+    * g_i = h60 + i·h52 stays under 2^61 for i ≤ 31 — no 64-bit overflow,
+    * so engines with checked arithmetic (DuckDB) reproduce it exactly.
+    */
+  private[ops] def h52(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c), 16, 13), 16, 10).cast("long")
 
   /** Exact-duplicate groups by normalized-text fingerprint:
     * (fingerprint, n_dups, canonical_id = min id).
@@ -32,6 +49,26 @@ object DedupOps {
     df.select(col(idCol).as("id"),
         array_distinct(TextOps.shingles(col(textCol), n)).as("sh"))
       .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+
+  /** Doc → distinct shingle SET (for candidate verification). */
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int) =
+    df.select(col(idCol).as("id"),
+      array_distinct(TextOps.shingles(col(textCol), n)).as("sh"))
+
+  /** Verify candidate (id_a, id_b) pairs with the TRUE Jaccard: join each
+    * side to its shingle set, intersect, threshold. Cost is O(candidates),
+    * never O(corpus²) — shared by the prefix-filter and LSH paths.
+    */
+  private def verifyJaccard(cand: DataFrame, sets: DataFrame,
+                            threshold: Double): DataFrame =
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
 
   /** Exact n-gram Jaccard ≥ threshold pairs (id_a < id_b), via inverted
     * index: group postings by shingle, emit co-occurring pairs, count
@@ -55,56 +92,60 @@ object DedupOps {
 
   /** Prefix-filtered exact Jaccard (same output as [[jaccardPairs]], much
     * smaller candidate set): order each doc's shingles by global rarity;
-    * two docs with Jaccard ≥ t must share at least one of each other's
-    * first ⌊(1-t)·|S|⌋+1 shingles (prefix-filter principle, AllPairs/
-    * PPJoin family), so candidates come from joining only the prefixes.
-    * Candidates are then verified with the true intersection via
-    * array_intersect over the full shingle sets.
+    * for Jaccard ≥ t the intersection is ≥ ⌈t·|S|⌉, so each doc's first
+    * |S| − ⌈t·|S|⌉ + 1 shingles (prefix-filter principle, AllPairs/PPJoin
+    * family) must contain a shared one — candidates come from joining only
+    * the prefixes, then are verified with the true intersection.
+    *
+    * The ⌈t·|S|⌉ is computed with a 1e-9 slack before ceil: in IEEE
+    * arithmetic t·|S| can land just ABOVE an integer (0.8·10 →
+    * 8.000000000000000444 → ceil 9), which would shrink the prefix below
+    * the bound and silently drop at-threshold pairs.
+    *
+    * Document frequency and rank come from two window passes over ONE
+    * postings pass — no persist (nothing to leak), no freq self-join.
     */
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // postings feed both the document-frequency pass and the ranking pass
-    val p = postings(df, idCol, textCol, n).persist()
-    val freq = p.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val ranked = p.join(freq, "shingle")
+    val p = postings(df, idCol, textCol, n)
+    val ranked = p
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("id").orderBy(col("df"), col("shingle"))))
-      .filter(col("rnk") <= floor(lit(1.0 - threshold) * col("n_sh")) + 1)
+      .filter(col("rnk") <=
+        col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + lit(1))
     val a = ranked.select(col("shingle"), col("id").as("id_a"))
     val b = ranked.select(col("shingle"), col("id").as("id_b"))
     val cand = a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val sets = df.select(col(idCol).as("id"),
-      array_distinct(TextOps.shingles(col(textCol), n)).as("sh"))
-    cand
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", round(col("common").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("common")).cast("double"), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    verifyJaccard(cand, shingleSets(df, idCol, textCol, n), threshold)
   }
 
-  /** MinHash signature column: array of `numHashes` minima of
-    * xxhash64(shingle, perm-salt).
+  /** MinHash signature column: array of `numHashes` minima of the
+    * double-hash family g_i(s) = h60(s) + i·h52(s) (Kirsch–Mitzenmacher).
+    * One md5 per posting, `numHashes` derived values — and the whole
+    * family is reproducible in the DuckDB oracle.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, numHashes: Int = 32): DataFrame = {
+    require(numHashes <= 32, "double-hash family bounded to 32 (overflow margin)")
     val p = postings(df, idCol, textCol, n)
+      .withColumn("h1", h60(col("shingle")))
+      .withColumn("h2", h52(col("shingle")))
     val mins = (0 until numHashes).map(i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+      min(col("h1") + lit(i.toLong) * col("h2")).as(s"h$i"))
     p.groupBy(col("id"), col("n_sh"))
       .agg(mins.head, mins.tail: _*)
       .select(col("id"), col("n_sh"),
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
-  /** MinHash + banded LSH candidate pairs, verified with exact Jaccard.
-    * bands × rowsPerBand = numHashes; a pair is a candidate iff any band's
-    * sub-signature matches (bucket equi-join — no cross product).
+  /** MinHash + banded LSH near-dup pairs: bands × rowsPerBand = numHashes;
+    * a pair is a candidate iff any band's sub-signature matches (bucket
+    * equi-join on the sub-signature array — no cross product, no hash
+    * post-processing), and ONLY candidates are verified with the exact
+    * Jaccard via their shingle sets. Work is O(postings) + O(candidates).
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
@@ -115,31 +156,32 @@ object DedupOps {
     val banded = sig.select(col("id"), explode(
       array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          hash(slice(col("sig"), b * rows + 1, rows)).as("bucket"))): _*)).as("bb"))
+          slice(col("sig"), b * rows + 1, rows).as("bucket"))): _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
     val cand = banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
-    // verify candidates with exact Jaccard (join back through the index)
-    val exact = jaccardPairs(df, idCol, textCol, n, threshold)
-    cand.join(exact, Seq("id_a", "id_b")) // inner: candidates that verify
-      .select("id_a", "id_b", "jaccard")
+    verifyJaccard(cand, shingleSets(df, idCol, textCol, n), threshold)
   }
 
-  /** 64-bit SimHash per doc: sign-sum of token-hash bits weighted by term
-    * frequency, computed as 64 conditional sums in one aggregation pass.
+  /** 60-bit SimHash per doc: sign-sum of token-hash bits weighted by term
+    * frequency, computed as 60 conditional sums in one aggregation pass.
+    * (60 bits, not 64: the hash is md5-hex-derived so the DuckDB oracle
+    * reproduces it exactly; Hamming discrimination is unaffected.)
     */
+  val SimhashBits = 60
+
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tokens = df.select(col(idCol).as("id"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
       .groupBy("id", "tok").agg(count(lit(1)).as("w"))
-      .withColumn("th", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { b =>
+      .withColumn("th", h60(col("tok")))
+    val bitSums = (0 until SimhashBits).map { b =>
       sum(when(shiftright(col("th"), b).bitwiseAND(lit(1L)) === 1L, col("w"))
         .otherwise(-col("w"))).as(s"b$b")
     }
     val agg = tokens.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-    val sh = (0 until 64).map(b =>
+    val sh = (0 until SimhashBits).map(b =>
         when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce((x, y) => x.bitwiseOR(y))
     agg.select(col("id"), sh.as("simhash"))
@@ -147,13 +189,14 @@ object DedupOps {
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist. Blocking: two
     * docs within Hamming k of each other share at least one of k+1 equal
-    * 64/(k+1)-bit chunks (pigeonhole) — join on chunks, then verify with
+    * 60/(k+1)-bit chunks (pigeonhole) — join on chunks, then verify with
     * bit_count(xor).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
     val chunks = maxDist + 1
-    val width = 64 / chunks
+    require(SimhashBits % chunks == 0, s"maxDist+1 must divide $SimhashBits")
+    val width = SimhashBits / chunks
     val sh = simhash(df, idCol, textCol)
     val blocked = sh.select(col("id"), col("simhash"), explode(
       array((0 until chunks).map(c => struct(lit(c).as("c"),
@@ -163,8 +206,55 @@ object DedupOps {
     blocked.as("x").join(blocked.as("y"), Seq("c", "chunk"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+  }
+
+  /** Connected components over near-dup pairs → duplicate groups with a
+    * canonical survivor: (doc_id, group_id = min id in the component).
+    * Only docs that appear in ≥1 pair are emitted (singletons are their
+    * own trivial group and would dominate the output at corpus scale).
+    *
+    * Min-label propagation with pointer jumping: each round a node takes
+    * min(own label, neighbors' labels, label-of-its-label). The neighbor
+    * step moves labels one hop; the pointer jump halves the remaining
+    * label-chain depth — O(log diameter) rounds total, each round two
+    * equi-join shuffles. Dedup components are near-cliques (diameter ~1-2),
+    * so this typically converges in 2-3 rounds; the jump keeps degenerate
+    * chains cheap too. Labels are localCheckpoint-ed per round to cut
+    * lineage growth; convergence is detected exactly (no label changed).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b", maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().persist()
+    try {
+      var labels = edges.select(col("src").as("node"))
+        .distinct().withColumn("label", col("node"))
+        .localCheckpoint()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIter) {
+        val neighborMin = edges
+          .join(labels, edges("src") === labels("node"))
+          .groupBy(col("dst").as("node2")).agg(min("label").as("nmin"))
+        val jump = labels.select(col("node").as("pnode"), col("label").as("plabel"))
+        val next = labels
+          .join(neighborMin, col("node") === col("node2"), "left").drop("node2")
+          .join(jump, col("label") === col("pnode"), "left").drop("pnode")
+          .select(col("node"),
+            least(col("label"),
+              coalesce(col("nmin"), col("label")),
+              coalesce(col("plabel"), col("label"))).as("label"),
+            col("label").as("old"))
+          .localCheckpoint()
+        converged = next.filter(col("label") < col("old")).isEmpty
+        labels = next.drop("old")
+        iter += 1
+      }
+      labels.select(col("node").as("doc_id"), col("label").as("group_id"))
+    } finally edges.unpersist()
   }
 }

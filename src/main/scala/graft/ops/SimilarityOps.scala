@@ -75,9 +75,15 @@ object SimilarityOps {
   /** LSH ANN: candidates = corpus rows sharing any of `tables` signatures
     * with the query, reranked exactly by cosine; top-k per query.
     */
+  /** Embedding width, read from the first row (one tiny driver action —
+    * hyperplane literals need the dimension at plan time).
+    */
+  private def dimOf(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol)).as("d")).head().getInt(0)
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int = 5, bits: Int = 12, tables: Int = 6, seed: Long = 42L): DataFrame = {
-    val dim = 64 // embeddings fixture dim; parameterize if needed
+    val dim = dimOf(corpus, vecCol)
     val hp = hyperplanes(dim, bits, tables, seed)
     def withSigs(df: DataFrame, id: String, vec: String) =
       df.select(col(idCol).as(id), asD(col(vecCol)).as(vec), explode(array(
@@ -144,20 +150,31 @@ object SimilarityOps {
   }
 
   /** Embedding near-duplicate pairs: all (a < b) with cosine ≥ threshold.
-    * Exact but bucketed by one LSH table to avoid the full cross join at
-    * scale; with `exact=true` falls back to the O(N²) broadcast product
-    * (fine for ≤10^4 rows, used as the oracle-matched variant).
+    *
+    * Default path (the 100-TB shape): multi-table hyperplane-LSH bucketing —
+    * candidates come from an equi-join on (table, signature), never a cross
+    * product — then exact cosine verification per candidate. Expected
+    * candidate volume for an unrelated pair is tables·2^-bits·N²/2, so at
+    * the near-dup operating point (threshold ≥0.9, bits=8, tables≈12-16)
+    * bucketing prunes ~16× while per-pair recall exceeds 99.5%. Recall is
+    * threshold-dependent (per-plane agreement = 1 − θ/π): LOWER thresholds
+    * need fewer bits + more tables — callers pass (bits, tables) tuned to
+    * their threshold.
+    *
+    * `exact=true` computes the O(N²) broadcast product instead — the
+    * small-scale oracle/ground-truth variant, never the scale default.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double = 0.95, exact: Boolean = true): DataFrame = {
+                         threshold: Double = 0.95, exact: Boolean = false,
+                         bits: Int = 8, tables: Int = 12, seed: Long = 42L): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), asD(col(vecCol)).as("va"))
     val b = df.select(col(idCol).as("id_b"), asD(col(vecCol)).as("vb"))
     val pairs =
       if (exact) a.join(broadcast(b), col("id_a") < col("id_b"))
       else {
-        val hp = hyperplanes(64, 8, 4, 42L)
+        val hp = hyperplanes(dimOf(df, vecCol), bits, tables, seed)
         def sigd(d: DataFrame, id: String, v: String) =
-          d.select(col(id), col(v), explode(array((0 until 4).map(t =>
+          d.select(col(id), col(v), explode(array((0 until tables).map(t =>
             struct(lit(t).as("t"), signature(col(v), hp(t)).as("sig"))): _*)).as("s"))
             .select(col(id), col(v), col("s.t"), col("s.sig"))
         sigd(a, "id_a", "va").join(sigd(b, "id_b", "vb"), Seq("t", "sig"))

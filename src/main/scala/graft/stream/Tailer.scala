@@ -84,9 +84,9 @@ object Tailer {
 
     val t0 = System.nanoTime()
     val stats = table.merge(spark, deduped, batchId)
-    // periodic compaction keeps MOR read amplification bounded (GCs
-    // tombstones + folds duplicate key versions); fence is preserved so
-    // exactly-once is unaffected
+    // periodic compaction keeps MOR read amplification bounded (folds
+    // duplicate key versions; tombstones are RETAINED — gc is end-of-stream
+    // only); fence is preserved so exactly-once is unaffected
     cfg.compactEvery.foreach { n =>
       if (stats.applied && n > 0 && (batchId + 1) % n == 0) table.compact(spark)
     }
@@ -118,8 +118,13 @@ object Tailer {
     extends org.apache.spark.sql.streaming.StreamingQueryListener {
     import org.apache.spark.sql.streaming.StreamingQueryListener._
     override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-    override def onQueryProgress(e: QueryProgressEvent): Unit = {
-      if (e.progress.id == queryId && e.progress.numInputRows > 0) {
+    // Delivery is async (listener bus): an event can still be in flight when
+    // the session stops — metrics are best-effort, so guard + swallow rather
+    // than let a stack trace hit the logs (it polluted the driver-parsed
+    // bench stdout in round 1).
+    override def onQueryProgress(e: QueryProgressEvent): Unit = try {
+      if (!spark.sparkContext.isStopped &&
+          e.progress.id == queryId && e.progress.numInputRows > 0) {
         import spark.implicits._
         val durs = e.progress.durationMs
         Seq(
@@ -132,10 +137,15 @@ object Tailer {
             current_timestamp().as("ts"))
           .coalesce(1).write.mode(SaveMode.Append).parquet(metricsDir)
       }
-    }
+    } catch { case scala.util.control.NonFatal(_) => () }
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
       if (e.id == queryId) spark.streams.removeListener(this)
   }
+
+  // live listeners by query id, so replay() can detach synchronously after
+  // awaitTermination instead of relying on the async terminated event
+  private val listeners =
+    new java.util.concurrent.ConcurrentHashMap[java.util.UUID, ProgressListener]()
 
   /** Start the tailer. With `availableNow` it drains the existing log and
     * stops (replay-to-parity mode); otherwise it runs on a processing-time
@@ -154,13 +164,19 @@ object Tailer {
       .foreachBatch(applyBatch(table, cfg) _)
     val q = (if (cfg.availableNow) writer.trigger(Trigger.AvailableNow())
              else writer.trigger(Trigger.ProcessingTime("1 second"))).start()
-    spark.streams.addListener(new ProgressListener(spark, cfg.metricsDir, q.id))
+    val l = new ProgressListener(spark, cfg.metricsDir, q.id)
+    listeners.put(q.id, l)
+    spark.streams.addListener(l)
     q
   }
 
-  /** Drain the whole log and wait (replay-to-parity). */
+  /** Drain the whole log and wait (replay-to-parity), then detach the
+    * progress listener so no async metrics write can race a subsequent
+    * spark.stop().
+    */
   def replay(spark: SparkSession, cfg: TailerConfig): Unit = {
     val q = run(spark, cfg.copy(availableNow = true))
     q.awaitTermination()
+    Option(listeners.remove(q.id)).foreach(spark.streams.removeListener)
   }
 }

@@ -62,9 +62,11 @@ object ReplayCli {
       val tombs = table.readWithTombstones(spark).filter(col("deleted")).count()
       table.compact(spark, gcTombstones = gc)
       val after = table.head()
+      val tombMsg = if (gc) f"dropped $tombs%,d tombstones"
+                    else f"retained $tombs%,d tombstones"
       println(f"[compact] v${before.version}→v${after.version} " +
         f"rows ${before.totalRows}%,d→${after.totalRows}%,d " +
-        f"(dropped $tombs%,d tombstones) files ${before.files.size}→${after.files.size}")
+        f"($tombMsg) files ${before.files.size}→${after.files.size}")
       spark.stop()
 
     case "show" :: workDir :: rest =>

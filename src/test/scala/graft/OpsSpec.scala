@@ -34,6 +34,98 @@ class OpsSpec extends SparkSpec {
     assert(full.nonEmpty)
   }
 
+  test("prefix bound survives IEEE-integral thresholds (t=0.8, at-threshold pair)") {
+    // Pair sitting EXACTLY at the threshold: |A|=|B|=9 word-shingles
+    // (n=1 ⇒ shingles = words), |A∩B|=8 ⇒ jaccard = 8/10 = 0.8. The prefix
+    // bound |S|−⌈t·|S|⌉+1 must keep this pair; IEEE products like
+    // 0.8·10 = 8.000…0004 (ceil 9) or (1−0.8)·10 = 1.999…6 (floor 1)
+    // both shrink the prefix below the bound if computed naively.
+    val a = (1 to 9).map(i => s"w$i").mkString(" ")            // w1..w9
+    val b = ((1 to 8).map(i => s"w$i") :+ "z9").mkString(" ")  // w1..w8 z9
+    val adv = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val full = DedupOps.jaccardPairs(adv, "doc_id", "text", n = 1, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val pref = DedupOps.jaccardPairsPrefix(adv, "doc_id", "text", n = 1, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(full === Set((1L, 2L, 0.8)), s"fixture must sit exactly at threshold: $full")
+    assert(pref === full, "prefix filter dropped an at-threshold pair")
+    // and corpus-level equivalence at t=0.8 too
+    val cf = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val cp = DedupOps.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cf === cp)
+  }
+
+  test("connected components match an in-JVM union-find oracle") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 1L))
+      .toDF("id_a", "id_b")
+    val got = DedupOps.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    // union-find oracle
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    def union(a: Long, b: Long): Unit = { val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    Seq((1L,2L),(2L,3L),(10L,11L),(20L,21L),(21L,22L),(22L,1L)).foreach((union _).tupled)
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 22L)
+    val expected = nodes.map(n => n -> find(n)).toMap
+    assert(got === expected)
+    // {1,2,3,20,21,22} fold into group 1; {10,11} into group 10
+    assert(got(22L) === 1L && got(10L) === 10L)
+  }
+
+  test("connected components on a long chain converge (diameter > 1 round)") {
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = DedupOps.connectedComponents(chain, maxIter = 64)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === 40 && got.values.forall(_ == 1L))
+  }
+
+  test("lshTopK derives the embedding dim from data (non-64-dim fixture)") {
+    // 16-dim clustered fixture: two tight clusters; neighbors of a query
+    // must come from its own cluster
+    val rnd = new scala.util.Random(7)
+    def vec(center: Double) = Array.fill(16)((center + rnd.nextGaussian() * 0.05).toFloat)
+    val rows = (0L until 30L).map(i => (i, vec(if (i < 15) 1.0 else -1.0)))
+    val df = rows.toDF("vec_id", "embedding")
+    val bf = SimilarityOps.bruteForceTopK(df, df.filter($"vec_id" === 0L),
+      "vec_id", "embedding", k = 5).select("neighbor_id").as[Long].collect().toSet
+    val lsh = SimilarityOps.lshTopK(df, df.filter($"vec_id" === 0L),
+      "vec_id", "embedding", k = 5, bits = 4, tables = 8)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(bf.forall(_ < 15), "brute-force neighbors in-cluster")
+    assert((bf intersect lsh).size >= 3, s"16-dim LSH recall too low: $lsh vs $bf")
+  }
+
+  test("bucketed cosineNearDupPairs ≡ exact product on the fixture (full recall)") {
+    val exact = SimilarityOps.cosineNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.5, exact = true)
+      .as[(Long, Long, Double)].collect().toSet
+    val bucketed = SimilarityOps.cosineNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.5, exact = false, bits = 4, tables = 32)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(bucketed.subsetOf(exact), "verify step must kill false positives")
+    assert(bucketed === exact, s"bucketed path missed pairs: ${exact diff bucketed}")
+  }
+
+  test("tree flatten: nested JSON round-trips to the exact node multiset") {
+    import graft.ops.TreeOps
+    val json = Seq(
+      """{"name":"r1","children":[{"name":"c1","children":[{"name":"g1"},{"name":"g2"}]},{"name":"c2","children":[]}]}""",
+      """{"name":"r2","children":[]}""",
+      "not json at all"
+    ).toDF("json")
+    val got = TreeOps.flattenTree(json, "json", maxDepth = 3)
+      .as[(Long, String, Option[String])].collect().toSet
+    val expected = Set(
+      (0L, "r1", None), (0L, "r2", None),
+      (1L, "c1", Some("r1")), (1L, "c2", Some("r1")),
+      (2L, "g1", Some("c1")), (2L, "g2", Some("c1")))
+    assert(got === expected)
+  }
+
   test("approx_count_distinct within 5% of exact on lineitem") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     // default rsd=0.05 means ~5% σ — ask for 2% to assert a 5% bound
@@ -56,7 +148,7 @@ class OpsSpec extends SparkSpec {
     }
     // and the pair finder reports them at distance 0
     val pairs = DedupOps.simhashPairs(both, "doc_id", "text", maxDist = 0)
-      .as[(Long, Long, Int)].collect()
+      .as[(Long, Long, Long)].collect()
     val clonePairs = pairs.filter(p => p._2 - p._1 == 10000).map(_._1).toSet
     assert(sh.keys.filter(_ < 10000).forall(clonePairs.contains), "all clone pairs found")
   }
