@@ -26,6 +26,8 @@ object Sessions {
     val b = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
+      // SQL MERGE INTO surface for graft_lake.`<path>` targets
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

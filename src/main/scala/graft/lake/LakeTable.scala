@@ -74,6 +74,12 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
   def init(): Unit = {
     Files.createDirectories(metaDir)
     Files.createDirectories(Paths.get(root, "data"))
+    // table-level sidecar: bucket count is physical layout, so later
+    // openers (e.g. the SQL MERGE surface, which only has the root path)
+    // must read it rather than guess
+    val tableMeta = metaDir.resolve("table.json")
+    if (!Files.exists(tableMeta))
+      Files.writeString(tableMeta, s"""{"numBuckets": $numBuckets}""")
     if (!Files.exists(headFile))
       commitSnapshot(Snapshot(0, parent = -1, lastBatchId = -1L,
         schemaIds = Seq(graft.model.SchemaRegistry.latest.schemaId),
@@ -298,15 +304,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
             .as("deleted"))
 
       val newVersion = h0.version + 1
-      val outDir = s"data/snap-$newVersion"
-      merged
-        .withColumn("_b", bucketExpr)
-        .repartition(col("_b")) // ≤1 file per bucket
-        .write.mode(SaveMode.ErrorIfExists)
-        .partitionBy("_b")
-        .parquet(s"$root/$outDir")
-
-      val newFiles = listDataFiles(Paths.get(root, outDir), outDir)
+      val newFiles = writeSnapshotFiles(merged, newVersion)
       val snap = Snapshot(
         version = newVersion, parent = h0.version, lastBatchId = batchId,
         schemaIds = h0.schemaIds,
@@ -343,11 +341,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
         when(isDel, lit(null)).otherwise(col("size_bytes")).as("size_bytes"),
         col("seq"), isDel.as("deleted"), col("_b"))
       val newVersion = h0.version + 1
-      val outDir = s"data/snap-$newVersion"
-      rows.repartition(col("_b"))
-        .write.mode(SaveMode.ErrorIfExists).partitionBy("_b")
-        .parquet(s"$root/$outDir")
-      val newFiles = listDataFiles(Paths.get(root, outDir), outDir)
+      val newFiles = writeSnapshotFiles(rows.drop("_b"), newVersion)
       val snap = Snapshot(
         version = newVersion, parent = h0.version, lastBatchId = batchId,
         schemaIds = h0.schemaIds,
@@ -361,6 +355,115 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
       commitSnapshot(snap, expectedParent = h0.version)
       MergeStats(applied = true, newVersion, bucketCounts.values.sum,
         bucketCounts.size, snap.totalRows)
+    } finally src.unpersist()
+  }
+
+  /** Write rows as snapshot-N bucket files (≤1 per bucket, repartitioned on
+    * the key-hash bucket) and return their manifest entries.
+    */
+  private def writeSnapshotFiles(rows: DataFrame, newVersion: Int): Seq[DataFile] = {
+    val outDir = s"data/snap-$newVersion"
+    rows.withColumn("_b", bucketExpr)
+      .repartition(col("_b"))
+      .write.mode(SaveMode.ErrorIfExists).partitionBy("_b")
+      .parquet(s"$root/$outDir")
+    listDataFiles(Paths.get(root, outDir), outDir)
+  }
+
+  /** Generic SQL `MERGE INTO` executor (the graft_lake SQL surface,
+    * [[graft.plans.GraftSqlMergeRule]]): applies parsed WHEN clauses in
+    * statement order — first matching clause wins, SQL-standard — against
+    * this table via ONE full-outer equi-join on the key, rewriting only the
+    * key-hash buckets the source touches (same COW write path as the
+    * Dataset [[merge]]).
+    *
+    * Semantics differences from the CDC [[merge]] (deliberate — this is the
+    * ad-hoc SQL surface, not the ordered change-stream path):
+    *  - conditions come from the statement (a seq guard is expressed as
+    *    `WHEN MATCHED AND s.seq > t.seq`), not built in;
+    *  - DELETE physically drops the row (no CDC tombstone) — existing
+    *    tombstones in touched buckets are carried through unchanged;
+    *  - the exactly-once fence does not advance (SQL merges are user
+    *    actions, not replayable micro-batches).
+    *
+    * `srcKeySql` maps each key column to the source-side SQL expression the
+    * ON clause equates it to — that's what makes bucket pruning sound.
+    */
+  def mergeSql(spark: SparkSession, source: DataFrame, tAlias: String,
+               sAlias: String, onSql: String, srcKeySql: Map[String, String],
+               matched: Seq[SqlMergeClause],
+               notMatched: Seq[SqlMergeClause]): MergeStats = {
+    val h0 = head()
+    require(h0.mode == Cow, "SQL MERGE INTO targets copy-on-write tables")
+    val dataCols = schema.fieldNames.filterNot(_ == "deleted").toSeq
+    // re-alias after withColumn (a Project strips the subquery alias)
+    val src = source.withColumn("_s_exists", lit(true)).alias(sAlias).persist()
+    try {
+      val touched = src
+        .select(pmod(hash(expr(srcKeySql("repo")), expr(srcKeySql("path"))),
+          lit(numBuckets)).as("_b"))
+        .groupBy("_b").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val srcRows = touched.values.sum
+      val (touchedFiles, carried) = h0.files.partition(f => touched.contains(f.bucket))
+      val tgt = readFiles(spark, touchedFiles)
+      val live = tgt.filter(!col("deleted")).drop("deleted")
+        .withColumn("_t_exists", lit(true)).alias(tAlias)
+      val tombs = tgt.filter(col("deleted"))
+
+      val joined = live.join(src, expr(onSql), "full_outer")
+      val tEx = coalesce(col("_t_exists"), lit(false))
+      val sEx = coalesce(col("_s_exists"), lit(false))
+      val isM = tEx && sEx
+
+      // resolve star-assignments against the source's actual columns
+      def assignsOf(c: SqlMergeClause): Map[String, Column] =
+        if (c.star)
+          dataCols.filter(source.columns.contains)
+            .map(n => n -> expr(s"`${c.starAlias}`.`$n`")).toMap
+        else c.assigns.map { case (n, sql) => n -> expr(sql) }.toMap
+
+      // first-matching clause index ("m<i>" / "i<i>"), else keep/drop
+      var act: Column = when(tEx && !sEx, lit("keep"))
+      matched.zipWithIndex.foreach { case (c, i) =>
+        act = act.when(isM && c.condSql.map(expr).getOrElse(lit(true)), lit(s"m$i"))
+      }
+      notMatched.zipWithIndex.foreach { case (c, i) =>
+        act = act.when(!tEx && sEx && c.condSql.map(expr).getOrElse(lit(true)), lit(s"i$i"))
+      }
+      val withAct = joined.withColumn("_act",
+        act.otherwise(when(isM, lit("keep")).otherwise(lit("drop"))))
+
+      val dropped = matched.zipWithIndex.collect {
+        case (c, i) if c.kind == "delete" => s"m$i" }.toSet + "drop"
+      val assignMaps = (matched.zipWithIndex.map { case (c, i) => s"m$i" -> assignsOf(c) } ++
+        notMatched.zipWithIndex.map { case (c, i) => s"i$i" -> assignsOf(c) }).toMap
+      def valueFor(name: String): Column = {
+        val field = schema(name)
+        val base: Column = assignMaps.foldLeft(when(lit(false), lit(null))) {
+          case (w, (tag, assigns)) =>
+            val v = assigns.getOrElse(name,
+              if (tag.startsWith("i")) lit(null) else col(s"$tAlias.$name"))
+            w.when(col("_act") === tag, v)
+        }
+        base.otherwise(col(s"$tAlias.$name")).cast(field.dataType).as(name)
+      }
+      val kept = withAct.filter(!col("_act").isin(dropped.toSeq: _*))
+        .select(dataCols.map(valueFor) :+ lit(false).as("deleted"): _*)
+      val merged = kept.unionByName(tombs)
+
+      val newVersion = h0.version + 1
+      val newFiles = writeSnapshotFiles(merged, newVersion)
+      val snap = Snapshot(
+        version = newVersion, parent = h0.version, lastBatchId = h0.lastBatchId,
+        schemaIds = h0.schemaIds, files = carried ++ newFiles,
+        summary = Map(
+          "sqlMerge" -> "true",
+          "srcRows" -> srcRows.toString,
+          "touchedBuckets" -> touched.size.toString,
+          "totalRows" -> (carried.map(_.rowCount).sum + newFiles.map(_.rowCount).sum).toString),
+        mode = h0.mode)
+      commitSnapshot(snap, expectedParent = h0.version)
+      MergeStats(applied = true, newVersion, srcRows, touched.size, snap.totalRows)
     } finally src.unpersist()
   }
 
@@ -381,12 +484,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
                    else readFiles(spark, h0.files)
     val live = if (gcTombstones) resolved.filter(!col("deleted")) else resolved
     val newVersion = h0.version + 1
-    val outDir = s"data/snap-$newVersion"
-    live.withColumn("_b", bucketExpr)
-      .repartition(col("_b"))
-      .write.mode(SaveMode.ErrorIfExists).partitionBy("_b")
-      .parquet(s"$root/$outDir")
-    val newFiles = listDataFiles(Paths.get(root, outDir), outDir)
+    val newFiles = writeSnapshotFiles(live, newVersion)
     commitSnapshot(Snapshot(newVersion, h0.version, h0.lastBatchId,
       h0.schemaIds, newFiles,
       Map("compaction" -> "true",
@@ -437,6 +535,15 @@ object LakeTable {
 
   final case class DataFile(path: String, bucket: Int, rowCount: Long)
 
+  /** One parsed WHEN clause of a SQL MERGE statement. `kind` ∈ update /
+    * delete / insert; `assigns` are (target column → source-side SQL);
+    * `star` marks UPDATE SET * / INSERT *, expanded at execution against
+    * the source's actual columns qualified by `starAlias`.
+    */
+  final case class SqlMergeClause(kind: String, condSql: Option[String],
+                                  assigns: Seq[(String, String)],
+                                  star: Boolean = false, starAlias: String = "")
+
   /** Copy-on-write mode tag. */
   val Cow = "cow"
   /** Merge-on-read mode tag. */
@@ -460,5 +567,19 @@ object LakeTable {
     val t = new LakeTable(root, numBuckets, mode)
     t.init()
     t
+  }
+
+  /** Open an EXISTING table knowing only its root path (the SQL surface's
+    * entry point): bucket count comes from the meta/table.json sidecar.
+    */
+  def open(root: String): LakeTable = {
+    val meta = Paths.get(root, "meta", "table.json")
+    require(Files.exists(Paths.get(root, "meta", "HEAD")),
+      s"no graft lake table at $root")
+    val buckets =
+      if (Files.exists(meta))
+        mapper.readTree(Files.readString(meta)).get("numBuckets").asInt
+      else 32
+    new LakeTable(root, buckets)
   }
 }

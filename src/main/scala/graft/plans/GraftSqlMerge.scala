@@ -1,0 +1,160 @@
+package graft.plans
+
+import graft.lake.LakeTable
+import graft.lake.LakeTable.SqlMergeClause
+import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** SQL `MERGE INTO` surface for graft lake tables (SURVEY §7.3 stretch):
+  *
+  * {{{
+  *   MERGE INTO graft_lake.`/path/to/table` AS t
+  *   USING changes AS s
+  *   ON t.repo = s.repo AND t.path = s.path
+  *   WHEN MATCHED AND s.seq > t.seq AND s.op = 'D' THEN DELETE
+  *   WHEN MATCHED AND s.seq > t.seq THEN UPDATE SET *
+  *   WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *
+  * }}}
+  *
+  * Registered via `spark.sql.extensions=graft.plans.GraftExtensions`. The
+  * resolution rule intercepts Catalyst's parsed [[MergeIntoTable]] when the
+  * target is the `graft_lake.` namespace, validates the ON clause is a
+  * key-equality conjunction (what makes bucket-pruned COW rewrite sound),
+  * serializes the WHEN clauses to engine-independent SQL fragments, and
+  * swaps in a [[GraftMergeCommand]] — which the stock planner executes as a
+  * [[LeafRunnableCommand]], delegating to [[LakeTable.mergeSql]]'s
+  * full-outer-join apply. No DSv2 catalog indirection: the statement plans
+  * straight onto the same COW write path as the Dataset merge.
+  */
+object GraftSqlMergeRule extends Rule[LogicalPlan] {
+
+  private val KeyCols = Seq("repo", "path")
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
+    case m: MergeIntoTable =>
+      graftTarget(m.targetTable) match {
+        case Some((root, tAlias)) => convert(m, root, tAlias)
+        case None => m
+      }
+  }
+
+  private def graftTarget(p: LogicalPlan): Option[(String, String)] = p match {
+    case s @ SubqueryAlias(_, u: UnresolvedRelation)
+        if u.multipartIdentifier.length == 2 &&
+          u.multipartIdentifier.head.equalsIgnoreCase("graft_lake") =>
+      Some((u.multipartIdentifier(1), s.alias))
+    case u: UnresolvedRelation
+        if u.multipartIdentifier.length == 2 &&
+          u.multipartIdentifier.head.equalsIgnoreCase("graft_lake") =>
+      fail("alias the MERGE target: MERGE INTO graft_lake.`<path>` AS t")
+    case _ => None
+  }
+
+  private def convert(m: MergeIntoTable, root: String, tAlias: String): LogicalPlan = {
+    val sAlias = m.sourceTable match {
+      case s: SubqueryAlias => s.alias
+      case _ => fail("alias the MERGE source: USING <query> AS s")
+    }
+    if (m.notMatchedBySourceActions.nonEmpty)
+      fail("WHEN NOT MATCHED BY SOURCE is not supported")
+
+    // ON must be a conjunction of equalities covering exactly the key
+    // columns — that is what makes bucket pruning (and the equi-join
+    // shuffle shape at scale) sound. Record the source-side expression
+    // each key is equated to.
+    val srcKey = scala.collection.mutable.Map[String, String]()
+    splitConjuncts(m.mergeCondition).foreach {
+      case EqualTo(l, r) =>
+        (keyOf(l, tAlias), keyOf(r, tAlias)) match {
+          case (Some(k), None) => srcKey(k) = r.sql
+          case (None, Some(k)) => srcKey(k) = l.sql
+          case _ => fail(s"ON must equate target key columns (${KeyCols.mkString(", ")}) " +
+            s"to source expressions; got: ${l.sql} = ${r.sql}")
+        }
+      case other => fail(s"ON must be a conjunction of equalities; got: ${other.sql}")
+    }
+    KeyCols.filterNot(srcKey.contains) match {
+      case Nil => ()
+      case missing => fail(s"ON must cover key column(s): ${missing.mkString(", ")}")
+    }
+
+    GraftMergeCommand(root, tAlias, sAlias, m.mergeCondition.sql, srcKey.toMap,
+      m.matchedActions.map(clause(_, sAlias)),
+      m.notMatchedActions.map(clause(_, sAlias)),
+      m.sourceTable)
+  }
+
+  private def keyOf(e: Expression, tAlias: String): Option[String] = e match {
+    case a: UnresolvedAttribute if a.nameParts.length == 2 &&
+        a.nameParts.head.equalsIgnoreCase(tAlias) &&
+        KeyCols.contains(a.nameParts(1).toLowerCase) =>
+      Some(a.nameParts(1).toLowerCase)
+    case _ => None
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case x => Seq(x)
+  }
+
+  private def clause(a: MergeAction, sAlias: String): SqlMergeClause = a match {
+    case DeleteAction(cond) =>
+      SqlMergeClause("delete", cond.map(_.sql), Nil)
+    case UpdateAction(cond, assigns, _) =>
+      SqlMergeClause("update", cond.map(_.sql), toAssigns(assigns))
+    case UpdateStarAction(cond) =>
+      SqlMergeClause("update", cond.map(_.sql), Nil, star = true, starAlias = sAlias)
+    case InsertAction(cond, assigns) =>
+      SqlMergeClause("insert", cond.map(_.sql), toAssigns(assigns))
+    case InsertStarAction(cond) =>
+      SqlMergeClause("insert", cond.map(_.sql), Nil, star = true, starAlias = sAlias)
+    case other => fail(s"unsupported MERGE action: $other")
+  }
+
+  private def toAssigns(as: Seq[Assignment]): Seq[(String, String)] = as.map { a =>
+    a.key match {
+      case u: UnresolvedAttribute => u.nameParts.last.toLowerCase -> a.value.sql
+      case other => fail(s"assignment target must be a column: ${other.sql}")
+    }
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new UnsupportedOperationException(s"graft MERGE INTO: $msg")
+}
+
+/** The executable command the rule swaps in. A leaf for the analyzer (the
+  * WHEN-clause expressions travel as SQL fragments, resolved at execution
+  * against the aliased join); the source subquery is analyzed and run by
+  * [[LakeTable.mergeSql]] when the command executes.
+  */
+final case class GraftMergeCommand(
+    root: String, tAlias: String, sAlias: String, onSql: String,
+    srcKeySql: Map[String, String],
+    matched: Seq[SqlMergeClause], notMatched: Seq[SqlMergeClause],
+    source: LogicalPlan) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("src_rows", LongType, nullable = false)(),
+    AttributeReference("touched_buckets", IntegerType, nullable = false)(),
+    AttributeReference("rows_after", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val src = org.apache.spark.sql.graftshim.GraftShim.ofRows(cs, source)
+    val stats = LakeTable.open(root)
+      .mergeSql(cs, src, tAlias, sAlias, onSql, srcKeySql, matched, notMatched)
+    Seq(Row(stats.version, stats.srcRows, stats.touchedBuckets, stats.rowsAfter))
+  }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectResolutionRule(_ => GraftSqlMergeRule)
+}
