@@ -83,7 +83,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     if (!Files.exists(headFile))
       commitSnapshot(Snapshot(0, parent = -1, lastBatchId = -1L,
         schemaIds = Seq(graft.model.SchemaRegistry.latest.schemaId),
-        files = Nil, summary = Map("created" -> "true"), mode = createMode),
+        manifests = Nil, summary = Map("created" -> "true"), mode = createMode),
         expectedParent = -1)
   }
 
@@ -104,16 +104,86 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
 
   private def readSnapshot(p: Path): Snapshot = {
     val n = mapper.readTree(Files.readString(p))
+    val version = n.get("version").asInt
+    // current format: per-bucket manifest refs; legacy format (round-1
+    // tables): inline file list → synthesized refs backed by the cache
+    val manifests =
+      if (n.has("manifests"))
+        n.get("manifests").elements.asScala.map { m =>
+          ManifestRef(m.get("bucket").asInt, m.get("path").asText,
+            m.get("rowCount").asLong, m.get("fileCount").asInt)
+        }.toSeq
+      else {
+        val inline = n.get("files").elements.asScala.map { f =>
+          DataFile(f.get("path").asText, f.get("bucket").asInt, f.get("rowCount").asLong)
+        }.toSeq
+        inline.groupBy(_.bucket).toSeq.sortBy(_._1).map { case (b, fs) =>
+          val key = s"inline:v$version:b$b"
+          manifestCache.put(key, fs)
+          ManifestRef(b, key, fs.map(_.rowCount).sum, fs.size)
+        }
+      }
     Snapshot(
-      version = n.get("version").asInt,
+      version = version,
       parent = n.get("parent").asInt,
       lastBatchId = n.get("lastBatchId").asLong,
       schemaIds = n.get("schemaIds").elements.asScala.map(_.asInt).toSeq,
-      files = n.get("files").elements.asScala.map { f =>
-        DataFile(f.get("path").asText, f.get("bucket").asInt, f.get("rowCount").asLong)
-      }.toSeq,
+      manifests = manifests,
       summary = n.get("summary").fields.asScala.map(e => e.getKey -> e.getValue.asText).toMap,
       mode = Option(n.get("mode")).map(_.asText).getOrElse(Cow))
+  }
+
+  // --- per-bucket manifests ------------------------------------------------
+  // A snapshot references ONE manifest per non-empty bucket; a commit
+  // writes manifests only for the buckets it touches and carries the rest
+  // by reference (Iceberg manifest-list shape) — commit metadata IO is
+  // O(touched buckets + buckets), never O(total data files). Manifests are
+  // immutable, so reads hit this cache for every untouched bucket.
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFile]]()
+
+  private def loadManifest(ref: ManifestRef): Seq[DataFile] = {
+    val cached = manifestCache.get(ref.path)
+    if (cached != null) cached
+    else {
+      val n = mapper.readTree(Files.readString(Paths.get(root, ref.path)))
+      val fs = n.get("files").elements.asScala.map { f =>
+        DataFile(f.get("path").asText, f.get("bucket").asInt, f.get("rowCount").asLong)
+      }.toSeq
+      manifestCache.put(ref.path, fs)
+      fs
+    }
+  }
+
+  /** All data files of a snapshot (uncached manifests loaded concurrently). */
+  def filesOf(s: Snapshot): Seq[DataFile] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(
+      Future.sequence(s.manifests.map(r => Future(loadManifest(r)))),
+      Duration.Inf).flatten
+  }
+
+  /** Data files of ONE bucket — a point lookup reads a single manifest. */
+  def filesOf(s: Snapshot, bucket: Int): Seq[DataFile] =
+    s.manifests.filter(_.bucket == bucket).flatMap(loadManifest)
+
+  /** Write one manifest per bucket present in `files`; returns their refs. */
+  private def writeManifests(version: Int, files: Seq[DataFile]): Seq[ManifestRef] = {
+    Files.createDirectories(metaDir.resolve("manifests"))
+    files.groupBy(_.bucket).toSeq.sortBy(_._1).map { case (b, fs) =>
+      val rel = s"meta/manifests/m-$version-b$b.json"
+      val node = mapper.createObjectNode()
+      val arr = node.putArray("files")
+      fs.foreach { f =>
+        val fn = arr.addObject()
+        fn.put("path", f.path); fn.put("bucket", f.bucket); fn.put("rowCount", f.rowCount)
+      }
+      Files.writeString(Paths.get(root, rel), mapper.writeValueAsString(node))
+      manifestCache.put(rel, fs)
+      ManifestRef(b, rel, fs.map(_.rowCount).sum, fs.size)
+    }
   }
 
   /** Write v<N>.json then atomically flip HEAD. Single-writer CAS, checked
@@ -134,10 +204,11 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     node.put("lastBatchId", s.lastBatchId)
     node.put("mode", s.mode)
     val sids = node.putArray("schemaIds"); s.schemaIds.foreach(sids.add)
-    val arr = node.putArray("files")
-    s.files.foreach { f =>
-      val fn = arr.addObject()
-      fn.put("path", f.path); fn.put("bucket", f.bucket); fn.put("rowCount", f.rowCount)
+    val arr = node.putArray("manifests")
+    s.manifests.foreach { m =>
+      val mn = arr.addObject()
+      mn.put("bucket", m.bucket); mn.put("path", m.path)
+      mn.put("rowCount", m.rowCount); mn.put("fileCount", m.fileCount)
     }
     val sum = node.putObject("summary")
     s.summary.foreach { case (k, v) => sum.put(k, v) }
@@ -159,7 +230,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     */
   def read(spark: SparkSession): DataFrame = {
     val h = head()
-    liveRows(readFiles(spark, h.files), h.mode)
+    liveRows(readFiles(spark, filesOf(h)), h.mode)
   }
 
   private def liveRows(physical: DataFrame, mode: String): DataFrame = {
@@ -179,14 +250,14 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
 
   /** Physical read including delete tombstones (internal/compaction use). */
   def readWithTombstones(spark: SparkSession): DataFrame =
-    readFiles(spark, head().files)
+    readFiles(spark, filesOf(head()))
 
   /** Time travel: read LIVE rows as of snapshot `version` (snapshots are
     * immutable; the manifest pins the exact file set).
     */
   def readAt(spark: SparkSession, version: Int): DataFrame = {
     val snap = readSnapshot(metaDir.resolve(s"v$version.json"))
-    liveRows(readFiles(spark, snap.files), snap.mode)
+    liveRows(readFiles(spark, filesOf(snap)), snap.mode)
   }
 
   /** All snapshot versions present in meta/ (ascending). */
@@ -210,7 +281,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     val h = head()
     val b = bucketOf(repo, path)
     liveRows(
-      readFiles(spark, h.files.filter(_.bucket == b))
+      readFiles(spark, filesOf(h, b))
         .filter(col("repo") === repo && col("path") === path),
       h.mode)
   }
@@ -266,8 +337,8 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
       val touched = bucketCounts.keySet
       val srcRows = bucketCounts.values.sum
-      val (touchedFiles, carried) = h0.files.partition(f => touched.contains(f.bucket))
-      val tgt = readFiles(spark, touchedFiles)
+      val (touchedRefs, carried) = h0.manifests.partition(r => touched.contains(r.bucket))
+      val tgt = readFiles(spark, touchedRefs.flatMap(loadManifest))
 
       val s = src.select(
         col("repo").as("s_repo"), col("path").as("s_path"),
@@ -304,16 +375,18 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
             .as("deleted"))
 
       val newVersion = h0.version + 1
-      val newFiles = writeSnapshotFiles(merged, newVersion)
+      // COW: touched buckets are fully rewritten → fresh manifest each;
+      // untouched bucket manifests carried by reference (O(touched) IO)
+      val newRefs = writeManifests(newVersion, writeSnapshotFiles(merged, newVersion))
       val snap = Snapshot(
         version = newVersion, parent = h0.version, lastBatchId = batchId,
         schemaIds = h0.schemaIds,
-        files = carried ++ newFiles,
+        manifests = carried ++ newRefs,
         summary = Map(
           "batchId" -> batchId.toString,
           "srcRows" -> srcRows.toString,
           "touchedBuckets" -> touched.size.toString,
-          "totalRows" -> (carried.map(_.rowCount).sum + newFiles.map(_.rowCount).sum).toString),
+          "totalRows" -> (carried.map(_.rowCount).sum + newRefs.map(_.rowCount).sum).toString),
         mode = h0.mode)
       commitSnapshot(snap, expectedParent = h0.version)
       MergeStats(applied = true, newVersion, srcRows, touched.size, snap.totalRows)
@@ -342,15 +415,22 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
         col("seq"), isDel.as("deleted"), col("_b"))
       val newVersion = h0.version + 1
       val newFiles = writeSnapshotFiles(rows.drop("_b"), newVersion)
+      // MOR append: touched buckets get a REWRITTEN manifest (old files +
+      // appended files — still one manifest per bucket, O(touched) IO);
+      // untouched manifests carried by reference
+      val (touchedRefs, carried) =
+        h0.manifests.partition(r => bucketCounts.contains(r.bucket))
+      val newRefs =
+        writeManifests(newVersion, newFiles ++ touchedRefs.flatMap(loadManifest))
       val snap = Snapshot(
         version = newVersion, parent = h0.version, lastBatchId = batchId,
         schemaIds = h0.schemaIds,
-        files = h0.files ++ newFiles,
+        manifests = carried ++ newRefs,
         summary = Map(
           "batchId" -> batchId.toString,
           "srcRows" -> bucketCounts.values.sum.toString,
           "touchedBuckets" -> bucketCounts.size.toString,
-          "totalRows" -> (h0.files.map(_.rowCount).sum + newFiles.map(_.rowCount).sum).toString),
+          "totalRows" -> (carried.map(_.rowCount).sum + newRefs.map(_.rowCount).sum).toString),
         mode = Mor)
       commitSnapshot(snap, expectedParent = h0.version)
       MergeStats(applied = true, newVersion, bucketCounts.values.sum,
@@ -404,8 +484,8 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
           lit(numBuckets)).as("_b"))
         .groupBy("_b").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       val srcRows = touched.values.sum
-      val (touchedFiles, carried) = h0.files.partition(f => touched.contains(f.bucket))
-      val tgt = readFiles(spark, touchedFiles)
+      val (touchedRefs, carried) = h0.manifests.partition(r => touched.contains(r.bucket))
+      val tgt = readFiles(spark, touchedRefs.flatMap(loadManifest))
       val live = tgt.filter(!col("deleted")).drop("deleted")
         .withColumn("_t_exists", lit(true)).alias(tAlias)
       val tombs = tgt.filter(col("deleted"))
@@ -452,15 +532,15 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
       val merged = kept.unionByName(tombs)
 
       val newVersion = h0.version + 1
-      val newFiles = writeSnapshotFiles(merged, newVersion)
+      val newRefs = writeManifests(newVersion, writeSnapshotFiles(merged, newVersion))
       val snap = Snapshot(
         version = newVersion, parent = h0.version, lastBatchId = h0.lastBatchId,
-        schemaIds = h0.schemaIds, files = carried ++ newFiles,
+        schemaIds = h0.schemaIds, manifests = carried ++ newRefs,
         summary = Map(
           "sqlMerge" -> "true",
           "srcRows" -> srcRows.toString,
           "touchedBuckets" -> touched.size.toString,
-          "totalRows" -> (carried.map(_.rowCount).sum + newFiles.map(_.rowCount).sum).toString),
+          "totalRows" -> (carried.map(_.rowCount).sum + newRefs.map(_.rowCount).sum).toString),
         mode = h0.mode)
       commitSnapshot(snap, expectedParent = h0.version)
       MergeStats(applied = true, newVersion, srcRows, touched.size, snap.totalRows)
@@ -480,15 +560,15 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     val h0 = head()
     // mode-aware: MOR resolves LWW duplicates before the rewrite, so the
     // compacted snapshot is unique-per-key in both modes
-    val resolved = if (h0.mode == Mor) resolve(readFiles(spark, h0.files))
-                   else readFiles(spark, h0.files)
+    val resolved = if (h0.mode == Mor) resolve(readFiles(spark, filesOf(h0)))
+                   else readFiles(spark, filesOf(h0))
     val live = if (gcTombstones) resolved.filter(!col("deleted")) else resolved
     val newVersion = h0.version + 1
-    val newFiles = writeSnapshotFiles(live, newVersion)
+    val newRefs = writeManifests(newVersion, writeSnapshotFiles(live, newVersion))
     commitSnapshot(Snapshot(newVersion, h0.version, h0.lastBatchId,
-      h0.schemaIds, newFiles,
+      h0.schemaIds, newRefs,
       Map("compaction" -> "true",
-        "totalRows" -> newFiles.map(_.rowCount).sum.toString),
+        "totalRows" -> newRefs.map(_.rowCount).sum.toString),
       mode = h0.mode),
       expectedParent = h0.version)
   }
@@ -535,6 +615,11 @@ object LakeTable {
 
   final case class DataFile(path: String, bucket: Int, rowCount: Long)
 
+  /** Snapshot-level pointer to one bucket's manifest file (row/file counts
+    * denormalized so planning-level stats never need the manifest body).
+    */
+  final case class ManifestRef(bucket: Int, path: String, rowCount: Long, fileCount: Int)
+
   /** One parsed WHEN clause of a SQL MERGE statement. `kind` ∈ update /
     * delete / insert; `assigns` are (target column → source-side SQL);
     * `star` marks UPDATE SET * / INSERT *, expanded at execution against
@@ -554,10 +639,11 @@ object LakeTable {
       parent: Int,
       lastBatchId: Long,
       schemaIds: Seq[Int],
-      files: Seq[DataFile],
+      manifests: Seq[ManifestRef],
       summary: Map[String, String],
       mode: String = Cow) {
-    def totalRows: Long = files.map(_.rowCount).sum
+    def totalRows: Long = manifests.map(_.rowCount).sum
+    def totalFiles: Long = manifests.map(_.fileCount.toLong).sum
   }
 
   /** Open-or-create (mode applies only at creation; existing tables keep

@@ -66,7 +66,7 @@ object ReplayCli {
                     else f"retained $tombs%,d tombstones"
       println(f"[compact] v${before.version}→v${after.version} " +
         f"rows ${before.totalRows}%,d→${after.totalRows}%,d " +
-        f"($tombMsg) files ${before.files.size}→${after.files.size}")
+        f"($tombMsg) files ${before.totalFiles}→${after.totalFiles}")
       spark.stop()
 
     case "show" :: workDir :: rest =>

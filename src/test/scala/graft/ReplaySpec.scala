@@ -173,9 +173,30 @@ class ReplaySpec extends SparkSpec {
     table.compact(spark, gcTombstones = true)
     assert(table.readWithTombstones(spark).filter($"deleted").count() === 0)
     assert(table.head().lastBatchId === before.lastBatchId, "fence preserved")
-    assert(table.head().files.size === tc.numBuckets.min(
-      table.head().files.size max 1) || table.head().files.nonEmpty)
+    assert(table.head().totalFiles > 0 &&
+      table.head().totalFiles <= tc.numBuckets, "≤1 file per bucket after compaction")
     assertParity(table) // live state unchanged
+  }
+
+  test("per-bucket manifests: a commit writes manifests only for touched buckets") {
+    val base = tmpDir("manifests")
+    val table = LakeTable(s"$base/t", numBuckets = 8)
+    def row(r: String, p: String, op: String, seq: Long) =
+      (r, p, op, seq, s"c$seq", "scala", s"v$seq", Option.empty[Long])
+    val cols = Seq("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes")
+    val seed = (0 until 50).map(i => row(s"r$i", s"p$i", "I", i.toLong)).toDF(cols: _*)
+    table.merge(spark, seed, 0L)
+    val h1 = table.head()
+    assert(h1.manifests.size > 1, "seed must span several buckets")
+    // single-key update → exactly one bucket touched → one new manifest,
+    // every other manifest carried by REFERENCE (same path)
+    table.merge(spark, Seq(row("r1", "p1", "U", 100L)).toDF(cols: _*), 1L)
+    val h2 = table.head()
+    val newRefs = h2.manifests.toSet diff h1.manifests.toSet
+    assert(newRefs.size === 1, s"expected 1 new manifest, got $newRefs")
+    assert((h2.manifests.toSet intersect h1.manifests.toSet).size === h1.manifests.size - 1)
+    assert(table.read(spark).count() === 50L)
+    assert(table.lookup(spark, "r1", "p1").select("seq").as[Long].head() === 100L)
   }
 
   test("column-subset merge: only listed columns update on match; others kept") {
