@@ -311,7 +311,7 @@ object Queries {
 
     "d3_minhash_lsh" -> ((s, d) =>
       DedupOps.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
-        n = 3, numHashes = 32, bands = 16, threshold = 0.5)),
+        n = 3, numHashes = 16, bands = 8, threshold = 0.5)),
 
     "d4_simhash" -> ((s, d) =>
       DedupOps.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxDist = 3)),
@@ -719,10 +719,10 @@ object Queries {
         |  list_reduce(list_transform(range(16, 29), i -> CAST(strpos('0123456789abcdef', substring(md5(shingle), CAST(i AS INT), 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS h2
         |  FROM p),
         |sig AS (SELECT doc_id, i, min(h1 + i * h2) AS h
-        |        FROM ph CROSS JOIN (SELECT unnest(range(0, 32)) AS i) GROUP BY doc_id, i),
+        |        FROM ph CROSS JOIN (SELECT unnest(range(0, 16)) AS i) GROUP BY doc_id, i),
         |sigarr AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM sig GROUP BY doc_id),
         |banded AS (SELECT doc_id, b, sig[CAST(b*2+1 AS INT):CAST(b*2+2 AS INT)] AS bucket
-        |           FROM sigarr CROSS JOIN (SELECT unnest(range(0, 16)) AS b)),
+        |           FROM sigarr CROSS JOIN (SELECT unnest(range(0, 8)) AS b)),
         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
         |         FROM banded x JOIN banded y ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
         |SELECT c.id_a, c.id_b,

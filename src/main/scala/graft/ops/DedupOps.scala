@@ -44,16 +44,64 @@ object DedupOps {
       .groupBy("fingerprint")
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("canonical_id"))
 
-  /** Doc → exploded distinct shingles (the inverted-index postings). */
-  private def postings(df: DataFrame, idCol: String, textCol: String, n: Int) =
-    df.select(col(idCol).as("id"),
-        array_distinct(TextOps.shingles(col(textCol), n)).as("sh"))
-      .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+  /** Fan a narrow input out to the session's parallelism before the
+    * CPU-heavy shingle stage. Corpora often arrive as few large files
+    * (here: one parquet file = ONE task); at 100-TB scale inputs already
+    * have ≫cores partitions and this is a no-op — the check costs no job.
+    */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
-  /** Doc → distinct shingle SET (for candidate verification). */
+  /** Doc → (id, words[]) with the regex split MATERIALIZED as its own
+    * projection: referencing `split(...)` from inside a `transform` lambda
+    * defeats common-subexpression elimination and re-splits the text once
+    * PER SHINGLE (measured 8× on the postings scan).
+    */
+  private def docWords(df: DataFrame, idCol: String, textCol: String) =
+    fanOut(df).select(col(idCol).as("id"),
+      split(lower(trim(col(textCol))), "\\s+").as("ws"))
+
+  private def shingleArr(n: Int) = {
+    val ws = col("ws")
+    when(size(ws) < n, array(concat_ws(" ", ws)))
+      .otherwise(transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+  }
+
+  /** Doc → exploded distinct shingles (the inverted-index postings),
+    * tokenized to 60-bit hashes at the boundary: every downstream
+    * shuffle/sort/join/intersect moves 8-byte longs instead of ~25-byte
+    * strings. `shingle`/`h2` are the h60/h52 of one md5 per posting —
+    * `shingle` is the index token, (shingle, h2) seeds the minhash
+    * double-hash family. A 2^-60 collision would merge two shingles — and
+    * the DuckDB oracles intersect the TRUE strings, so a real collision
+    * fails the correctness gate loudly instead of hiding.
+    *
+    * Deliberately does NOT carry the per-doc shingle count: a column that
+    * references the shingle array alongside `explode` makes the optimizer
+    * compute the whole array twice per row (measured 7× on this stage) —
+    * consumers broadcast-join [[shingleCounts]] instead.
+    */
+  private def postings(df: DataFrame, idCol: String, textCol: String, n: Int) =
+    docWords(df, idCol, textCol)
+      .select(col("id"), explode(array_distinct(shingleArr(n))).as("s"))
+      .withColumn("_md5", md5(col("s")))
+      .select(col("id"),
+        conv(substring(col("_md5"), 1, 15), 16, 10).cast("long").as("shingle"),
+        conv(substring(col("_md5"), 16, 13), 16, 10).cast("long").as("h2"))
+
+  /** Doc → distinct-shingle count (tiny: one row per doc; broadcast side). */
+  private def shingleCounts(df: DataFrame, idCol: String, textCol: String, n: Int) =
+    docWords(df, idCol, textCol)
+      .select(col("id"), size(array_distinct(shingleArr(n))).as("n_sh"))
+
+  /** Doc → distinct shingle SET as h60 tokens (candidate verification). */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int) =
-    df.select(col(idCol).as("id"),
-      array_distinct(TextOps.shingles(col(textCol), n)).as("sh"))
+    docWords(df, idCol, textCol)
+      .select(col("id"), array_distinct(shingleArr(n)).as("strs"))
+      .select(col("id"), transform(col("strs"), s => h60(s)).as("sh"))
 
   /** Verify candidate (id_a, id_b) pairs with the TRUE Jaccard: join each
     * side to its shingle set, intersect, threshold. Cost is O(candidates),
@@ -77,12 +125,15 @@ object DedupOps {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val p = postings(df, idCol, textCol, n)
-    val a = p.select(col("shingle"), col("id").as("id_a"), col("n_sh").as("n_a"))
-    val b = p.select(col("shingle"), col("id").as("id_b"), col("n_sh").as("n_b"))
+    val counts = shingleCounts(df, idCol, textCol, n)
+    val a = p.select(col("shingle"), col("id").as("id_a"))
+    val b = p.select(col("shingle"), col("id").as("id_b"))
     a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("common"))
+      .join(broadcast(counts.select(col("id").as("id_a"), col("n_sh").as("n_a"))), Seq("id_a"))
+      .join(broadcast(counts.select(col("id").as("id_b"), col("n_sh").as("n_b"))), Seq("id_b"))
       .withColumn("jaccard",
         round(col("common").cast("double") /
           (col("n_a") + col("n_b") - col("common")).cast("double"), 6))
@@ -102,24 +153,34 @@ object DedupOps {
     * 8.000000000000000444 → ceil 9), which would shrink the prefix below
     * the bound and silently drop at-threshold pairs.
     *
-    * Document frequency and rank come from two window passes over ONE
-    * postings pass — no persist (nothing to leak), no freq self-join.
+    * Postings feed both the document-frequency aggregate and the ranking
+    * join, so they are persisted for the candidate pass only: candidates
+    * are materialized eagerly (localCheckpoint — small, pairs only, blocks
+    * reclaimed automatically by the ContextCleaner) and the postings cache
+    * is released before the verify join runs. (A window-based df was
+    * measured 2× slower: count() OVER (PARTITION BY shingle) sorts every
+    * posting; the hash aggregate + shuffle join does not.)
     */
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val p = postings(df, idCol, textCol, n)
-    val ranked = p
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("id").orderBy(col("df"), col("shingle"))))
-      .filter(col("rnk") <=
-        col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + lit(1))
-    val a = ranked.select(col("shingle"), col("id").as("id_a"))
-    val b = ranked.select(col("shingle"), col("id").as("id_b"))
-    val cand = a.join(b, Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    verifyJaccard(cand, shingleSets(df, idCol, textCol, n), threshold)
+    val p = postings(df, idCol, textCol, n).persist()
+    try {
+      val counts = shingleCounts(df, idCol, textCol, n)
+      val freq = p.groupBy("shingle").agg(count(lit(1)).as("df"))
+      val ranked = p.join(freq, "shingle")
+        .join(broadcast(counts), Seq("id"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("id").orderBy(col("df"), col("shingle"))))
+        .filter(col("rnk") <=
+          col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + lit(1))
+      val a = ranked.select(col("shingle"), col("id").as("id_a"))
+      val b = ranked.select(col("shingle"), col("id").as("id_b"))
+      val cand = a.join(b, Seq("shingle"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+        .localCheckpoint() // eager: postings no longer needed downstream
+      verifyJaccard(cand, shingleSets(df, idCol, textCol, n), threshold)
+    } finally p.unpersist()
   }
 
   /** MinHash signature column: array of `numHashes` minima of the
@@ -130,14 +191,13 @@ object DedupOps {
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, numHashes: Int = 32): DataFrame = {
     require(numHashes <= 32, "double-hash family bounded to 32 (overflow margin)")
+    // postings already carry (h60, h52) of the per-posting md5
     val p = postings(df, idCol, textCol, n)
-      .withColumn("h1", h60(col("shingle")))
-      .withColumn("h2", h52(col("shingle")))
     val mins = (0 until numHashes).map(i =>
-      min(col("h1") + lit(i.toLong) * col("h2")).as(s"h$i"))
-    p.groupBy(col("id"), col("n_sh"))
+      min(col("shingle") + lit(i.toLong) * col("h2")).as(s"h$i"))
+    p.groupBy(col("id"))
       .agg(mins.head, mins.tail: _*)
-      .select(col("id"), col("n_sh"),
+      .select(col("id"),
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
@@ -172,7 +232,7 @@ object DedupOps {
   val SimhashBits = 60
 
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokens = df.select(col(idCol).as("id"),
+    val tokens = fanOut(df).select(col(idCol).as("id"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
       .groupBy("id", "tok").agg(count(lit(1)).as("w"))
       .withColumn("th", h60(col("tok")))
