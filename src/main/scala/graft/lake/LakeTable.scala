@@ -69,6 +69,21 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
 
   def bucketExpr: Column = pmod(hash(col("repo"), col("path")), lit(numBuckets))
 
+  /** Test seam: invoked once immediately before a commit attempt's CAS —
+    * lets tests interleave a competing writer deterministically. One-shot:
+    * cleared before it runs, so rebase retries don't re-fire it.
+    */
+  @volatile private[graft] var preCommitHook: () => Unit = () => ()
+  private def firePreCommitHook(): Unit = {
+    val h = preCommitHook
+    preCommitHook = () => ()
+    h()
+  }
+
+  /** The manifest a snapshot references for `bucket` (None = empty bucket). */
+  private def refOf(s: Snapshot, bucket: Int): Option[ManifestRef] =
+    s.manifests.find(_.bucket == bucket)
+
   // --- snapshot persistence ---------------------------------------------
 
   def init(): Unit = {
@@ -169,11 +184,19 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
   def filesOf(s: Snapshot, bucket: Int): Seq[DataFile] =
     s.manifests.filter(_.bucket == bucket).flatMap(loadManifest)
 
+  /** Unique write token: data/manifest paths are keyed by it, never by the
+    * snapshot version — two concurrent writers (or one writer's rebase
+    * retries) must not collide on disk. Losers' blobs become orphans that
+    * no committed manifest references.
+    */
+  private def newToken(): String =
+    java.util.UUID.randomUUID.toString.substring(0, 8)
+
   /** Write one manifest per bucket present in `files`; returns their refs. */
-  private def writeManifests(version: Int, files: Seq[DataFile]): Seq[ManifestRef] = {
+  private def writeManifests(tag: String, files: Seq[DataFile]): Seq[ManifestRef] = {
     Files.createDirectories(metaDir.resolve("manifests"))
     files.groupBy(_.bucket).toSeq.sortBy(_._1).map { case (b, fs) =>
-      val rel = s"meta/manifests/m-$version-b$b.json"
+      val rel = s"meta/manifests/m-$tag-b$b.json"
       val node = mapper.createObjectNode()
       val arr = node.putArray("files")
       fs.foreach { f =>
@@ -195,8 +218,9 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
   private def commitSnapshot(s: Snapshot, expectedParent: Int): Unit = {
     if (expectedParent >= 0) {
       val cur = Files.readString(headFile).trim
-      require(cur == s"v$expectedParent.json",
-        s"concurrent commit detected: HEAD=$cur expected v$expectedParent.json")
+      if (cur != s"v$expectedParent.json")
+        throw new ConcurrentCommitException(
+          s"concurrent commit detected: HEAD=$cur expected v$expectedParent.json")
     }
     val node = mapper.createObjectNode()
     node.put("version", s.version)
@@ -217,7 +241,11 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     Files.writeString(tmp, mapper.writerWithDefaultPrettyPrinter.writeValueAsString(node))
     // no REPLACE_EXISTING: a concurrent writer that produced the same
     // version number loses here rather than clobbering the committed file
-    Files.move(tmp, snapPath)
+    try Files.move(tmp, snapPath)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      throw new ConcurrentCommitException(
+        s"concurrent commit detected: v${s.version}.json already exists")
+    }
     val headTmp = metaDir.resolve(".HEAD.tmp")
     Files.writeString(headTmp, s"v${s.version}.json")
     Files.move(headTmp, headFile, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
@@ -320,14 +348,31 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     * rows insert whatever the source carries. Delete arm unchanged.
     */
   def merge(spark: SparkSession, batch: DataFrame, batchId: Long,
-            updateColumns: Option[Seq[String]]): MergeStats = {
+            updateColumns: Option[Seq[String]]): MergeStats =
+    merge(spark, batch, batchId, updateColumns, retries = 3)
+
+  /** Multi-writer arbitration (optimistic): a lost HEAD CAS triggers
+    *  - '''manifest rebase''' when every writer that won in between left
+    *    OUR touched buckets alone (e.g. compaction is conflicting; merges
+    *    of disjoint key ranges are not): re-point the carried manifests at
+    *    the new head and re-commit — no data recompute;
+    *  - '''full recompute''' against the new head when a winner rewrote a
+    *    bucket we also touched (our merged rows were derived from stale
+    *    target data);
+    *  - '''no-op''' if the new head already carries our batchId (another
+    *    writer of the same stream applied it — exactly-once holds).
+    * Losers' data/manifest files are unreferenced orphans (tokened paths,
+    * no collisions).
+    */
+  def merge(spark: SparkSession, batch: DataFrame, batchId: Long,
+            updateColumns: Option[Seq[String]], retries: Int): MergeStats = {
     val h0 = head()
     if (batchId <= h0.lastBatchId)
       return MergeStats(applied = false, h0.version, 0L, 0, h0.totalRows)
     if (h0.mode == Mor) {
       require(updateColumns.isEmpty,
         "column-subset merge needs the target row — COW mode only")
-      return mergeAppend(spark, batch, batchId, h0)
+      return mergeAppend(spark, batch, batchId, h0, retries)
     }
 
     val src = batch.withColumn("_b", bucketExpr).persist()
@@ -374,22 +419,42 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
           when(takeSrc, srcIsDel).otherwise(coalesce(col("deleted"), lit(false)))
             .as("deleted"))
 
-      val newVersion = h0.version + 1
       // COW: touched buckets are fully rewritten → fresh manifest each;
       // untouched bucket manifests carried by reference (O(touched) IO)
-      val newRefs = writeManifests(newVersion, writeSnapshotFiles(merged, newVersion))
-      val snap = Snapshot(
-        version = newVersion, parent = h0.version, lastBatchId = batchId,
-        schemaIds = h0.schemaIds,
-        manifests = carried ++ newRefs,
-        summary = Map(
-          "batchId" -> batchId.toString,
-          "srcRows" -> srcRows.toString,
-          "touchedBuckets" -> touched.size.toString,
-          "totalRows" -> (carried.map(_.rowCount).sum + newRefs.map(_.rowCount).sum).toString),
-        mode = h0.mode)
-      commitSnapshot(snap, expectedParent = h0.version)
-      MergeStats(applied = true, newVersion, srcRows, touched.size, snap.totalRows)
+      val token = newToken()
+      val newRefs = writeManifests(token, writeSnapshotFiles(merged, token))
+
+      var base = h0
+      var attempts = retries
+      while (true) {
+        firePreCommitHook()
+        try {
+          val keep = base.manifests.filterNot(r => touched.contains(r.bucket))
+          val snap = Snapshot(
+            version = base.version + 1, parent = base.version, lastBatchId = batchId,
+            schemaIds = base.schemaIds,
+            manifests = keep ++ newRefs,
+            summary = Map(
+              "batchId" -> batchId.toString,
+              "srcRows" -> srcRows.toString,
+              "touchedBuckets" -> touched.size.toString,
+              "totalRows" -> (keep.map(_.rowCount).sum + newRefs.map(_.rowCount).sum).toString),
+            mode = base.mode)
+          commitSnapshot(snap, expectedParent = base.version)
+          return MergeStats(applied = true, snap.version, srcRows, touched.size, snap.totalRows)
+        } catch { case e: ConcurrentCommitException =>
+          if (attempts <= 0) throw e
+          attempts -= 1
+          val h1 = head()
+          if (batchId <= h1.lastBatchId) // our batch won through another writer
+            return MergeStats(applied = false, h1.version, 0L, 0, h1.totalRows)
+          val conflict = touched.exists(b => refOf(base, b) != refOf(h1, b))
+          if (conflict) // our rows derive from stale buckets → recompute
+            return merge(spark, batch, batchId, updateColumns, attempts)
+          base = h1 // disjoint: pure manifest rebase
+        }
+      }
+      throw new IllegalStateException("unreachable")
     } finally src.unpersist()
   }
 
@@ -400,7 +465,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     * batches). Fence semantics identical to COW.
     */
   private def mergeAppend(spark: SparkSession, batch: DataFrame, batchId: Long,
-                          h0: Snapshot): MergeStats = {
+                          h0: Snapshot, retries: Int = 3): MergeStats = {
     val src = batch.withColumn("_b", bucketExpr).persist()
     try {
       val bucketCounts = src.groupBy("_b").count().collect()
@@ -413,36 +478,52 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
         when(isDel, lit(null)).otherwise(col("content")).as("content"),
         when(isDel, lit(null)).otherwise(col("size_bytes")).as("size_bytes"),
         col("seq"), isDel.as("deleted"), col("_b"))
-      val newVersion = h0.version + 1
-      val newFiles = writeSnapshotFiles(rows.drop("_b"), newVersion)
+      val newFiles = writeSnapshotFiles(rows.drop("_b"), newToken())
       // MOR append: touched buckets get a REWRITTEN manifest (old files +
       // appended files — still one manifest per bucket, O(touched) IO);
-      // untouched manifests carried by reference
-      val (touchedRefs, carried) =
-        h0.manifests.partition(r => bucketCounts.contains(r.bucket))
-      val newRefs =
-        writeManifests(newVersion, newFiles ++ touchedRefs.flatMap(loadManifest))
-      val snap = Snapshot(
-        version = newVersion, parent = h0.version, lastBatchId = batchId,
-        schemaIds = h0.schemaIds,
-        manifests = carried ++ newRefs,
-        summary = Map(
-          "batchId" -> batchId.toString,
-          "srcRows" -> bucketCounts.values.sum.toString,
-          "touchedBuckets" -> bucketCounts.size.toString,
-          "totalRows" -> (carried.map(_.rowCount).sum + newRefs.map(_.rowCount).sum).toString),
-        mode = Mor)
-      commitSnapshot(snap, expectedParent = h0.version)
-      MergeStats(applied = true, newVersion, bucketCounts.values.sum,
-        bucketCounts.size, snap.totalRows)
+      // untouched manifests carried by reference. Appends never derive
+      // from target data, so a lost CAS always rebases: recombine the
+      // touched-bucket manifests against the new head and re-commit.
+      var base = h0
+      var attempts = retries
+      while (true) {
+        val (touchedRefs, carried) =
+          base.manifests.partition(r => bucketCounts.contains(r.bucket))
+        val newRefs =
+          writeManifests(newToken(), newFiles ++ touchedRefs.flatMap(loadManifest))
+        firePreCommitHook()
+        try {
+          val snap = Snapshot(
+            version = base.version + 1, parent = base.version, lastBatchId = batchId,
+            schemaIds = base.schemaIds,
+            manifests = carried ++ newRefs,
+            summary = Map(
+              "batchId" -> batchId.toString,
+              "srcRows" -> bucketCounts.values.sum.toString,
+              "touchedBuckets" -> bucketCounts.size.toString,
+              "totalRows" -> (carried.map(_.rowCount).sum + newRefs.map(_.rowCount).sum).toString),
+            mode = Mor)
+          commitSnapshot(snap, expectedParent = base.version)
+          return MergeStats(applied = true, snap.version, bucketCounts.values.sum,
+            bucketCounts.size, snap.totalRows)
+        } catch { case e: ConcurrentCommitException =>
+          if (attempts <= 0) throw e
+          attempts -= 1
+          val h1 = head()
+          if (batchId <= h1.lastBatchId)
+            return MergeStats(applied = false, h1.version, 0L, 0, h1.totalRows)
+          base = h1
+        }
+      }
+      throw new IllegalStateException("unreachable")
     } finally src.unpersist()
   }
 
-  /** Write rows as snapshot-N bucket files (≤1 per bucket, repartitioned on
+  /** Write rows as tokened bucket files (≤1 per bucket, repartitioned on
     * the key-hash bucket) and return their manifest entries.
     */
-  private def writeSnapshotFiles(rows: DataFrame, newVersion: Int): Seq[DataFile] = {
-    val outDir = s"data/snap-$newVersion"
+  private def writeSnapshotFiles(rows: DataFrame, tag: String): Seq[DataFile] = {
+    val outDir = s"data/snap-$tag"
     rows.withColumn("_b", bucketExpr)
       .repartition(col("_b"))
       .write.mode(SaveMode.ErrorIfExists).partitionBy("_b")
@@ -472,7 +553,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
   def mergeSql(spark: SparkSession, source: DataFrame, tAlias: String,
                sAlias: String, onSql: String, srcKeySql: Map[String, String],
                matched: Seq[SqlMergeClause],
-               notMatched: Seq[SqlMergeClause]): MergeStats = {
+               notMatched: Seq[SqlMergeClause], retries: Int = 3): MergeStats = {
     val h0 = head()
     require(h0.mode == Cow, "SQL MERGE INTO targets copy-on-write tables")
     val dataCols = schema.fieldNames.filterNot(_ == "deleted").toSeq
@@ -531,19 +612,38 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
         .select(dataCols.map(valueFor) :+ lit(false).as("deleted"): _*)
       val merged = kept.unionByName(tombs)
 
-      val newVersion = h0.version + 1
-      val newRefs = writeManifests(newVersion, writeSnapshotFiles(merged, newVersion))
-      val snap = Snapshot(
-        version = newVersion, parent = h0.version, lastBatchId = h0.lastBatchId,
-        schemaIds = h0.schemaIds, manifests = carried ++ newRefs,
-        summary = Map(
-          "sqlMerge" -> "true",
-          "srcRows" -> srcRows.toString,
-          "touchedBuckets" -> touched.size.toString,
-          "totalRows" -> (carried.map(_.rowCount).sum + newRefs.map(_.rowCount).sum).toString),
-        mode = h0.mode)
-      commitSnapshot(snap, expectedParent = h0.version)
-      MergeStats(applied = true, newVersion, srcRows, touched.size, snap.totalRows)
+      val token = newToken()
+      val newRefs = writeManifests(token, writeSnapshotFiles(merged, token))
+      var base = h0
+      var attempts = retries
+      while (true) {
+        firePreCommitHook()
+        try {
+          val keep = base.manifests.filterNot(r => touched.contains(r.bucket))
+          val snap = Snapshot(
+            version = base.version + 1, parent = base.version,
+            lastBatchId = base.lastBatchId,
+            schemaIds = base.schemaIds, manifests = keep ++ newRefs,
+            summary = Map(
+              "sqlMerge" -> "true",
+              "srcRows" -> srcRows.toString,
+              "touchedBuckets" -> touched.size.toString,
+              "totalRows" -> (keep.map(_.rowCount).sum + newRefs.map(_.rowCount).sum).toString),
+            mode = base.mode)
+          commitSnapshot(snap, expectedParent = base.version)
+          return MergeStats(applied = true, snap.version, srcRows, touched.size, snap.totalRows)
+        } catch { case e: ConcurrentCommitException =>
+          if (attempts <= 0) throw e
+          attempts -= 1
+          val h1 = head()
+          val conflict = touched.keySet.exists(b => refOf(base, b) != refOf(h1, b))
+          if (conflict) // stale target rows → recompute the whole merge
+            return mergeSql(spark, source, tAlias, sAlias, onSql, srcKeySql,
+              matched, notMatched, attempts)
+          base = h1
+        }
+      }
+      throw new IllegalStateException("unreachable")
     } finally src.unpersist()
   }
 
@@ -556,21 +656,30 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     * be incremental (pick buckets by tombstone ratio / file count from
     * manifest stats); the snapshot protocol is identical.
     */
-  def compact(spark: SparkSession, gcTombstones: Boolean = false): Unit = {
+  def compact(spark: SparkSession, gcTombstones: Boolean = false,
+              retries: Int = 3): Unit = {
     val h0 = head()
     // mode-aware: MOR resolves LWW duplicates before the rewrite, so the
     // compacted snapshot is unique-per-key in both modes
     val resolved = if (h0.mode == Mor) resolve(readFiles(spark, filesOf(h0)))
                    else readFiles(spark, filesOf(h0))
     val live = if (gcTombstones) resolved.filter(!col("deleted")) else resolved
-    val newVersion = h0.version + 1
-    val newRefs = writeManifests(newVersion, writeSnapshotFiles(live, newVersion))
-    commitSnapshot(Snapshot(newVersion, h0.version, h0.lastBatchId,
-      h0.schemaIds, newRefs,
-      Map("compaction" -> "true",
-        "totalRows" -> newRefs.map(_.rowCount).sum.toString),
-      mode = h0.mode),
-      expectedParent = h0.version)
+    val token = newToken()
+    val newRefs = writeManifests(token, writeSnapshotFiles(live, token))
+    firePreCommitHook()
+    try
+      commitSnapshot(Snapshot(h0.version + 1, h0.version, h0.lastBatchId,
+        h0.schemaIds, newRefs,
+        Map("compaction" -> "true",
+          "totalRows" -> newRefs.map(_.rowCount).sum.toString),
+        mode = h0.mode),
+        expectedParent = h0.version)
+    catch { case e: ConcurrentCommitException =>
+      // compaction reads every bucket, so ANY interleaved commit conflicts:
+      // recompute against the new head (ingest always wins over compaction)
+      if (retries <= 0) throw e
+      compact(spark, gcTombstones, retries - 1)
+    }
   }
 
   /** TRUNCATE: new snapshot referencing zero files (reference analog:
@@ -612,6 +721,11 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
 
 object LakeTable {
   private val mapper = new ObjectMapper()
+
+  /** Thrown when the HEAD CAS (or the create-new snapshot write) loses to a
+    * concurrent writer; commit paths catch it and rebase/retry.
+    */
+  final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
   final case class DataFile(path: String, bucket: Int, rowCount: Long)
 

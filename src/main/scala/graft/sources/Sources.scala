@@ -54,6 +54,26 @@ object Sources {
   def binaryFiles(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
     spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
       .select(col("path"), col("length"), col("content"))
+
+  /** S4/S5: XML record scan via Spark 4's built-in XML source (the
+    * reference's SAX streaming XML parse, pantherToPhyloXmlPipeline.java
+    * :265-292 / Util.java:157-176): one row per `rowTag` element; schema
+    * inferred unless provided. The source is a real FileFormat — splits,
+    * pushdown and streaming (`readStream`) come for free, unlike the
+    * reference's single-threaded SAX walk.
+    */
+  def xmlRecords(spark: SparkSession, path: String, rowTag: String): DataFrame =
+    spark.read.format("xml").option("rowTag", rowTag).load(path)
+
+  /** S14 analog: compressed text ingestion. The reference shells out to
+    * wget + gunzip (PantherETLPipeline.java); Hadoop's codec layer makes
+    * `.gz` transparent to any text/CSV/JSON scan. NOTE: gzip is
+    * NON-SPLITTABLE — one task per file — so a 100-TB feed must arrive
+    * sharded (many .gz files) or recompressed to a splittable codec (zstd
+    * parquet) at the edge; this helper is the landing scan.
+    */
+  def gzText(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
 }
 
 /** Sink adapters (SURVEY §2.1 K5-K9). */
@@ -76,4 +96,13 @@ object Sinks {
         lit(">"), col(idCol), lit("\n"),
         regexp_replace(col(seqCol), "(.{60})", "$1\n")).as("value"))
       .write.mode("overwrite").text(path)
+
+  /** K8: XML sink (reference phyloXML writes, Util.java:157-176) — one
+    * `rowTag` element per row under a single `rootTag`, via Spark 4's
+    * built-in XML format.
+    */
+  def xml(df: DataFrame, path: String, rowTag: String = "record",
+          rootTag: String = "records"): Unit =
+    df.write.mode("overwrite").format("xml")
+      .option("rowTag", rowTag).option("rootTag", rootTag).save(path)
 }

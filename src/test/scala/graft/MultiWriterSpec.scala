@@ -1,0 +1,111 @@
+package graft
+
+import graft.lake.LakeTable
+import org.apache.spark.sql.DataFrame
+
+/** Multi-writer commit arbitration: a writer that loses the HEAD CAS must
+  * rebase (disjoint buckets / append-only), recompute (overlapping
+  * buckets), or no-op (its batch already applied) — never corrupt state or
+  * deadlock. Interleavings are made deterministic with the one-shot
+  * preCommitHook seam (fires between a writer's data write and its CAS).
+  */
+class MultiWriterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cols = Seq("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes")
+  private def rows(rs: (String, String, Long, String)*): DataFrame =
+    rs.map { case (r, p, seq, c) => (r, p, "U", seq, s"c$seq", "scala", c, Option.empty[Long]) }
+      .toDF(cols: _*)
+
+  /** A second key guaranteed to land in a different bucket than (r1,p1). */
+  private def disjointKey(t: LakeTable): (String, String) = {
+    val b1 = t.bucketOf("r1", "p1")
+    (2 to 64).map(i => (s"r$i", s"p$i")).find { case (r, p) => t.bucketOf(r, p) != b1 }.get
+  }
+
+  test("COW: compaction racing a merge → merge recomputes against the new head") {
+    val base = tmpDir("mw-recompute")
+    val t1 = LakeTable(s"$base/t", 4)
+    val t2 = new LakeTable(s"$base/t", 4)
+    t1.merge(spark, rows(("r1", "p1", 1L, "v1"), ("r9", "p9", 2L, "w1")), 0L)
+    // t2 compacts (rewrites EVERY bucket manifest) just before t1's CAS
+    t1.preCommitHook = () => t2.compact(spark)
+    val stats = t1.merge(spark, rows(("r1", "p1", 10L, "v2")), 1L)
+    assert(stats.applied, "merge must win after recompute")
+    val state = t1.read(spark).select("repo", "path", "seq", "content")
+      .as[(String, String, Long, String)].collect().toSet
+    assert(state === Set(("r1", "p1", 10L, "v2"), ("r9", "p9", 2L, "w1")))
+    assert(t1.head().lastBatchId === 1L)
+  }
+
+  test("COW: disjoint-bucket SQL merge racing a merge → pure manifest rebase") {
+    val base = tmpDir("mw-rebase")
+    val t1 = LakeTable(s"$base/t", 4)
+    val t2 = new LakeTable(s"$base/t", 4)
+    val (r2, p2) = disjointKey(t1)
+    t1.merge(spark, rows(("r1", "p1", 1L, "v1")), 0L)
+    // t2 commits an insert into a DIFFERENT bucket via mergeSql (which does
+    // not advance the batch fence) just before t1's CAS
+    t1.preCommitHook = () => {
+      val src = rows((r2, p2, 5L, "other")).alias("s")
+      t2.mergeSql(spark, src, "t", "s",
+        "`t`.`repo` = `s`.`repo` AND `t`.`path` = `s`.`path`",
+        Map("repo" -> "`s`.`repo`", "path" -> "`s`.`path`"),
+        matched = Nil,
+        notMatched = Seq(LakeTable.SqlMergeClause("insert", None, Nil,
+          star = true, starAlias = "s")))
+    }
+    val vBefore = t1.head().version
+    val stats = t1.merge(spark, rows(("r1", "p1", 10L, "v2")), 1L)
+    assert(stats.applied)
+    // rebase = no recompute: exactly ONE commit from t1 after t2's (v+2)
+    assert(t1.head().version === vBefore + 2)
+    val state = t1.read(spark).select("repo", "path", "seq", "content")
+      .as[(String, String, Long, String)].collect().toSet
+    assert(state === Set(("r1", "p1", 10L, "v2"), (r2, p2, 5L, "other")))
+  }
+
+  test("COW: duplicate delivery of the same batch by a zombie writer → no-op") {
+    val base = tmpDir("mw-fence")
+    val t1 = LakeTable(s"$base/t", 4)
+    val t2 = new LakeTable(s"$base/t", 4)
+    t1.merge(spark, rows(("r1", "p1", 1L, "v1")), 0L)
+    val dup = rows(("r1", "p1", 10L, "v2"))
+    t1.preCommitHook = () => { t2.merge(spark, dup, 1L); () }
+    val stats = t1.merge(spark, dup, 1L)
+    assert(!stats.applied, "second delivery of batch 1 must be fenced")
+    val state = t1.read(spark).select("repo", "path", "seq", "content")
+      .as[(String, String, Long, String)].collect().toSet
+    assert(state === Set(("r1", "p1", 10L, "v2")), "exactly-once state")
+    assert(t1.head().lastBatchId === 1L)
+  }
+
+  test("MOR: compaction racing an append → append rebases (no recompute)") {
+    val base = tmpDir("mw-mor")
+    val t1 = LakeTable(s"$base/t", 4, LakeTable.Mor)
+    val t2 = new LakeTable(s"$base/t", 4)
+    t1.merge(spark, rows(("r1", "p1", 1L, "v1"), ("r9", "p9", 2L, "w1")), 0L)
+    t1.preCommitHook = () => t2.compact(spark)
+    val stats = t1.merge(spark, rows(("r1", "p1", 10L, "v2")), 1L)
+    assert(stats.applied)
+    val state = t1.read(spark).select("repo", "path", "seq", "content")
+      .as[(String, String, Long, String)].collect().toSet
+    assert(state === Set(("r1", "p1", 10L, "v2"), ("r9", "p9", 2L, "w1")))
+    // compaction's single-file-per-bucket layout survived for untouched keys
+    assert(t1.head().lastBatchId === 1L)
+  }
+
+  test("compaction loses to an interleaved merge and retries cleanly") {
+    val base = tmpDir("mw-compact")
+    val t1 = LakeTable(s"$base/t", 4)
+    val t2 = new LakeTable(s"$base/t", 4)
+    t1.merge(spark, rows(("r1", "p1", 1L, "v1")), 0L)
+    t1.preCommitHook = () => { t2.merge(spark, rows(("r9", "p9", 5L, "late")), 1L); () }
+    t1.compact(spark) // must retry against the post-merge head
+    val state = t1.read(spark).select("repo", "path", "seq", "content")
+      .as[(String, String, Long, String)].collect().toSet
+    assert(state === Set(("r1", "p1", 1L, "v1"), ("r9", "p9", 5L, "late")),
+      "ingest wins over compaction; compaction folds the new state")
+    assert(t1.head().lastBatchId === 1L, "retried compaction carries the fence")
+  }
+}

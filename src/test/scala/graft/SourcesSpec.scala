@@ -90,4 +90,24 @@ class SourcesSpec extends SparkSpec {
     assert(lines(2) === "A" * 60)
     assert(lines(3) === "A" * 10)
   }
+
+  test("XML sink + record scan round-trip (S4/S5/K8)") {
+    val dir = tmpDir("xmlrt")
+    val df = Seq((1L, "fam1", "nodeA"), (2L, "fam2", "nodeB"))
+      .toDF("id", "family", "node")
+    Sinks.xml(df, s"$dir/out", rowTag = "rec", rootTag = "recs")
+    val back = Sources.xmlRecords(spark, s"$dir/out", rowTag = "rec")
+      .select("id", "family", "node")
+    assert(back.orderBy("id").collect().map(_.toSeq).toSeq ===
+      df.orderBy("id").collect().map(_.toSeq).toSeq)
+  }
+
+  test("gzipped text landing scan is codec-transparent (S14 analog)") {
+    val dir = java.nio.file.Files.createTempDirectory("gz")
+    val f = dir.resolve("feed.txt.gz")
+    val out = new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(f))
+    out.write("line1\nline2\nline3\n".getBytes("UTF-8")); out.close()
+    val got = Sources.gzText(spark, f.toString).as[String].collect().sorted
+    assert(got === Array("line1", "line2", "line3"))
+  }
 }
