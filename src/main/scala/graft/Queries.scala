@@ -290,6 +290,18 @@ object Queries {
       t(s, d, "documents").select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fingerprint"))),
 
+    // Real BPE subword tokenizer: merges trained on THIS corpus (one Spark
+    // word-frequency pass + deterministic local merge learning), encoding
+    // via the codegen'd BpeTokenize expression. Rows-only (BPE is not
+    // SQL-expressible); BpeSpec holds the losslessness/determinism oracle.
+    "t5_bpe_tokens" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = graft.ops.BpeOps.train(docs, "text", numMerges = 200,
+        maxVocabWords = 10000)
+      docs.select(col("doc_id"),
+        graft.ops.BpeOps.tokenCount(col("text"), merges).cast("long").as("n_bpe_tokens"))
+    }),
+
     // Spark-only (no SQL oracle): heuristic scores
     "t3_langid" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"), col("lang"),

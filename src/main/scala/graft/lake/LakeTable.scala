@@ -682,6 +682,43 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     }
   }
 
+  /** Incremental compaction: fold ONLY the buckets whose manifest lists
+    * more than `maxFilesPerBucket` data files (the MOR read-amplification
+    * bound) — selection is a pure manifest-stats scan, the rewrite is
+    * O(selected buckets), and untouched manifests are carried by
+    * reference. This is what runs on a cadence against a 10^10-row table;
+    * full [[compact]] is the end-of-stream / table-maintenance variant.
+    * Returns the number of buckets compacted. Same tombstone-retention
+    * default and fence semantics as [[compact]]; a lost CAS recomputes
+    * against the new head (ingest wins).
+    */
+  def compactBuckets(spark: SparkSession, maxFilesPerBucket: Int = 4,
+                     gcTombstones: Boolean = false, retries: Int = 3): Int = {
+    val h0 = head()
+    val picked = h0.manifests.filter(_.fileCount > maxFilesPerBucket).map(_.bucket).toSet
+    if (picked.isEmpty) return 0
+    val (pickedRefs, carried) = h0.manifests.partition(r => picked(r.bucket))
+    val physical = readFiles(spark, pickedRefs.flatMap(loadManifest))
+    val resolved = if (h0.mode == Mor) resolve(physical) else physical
+    val live = if (gcTombstones) resolved.filter(!col("deleted")) else resolved
+    val token = newToken()
+    val newRefs = writeManifests(token, writeSnapshotFiles(live, token))
+    firePreCommitHook()
+    try {
+      commitSnapshot(Snapshot(h0.version + 1, h0.version, h0.lastBatchId,
+        h0.schemaIds, carried ++ newRefs,
+        Map("compaction" -> "incremental",
+          "compactedBuckets" -> picked.size.toString,
+          "totalRows" -> (carried.map(_.rowCount).sum + newRefs.map(_.rowCount).sum).toString),
+        mode = h0.mode),
+        expectedParent = h0.version)
+      picked.size
+    } catch { case e: ConcurrentCommitException =>
+      if (retries <= 0) throw e
+      compactBuckets(spark, maxFilesPerBucket, gcTombstones, retries - 1)
+    }
+  }
+
   /** TRUNCATE: new snapshot referencing zero files (reference analog:
     * deleteByQuery("*:*"), PhylogenesServerWrapper.java:137-145).
     */

@@ -84,11 +84,14 @@ object Tailer {
 
     val t0 = System.nanoTime()
     val stats = table.merge(spark, deduped, batchId)
-    // periodic compaction keeps MOR read amplification bounded (folds
-    // duplicate key versions; tombstones are RETAINED — gc is end-of-stream
-    // only); fence is preserved so exactly-once is unaffected
+    // periodic INCREMENTAL compaction keeps MOR read amplification bounded
+    // (folds duplicate key versions in buckets whose manifests exceed the
+    // file threshold — O(selected buckets), manifest-stats driven;
+    // tombstones are RETAINED — gc is end-of-stream only); fence is
+    // preserved so exactly-once is unaffected
     cfg.compactEvery.foreach { n =>
-      if (stats.applied && n > 0 && (batchId + 1) % n == 0) table.compact(spark)
+      if (stats.applied && n > 0 && (batchId + 1) % n == 0)
+        table.compactBuckets(spark, maxFilesPerBucket = 4)
     }
     val secs = (System.nanoTime() - t0) / 1e9
 

@@ -1,15 +1,20 @@
 package org.apache.spark.sql.graftshim
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.sql.classic.{Dataset, SparkSession}
+import org.apache.spark.sql.classic.{Dataset, ExpressionUtils, SparkSession}
 
 /** Minimal bridge into `private[sql]` surface — the standard pattern for
-  * Spark extension libraries (a DataFrame from a LogicalPlan has no public
-  * constructor). Kept to one call so the internal-API exposure is a single
-  * audited point.
+  * Spark extension libraries (a DataFrame from a LogicalPlan, or a Column
+  * from a custom Expression, has no public constructor in Spark 4). Kept
+  * to three calls so the internal-API exposure is a single audited point.
   */
 object GraftShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark, plan)
+
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }

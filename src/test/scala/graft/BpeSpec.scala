@@ -1,0 +1,65 @@
+package graft
+
+import graft.ops.BpeOps
+import org.apache.spark.sql.functions._
+
+/** BPE subword tokenizer: deterministic merge learning + lossless,
+  * codegen'd encoding.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("merge learning on a hand-checkable corpus") {
+    // "ab ab ab": pairs (a,b) and (b,</w>) tie at 3 → lexicographic
+    // tie-break learns (a,b) first, then (ab,</w>)
+    val corpus = Seq("ab ab ab").toDF("text")
+    val merges = BpeOps.train(corpus, "text", numMerges = 2)
+    assert(merges === Seq(("a", "b"), ("ab", "</w>")))
+    val toks = corpus.select(BpeOps.tokenize($"text", merges).as("t"))
+      .as[Seq[String]].head()
+    assert(toks === Seq("ab</w>", "ab</w>", "ab</w>"))
+  }
+
+  test("training is deterministic and encoding is lossless on the corpus") {
+    val m1 = BpeOps.train(docs, "text", numMerges = 100, maxVocabWords = 5000)
+    val m2 = BpeOps.train(docs, "text", numMerges = 100, maxVocabWords = 5000)
+    assert(m1 === m2, "same corpus + params ⇒ same merges")
+    assert(m1.size === 100)
+    // lossless: joining tokens and turning </w> back into spaces
+    // reconstructs the normalized text, for every document
+    val bad = docs.select(
+        regexp_replace(lower(trim($"text")), "\\s+", " ").as("norm"),
+        BpeOps.tokenize($"text", m1).as("toks"))
+      .select(($"norm" ===
+        trim(regexp_replace(concat_ws("", $"toks"), java.util.regex.Pattern.quote(BpeOps.EndOfWord), " ")))
+        .as("ok"))
+      .filter(!$"ok").count()
+    assert(bad === 0L, "BPE encoding must be lossless")
+  }
+
+  test("more merges ⇒ fewer (or equal) tokens, always ≤ chars+words") {
+    val m50 = BpeOps.train(docs, "text", numMerges = 50, maxVocabWords = 5000)
+    val m200 = BpeOps.train(docs, "text", numMerges = 200, maxVocabWords = 5000)
+    val counts = docs.limit(100).select(
+      BpeOps.tokenCount($"text", Seq.empty).as("chars"),
+      BpeOps.tokenCount($"text", m50).as("t50"),
+      BpeOps.tokenCount($"text", m200).as("t200"))
+      .as[(Int, Int, Int)].collect()
+    counts.foreach { case (chars, t50, t200) =>
+      assert(t200 <= t50 && t50 <= chars, s"($chars, $t50, $t200) not monotone")
+    }
+    // the vocabulary actually compresses natural text
+    assert(counts.map(_._3).sum < counts.map(_._1).sum * 0.7,
+      "200 merges should compress the corpus by >30% vs characters")
+  }
+
+  test("bpe_tokenize stays inside whole-stage codegen") {
+    val m = Seq(("a", "b"))
+    val p = docs.select(BpeOps.tokenize($"text", m).as("t"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("*(1)"), s"expected a codegen span:\n$p")
+  }
+}

@@ -137,4 +137,36 @@ class MorSpec extends SparkSpec {
       .as[(String, String, String, String, String, Long)].collect().toSet
     assert(mor === cow)
   }
+
+  test("incremental compaction folds only over-threshold buckets; state unchanged") {
+    val base = tmpDir("morinc")
+    val table = LakeTable(s"$base/t", numBuckets = 8, LakeTable.Mor)
+    val cols = Seq("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes")
+    // 6 appends to ONE key (hot bucket) + 1 append to another key
+    (1 to 6).foreach { i =>
+      table.merge(spark, Seq(("hot", "p", "U", i.toLong, s"c$i", "scala", s"v$i",
+        Option.empty[Long])).toDF(cols: _*), i - 1L)
+    }
+    table.merge(spark, Seq(("cold", "q", "U", 100L, "cX", "go", "w",
+      Option.empty[Long])).toDF(cols: _*), 6L)
+    val h0 = table.head()
+    val hotBucket = table.bucketOf("hot", "p")
+    val coldBucket = table.bucketOf("cold", "q")
+    assert(h0.manifests.find(_.bucket == hotBucket).get.fileCount >= 6)
+
+    val n = table.compactBuckets(spark, maxFilesPerBucket = 4)
+    assert(n >= 1, "hot bucket must be selected")
+    val h1 = table.head()
+    assert(h1.manifests.find(_.bucket == hotBucket).get.fileCount === 1,
+      "hot bucket folded to one file")
+    if (coldBucket != hotBucket)
+      assert(h1.manifests.find(_.bucket == coldBucket) ===
+        h0.manifests.find(_.bucket == coldBucket), "cold bucket carried by reference")
+    assert(h1.lastBatchId === h0.lastBatchId, "fence carried")
+    val state = table.read(spark).select("repo", "path", "seq", "content")
+      .as[(String, String, Long, String)].collect().toSet
+    assert(state === Set(("hot", "p", 6L, "v6"), ("cold", "q", 100L, "w")))
+    // below threshold now: a second pass is a no-op
+    assert(table.compactBuckets(spark, maxFilesPerBucket = 4) === 0)
+  }
 }

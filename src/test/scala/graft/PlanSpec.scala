@@ -62,6 +62,33 @@ class PlanSpec extends SparkSpec {
       s"IN filter not pushed:\n$p")
   }
 
+  test("bucketed embedding near-dup plans an equi-join, never a nested-loop product") {
+    val p = plan(Queries.sparkQueries("d5_embed_neardup")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"bucketed d5 must not plan a product join:\n$p")
+    assert(p.contains("Join") || p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected an equi-join on (table, signature):\n$p")
+  }
+
+  test("minhash-LSH candidates come from an equi-join on (band, bucket)") {
+    val p = plan(Queries.sparkQueries("d3_minhash_lsh")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"LSH banding must never plan a product join:\n$p")
+  }
+
+  test("jaccard pipelines stay equi-join-shaped with hash aggregation") {
+    // d2's candidates are materialized eagerly (localCheckpoint), so its
+    // visible plan is the verify join — assert no product there…
+    val p = plan(Queries.sparkQueries("d2_ngram_jaccard")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"verify must stay equi-join-shaped:\n$p")
+    // …and assert the aggregation shape on the non-checkpointed exact path
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = plan(graft.ops.DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.5))
+    assert(q.contains("HashAggregate"), s"pair counting should hash-aggregate:\n$q")
+    assert(!q.contains("CartesianProduct") && !q.contains("BroadcastNestedLoopJoin"), q)
+  }
+
   test("semi/anti joins plan as joins, not subquery re-scans") {
     val anti = optimized(Queries.sparkQueries("j11_anti")(spark, sf))
     assert(anti.contains("LeftAnti"), s"expected LeftAnti join:\n$anti")
