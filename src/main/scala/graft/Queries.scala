@@ -204,6 +204,27 @@ object Queries {
         .filter(col("gap_micros").isNotNull)
     }),
 
+    // W5: batch sessionization — the classic gaps-and-islands shape (the
+    // batch twin of StreamingOps.sessionize): new session when the gap to
+    // the previous event exceeds 30 min; session id = cumulative count of
+    // session starts; one row per session with its span and event count.
+    "w5_sessionize" -> ((s, d) => {
+      val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ev = t(s, d, "events").select(col("user_id"), col("event_id"),
+          col("ts").cast("timestamp").as("ts"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byTime))
+        .withColumn("new_session",
+          (col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L)
+            .cast("long"))
+        .withColumn("session_id", sum(col("new_session")).over(
+          byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      ev.groupBy("user_id", "session_id").agg(
+        count(lit(1)).as("n_events"),
+        unix_micros(min(col("ts"))).as("start_us"),
+        unix_micros(max(col("ts"))).as("end_us"))
+    }),
+
     // =======================================================================
     // SURVEY §2.6 sorts / limits; §2.7 set ops
     // =======================================================================
@@ -632,6 +653,26 @@ object Queries {
         |    epoch_us(ts) - lag(epoch_us(ts)) OVER
         |      (PARTITION BY user_id ORDER BY event_id) AS gap_micros
         |  FROM events) WHERE gap_micros IS NOT NULL""".stripMargin,
+
+    "w5_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    lag(CAST(ts AS TIMESTAMP)) OVER
+        |      (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+        |  FROM events
+        |), marked AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(CASE WHEN prev_ts IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000 THEN 1 ELSE 0 END AS BIGINT) AS new_session
+        |  FROM ev
+        |), sess AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
 
     "o1_multisort_limit" ->
       """SELECT doc_id, lang, n_chars FROM documents
