@@ -719,6 +719,61 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     }
   }
 
+  /** Expire old snapshots: delete snapshot JSONs older than the newest
+    * `keepLast` (HEAD is always kept). Time travel to expired versions
+    * stops working — same contract as Iceberg's `expire_snapshots`. Data
+    * and manifest files are NOT touched here; [[vacuum]] reclaims whatever
+    * the surviving snapshots no longer reference.
+    */
+  def expireSnapshots(keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, "must keep at least HEAD")
+    val keep = versions().takeRight(keepLast).toSet + head().version
+    val expired = versions().filterNot(keep)
+    expired.foreach(v => Files.deleteIfExists(metaDir.resolve(s"v$v.json")))
+    expired
+  }
+
+  /** Remove orphan files: anything under data/ or meta/manifests/ that no
+    * SURVIVING snapshot references — old COW bucket rewrites, and the
+    * tokened leftovers of commit-arbitration losers and crashed writers.
+    * Safe by construction: committed state only ever references immutable
+    * paths, so the referenced set is exact. Returns the deleted count.
+    */
+  def vacuum(): Int = {
+    val snaps = versions().map(v => readSnapshot(metaDir.resolve(s"v$v.json")))
+    val refManifests = snaps.flatMap(_.manifests.map(_.path))
+      .filterNot(_.startsWith("inline:")).toSet
+    val refData = snaps.flatMap(s => filesOf(s).map(_.path)).toSet
+    var deleted = 0
+    def sweep(dir: Path, isReferenced: String => Boolean): Unit = {
+      if (Files.exists(dir)) {
+        val all = scala.util.Using.resource(Files.walk(dir)) { st =>
+          st.iterator.asScala.filter(Files.isRegularFile(_)).toList
+        }
+        all.foreach { p =>
+          val rel = Paths.get(root).relativize(p).toString
+          if (!isReferenced(rel)) { Files.delete(p); deleted += 1 }
+        }
+        // drop now-empty directories bottom-up
+        scala.util.Using.resource(Files.walk(dir)) { st =>
+          st.iterator.asScala.toList.reverse.foreach { p =>
+            if (Files.isDirectory(p) && p != dir &&
+              scala.util.Using.resource(Files.list(p))(_.count() == 0L))
+              Files.delete(p)
+          }
+        }
+      }
+    }
+    // a snap directory survives iff ≥1 of its files is referenced; writer
+    // markers (_SUCCESS, .crc) ride with their directory's fate
+    val refDirs = refData.map(rel => rel.split('/').take(2).mkString("/"))
+    sweep(Paths.get(root, "data"), rel =>
+      refData.contains(rel) ||
+        (!rel.endsWith(".parquet") && refDirs.contains(rel.split('/').take(2).mkString("/"))))
+    sweep(metaDir.resolve("manifests"), refManifests.contains)
+    deleted
+  }
+
   /** TRUNCATE: new snapshot referencing zero files (reference analog:
     * deleteByQuery("*:*"), PhylogenesServerWrapper.java:137-145).
     */

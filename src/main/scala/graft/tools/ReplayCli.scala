@@ -69,6 +69,18 @@ object ReplayCli {
         f"($tombMsg) files ${before.totalFiles}→${after.totalFiles}")
       spark.stop()
 
+    case "vacuum" :: workDir :: rest =>
+      // expire old snapshots (keepLast, default: keep all) then remove
+      // orphan data/manifest files no surviving snapshot references
+      val table = LakeTable.open(s"$workDir/table")
+      val expired = rest.headOption.map(_.toInt) match {
+        case Some(keep) => table.expireSnapshots(keep)
+        case None => Nil
+      }
+      val removed = table.vacuum()
+      println(s"[vacuum] expired snapshots=${expired.mkString(",")} " +
+        s"orphan files removed=$removed head=v${table.head().version}")
+
     case "show" :: workDir :: rest =>
       val spark = Sessions.local(4, "graft-show")
       val table = LakeTable(s"$workDir/table")

@@ -108,4 +108,51 @@ class MultiWriterSpec extends SparkSpec {
       "ingest wins over compaction; compaction folds the new state")
     assert(t1.head().lastBatchId === 1L, "retried compaction carries the fence")
   }
+
+  test("expireSnapshots + vacuum reclaim COW rewrites and arbitration orphans") {
+    val base = tmpDir("mw-vacuum")
+    val t1 = LakeTable(s"$base/t", 4)
+    val t2 = new LakeTable(s"$base/t", 4)
+    // several COW rewrites of the same bucket → superseded snapshot files
+    (1 to 4).foreach { i =>
+      t1.merge(spark, rows(("r1", "p1", i.toLong, s"v$i")), i - 1L)
+    }
+    // an arbitration race leaves the loser's recompute predecessors as orphans
+    t1.preCommitHook = () => t2.compact(spark)
+    t1.merge(spark, rows(("r1", "p1", 50L, "raced")), 4L)
+    val stateBefore = t1.read(spark).select("repo", "path", "seq", "content")
+      .as[(String, String, Long, String)].collect().toSet
+
+    def parquetCount = {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$base/t/data"))) { st =>
+        st.iterator.asScala.count(_.toString.endsWith(".parquet"))
+      }
+    }
+    val filesBefore = parquetCount
+    val expired = t1.expireSnapshots(keepLast = 1)
+    assert(expired.nonEmpty, "older snapshots must be expirable")
+    val removed = t1.vacuum()
+    assert(removed > 0, "superseded rewrites + race orphans must be reclaimed")
+    assert(parquetCount < filesBefore)
+    // surviving state is untouched, lookup still prunes, fence intact
+    val stateAfter = t1.read(spark).select("repo", "path", "seq", "content")
+      .as[(String, String, Long, String)].collect().toSet
+    assert(stateAfter === stateBefore)
+    assert(t1.lookup(spark, "r1", "p1").select("seq").as[Long].head() === 50L)
+    assert(t1.head().lastBatchId === 4L)
+    // a second vacuum finds nothing (fixpoint)
+    assert(t1.vacuum() === 0)
+  }
+
+  test("vacuum with full history keeps every time-travel version readable") {
+    val base = tmpDir("mw-vacuum2")
+    val t1 = LakeTable(s"$base/t", 4)
+    t1.merge(spark, rows(("r1", "p1", 1L, "v1")), 0L)
+    t1.merge(spark, rows(("r1", "p1", 2L, "v2")), 1L)
+    t1.vacuum() // nothing expired → only true orphans (none here) removed
+    assert(t1.readAt(spark, 1).select("content").as[String].head() === "v1")
+    assert(t1.readAt(spark, 2).select("content").as[String].head() === "v2")
+  }
 }
