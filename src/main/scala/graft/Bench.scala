@@ -39,8 +39,17 @@ object Bench {
       n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
     }
 
-    // CDC replay: generate a 1M-event log, stream-replay into a LakeTable
+    // CDC replay: generate a 1M-event log, stream-replay into a LakeTable.
+    // A small warmup replay first so the timed run measures steady state
+    // (JIT + codegen caches), same policy as the per-query best-of-2.
     val base = java.nio.file.Files.createTempDirectory("bench-cdc").toString
+    gen.ChangeLogGen.write(spark,
+      gen.ChangeLogGen.GenConfig(seed = 7L, nEvents = 100000L, nFiles = 8),
+      s"$base/warmlog")
+    stream.Tailer.replay(spark, stream.Tailer.TailerConfig(
+      logDir = s"$base/warmlog", tableRoot = s"$base/warmtable",
+      checkpointDir = s"$base/warmckpt", lineageDir = s"$base/warmlineage",
+      metricsDir = s"$base/warmmetrics", numBuckets = 64))
     gen.ChangeLogGen.write(spark,
       gen.ChangeLogGen.GenConfig(seed = 42L, nEvents = 1000000L, nFiles = 64),
       s"$base/log")
