@@ -432,6 +432,17 @@ object Queries {
         approx_count_distinct("l_orderkey").as("approx_orders"),
         countDistinct("l_orderkey").as("exact_orders"))),
 
+    // KMV distinct sketch (custom TypedImperativeAggregate): deterministic
+    // estimate = (k-1)·2^60 / kth-min of the md5-derived hashes, so the
+    // DuckDB oracle reproduces it CELL-EXACTLY — an oracled approx sketch.
+    "h3_kmv_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .groupBy("l_returnflag")
+        .agg(graft.ops.KmvAgg.kmvDistinct(col("h"), 256).as("kmv_distinct"))),
+
     "tpch_q1" -> ((s, d) =>
       t(s, d, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp_ntz"))
@@ -842,6 +853,23 @@ object Queries {
       """SELECT event_type, user_id, count(*) AS n,
         |CAST(GROUPING(event_type) * 2 + GROUPING(user_id) AS BIGINT) AS gid
         |FROM events GROUP BY CUBE(event_type, user_id)""".stripMargin,
+
+    "h3_kmv_distinct" ->
+      """WITH dh AS (
+        |  SELECT DISTINCT l_returnflag,
+        |    list_reduce(list_transform(range(1, 16), i -> CAST(strpos('0123456789abcdef', substring(md5(CAST(l_orderkey AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS h
+        |  FROM lineitem
+        |), ranked AS (
+        |  SELECT l_returnflag, h,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM dh)
+        |SELECT l_returnflag,
+        |  CAST(CASE WHEN max(n) < 256 THEN max(n)
+        |    ELSE floor(255.0 * 1152921504606846976.0 /
+        |         CAST(greatest(max(CASE WHEN rn = 256 THEN h END), 1) AS DOUBLE)) END AS BIGINT)
+        |    AS kmv_distinct
+        |FROM ranked GROUP BY l_returnflag""".stripMargin,
 
     "h2_percentile" ->
       """SELECT l_returnflag,

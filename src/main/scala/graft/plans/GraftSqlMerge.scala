@@ -146,7 +146,7 @@ final case class GraftMergeCommand(
 
   override def run(spark: SparkSession): Seq[Row] = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val src = org.apache.spark.sql.graftshim.GraftShim.ofRows(cs, source)
+    val src = org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(cs, source)
     val stats = LakeTable.open(root)
       .mergeSql(cs, src, tAlias, sAlias, onSql, srcKeySql, matched, notMatched)
     Seq(Row(stats.version, stats.srcRows, stats.touchedBuckets, stats.rowsAfter))

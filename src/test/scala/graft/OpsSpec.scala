@@ -244,4 +244,43 @@ class OpsSpec extends SparkSpec {
       .as[Boolean].collect()
     assert(fp.forall(identity))
   }
+
+  test("KMV sketch: ≤10% error at k=256, exact below k, partition-invariant") {
+    import graft.ops.KmvAgg
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    def hashed(df: org.apache.spark.sql.DataFrame) = df.select(col("l_returnflag"),
+      conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    val exact = li.groupBy("l_returnflag").agg(countDistinct("l_orderkey").as("n"))
+      .as[(String, Long)].collect().toMap
+    val est = hashed(li).groupBy("l_returnflag")
+      .agg(KmvAgg.kmvDistinct(col("h"), 256).as("e")).as[(String, Long)].collect().toMap
+    exact.foreach { case (flag, n) =>
+      val e = est(flag)
+      if (n < 256) assert(e === n, s"below k must be exact: $flag")
+      else assert(math.abs(e - n).toDouble / n <= 0.10, s"$flag: est $e vs exact $n")
+    }
+    // merge-order / partitioning invariance (deterministic by construction)
+    val est3 = hashed(li.repartition(3)).groupBy("l_returnflag")
+      .agg(KmvAgg.kmvDistinct(col("h"), 256).as("e")).as[(String, Long)].collect().toMap
+    val est64 = hashed(li.repartition(64)).groupBy("l_returnflag")
+      .agg(KmvAgg.kmvDistinct(col("h"), 256).as("e")).as[(String, Long)].collect().toMap
+    assert(est3 === est && est64 === est)
+    // plans as ObjectHashAggregate like LwwAgg (map-side combinable)
+    val plan = hashed(li).groupBy("l_returnflag")
+      .agg(KmvAgg.kmvDistinct(col("h"), 256)).queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
+  test("KMV sketch callable from SQL via registered function") {
+    import graft.ops.KmvAgg
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_distinct", exprs => graft.ops.KmvAgg(exprs(0), 16).toAggregateExpression(),
+      "built-in")
+    (1L to 1000L).map(i => ("g", i)).toDF("g", "v").createOrReplaceTempView("kmv_in")
+    val viaSql = spark.sql(
+      """SELECT g, kmv_distinct(CAST(conv(substring(md5(CAST(v AS STRING)),1,15),16,10) AS BIGINT)) AS e
+        |FROM kmv_in GROUP BY g""".stripMargin).as[(String, Long)].head()
+    assert(math.abs(viaSql._2 - 1000L).toDouble / 1000 <= 0.5, s"k=16 rough estimate: $viaSql")
+  }
 }
