@@ -109,6 +109,8 @@ object DedupOps {
     */
   private def verifyJaccard(cand: DataFrame, sets: DataFrame,
                             threshold: Double): DataFrame =
+    // sets = one row per doc: NOT a broadcast side at corpus scale (AQE
+    // broadcasts it by runtime stats when a small corpus fits)
     cand
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -132,8 +134,8 @@ object DedupOps {
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("common"))
-      .join(broadcast(counts.select(col("id").as("id_a"), col("n_sh").as("n_a"))), Seq("id_a"))
-      .join(broadcast(counts.select(col("id").as("id_b"), col("n_sh").as("n_b"))), Seq("id_b"))
+      .join(counts.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(counts.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
       .withColumn("jaccard",
         round(col("common").cast("double") /
           (col("n_a") + col("n_b") - col("common")).cast("double"), 6))
@@ -165,10 +167,12 @@ object DedupOps {
                          n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val p = postings(df, idCol, textCol, n).persist()
     try {
+      // counts is doc-scale (one row per doc) — joined, not force-broadcast;
+      // AQE broadcasts it by runtime stats when the corpus is small
       val counts = shingleCounts(df, idCol, textCol, n)
       val freq = p.groupBy("shingle").agg(count(lit(1)).as("df"))
       val ranked = p.join(freq, "shingle")
-        .join(broadcast(counts), Seq("id"))
+        .join(counts, Seq("id"))
         .withColumn("rnk", row_number().over(
           Window.partitionBy("id").orderBy(col("df"), col("shingle"))))
         .filter(col("rnk") <=
