@@ -215,13 +215,20 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     * file itself is create-new: losing a rename race surfaces as
     * FileAlreadyExistsException instead of silent state corruption.
     */
-  private def commitSnapshot(s: Snapshot, expectedParent: Int): Unit = {
+  private def commitSnapshot(s0: Snapshot, expectedParent: Int): Unit = {
     if (expectedParent >= 0) {
       val cur = Files.readString(headFile).trim
       if (cur != s"v$expectedParent.json")
         throw new ConcurrentCommitException(
           s"concurrent commit detected: HEAD=$cur expected v$expectedParent.json")
     }
+    // a legacy snapshot's synthesized inline refs live only in THIS
+    // instance's cache — materialize them to real manifest files before
+    // they are carried into a new snapshot other processes must read
+    val s = s0.copy(manifests = s0.manifests.map { r =>
+      if (r.path.startsWith("inline:")) writeManifests(newToken(), loadManifest(r)).head
+      else r
+    })
     val node = mapper.createObjectNode()
     node.put("version", s.version)
     node.put("parent", s.parent)
@@ -237,16 +244,34 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     val sum = node.putObject("summary")
     s.summary.foreach { case (k, v) => sum.put(k, v) }
     val snapPath = metaDir.resolve(s"v${s.version}.json")
-    val tmp = metaDir.resolve(s".v${s.version}.json.tmp")
+    // tmp names are TOKENED: two same-version racers must never share a
+    // temp path, or the winner could move the loser's content into place
+    val tok = newToken()
+    val tmp = metaDir.resolve(s".v${s.version}.json.$tok.tmp")
     Files.writeString(tmp, mapper.writerWithDefaultPrettyPrinter.writeValueAsString(node))
     // no REPLACE_EXISTING: a concurrent writer that produced the same
     // version number loses here rather than clobbering the committed file
-    try Files.move(tmp, snapPath)
-    catch { case _: java.nio.file.FileAlreadyExistsException =>
-      throw new ConcurrentCommitException(
-        s"concurrent commit detected: v${s.version}.json already exists")
-    }
-    val headTmp = metaDir.resolve(".HEAD.tmp")
+    def moveIntoPlace(retryStray: Boolean): Unit =
+      try Files.move(tmp, snapPath)
+      catch { case e: java.nio.file.FileAlreadyExistsException =>
+        // an existing vN.json while HEAD still points at the parent is
+        // either an IN-FLIGHT racer (young file — back off, CAS decides)
+        // or the debris of a writer that died between create and HEAD
+        // flip (old file — reclaim it, or the table wedges forever)
+        val strayAge = System.currentTimeMillis -
+          Files.getLastModifiedTime(snapPath).toMillis
+        val headUnmoved = Files.readString(headFile).trim == s"v$expectedParent.json"
+        if (retryStray && headUnmoved && strayAge > StrayCommitGraceMs) {
+          Files.deleteIfExists(snapPath)
+          moveIntoPlace(retryStray = false)
+        } else {
+          Files.deleteIfExists(tmp)
+          throw new ConcurrentCommitException(
+            s"concurrent commit detected: v${s.version}.json already exists")
+        }
+      }
+    moveIntoPlace(retryStray = expectedParent >= 0)
+    val headTmp = metaDir.resolve(s".HEAD.$tok.tmp")
     Files.writeString(headTmp, s"v${s.version}.json")
     Files.move(headTmp, headFile, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
@@ -610,7 +635,11 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
       }
       val kept = withAct.filter(!col("_act").isin(dropped.toSeq: _*))
         .select(dataCols.map(valueFor) :+ lit(false).as("deleted"): _*)
-      val merged = kept.unionByName(tombs)
+      // a key the merge (re)creates supersedes its CDC tombstone — keeping
+      // both would give the next CDC merge two target rows for one key
+      val tombsKept = tombs.join(kept.select("repo", "path"),
+        Seq("repo", "path"), "left_anti")
+      val merged = kept.unionByName(tombsKept)
 
       val token = newToken()
       val newRefs = writeManifests(token, writeSnapshotFiles(merged, token))
@@ -736,10 +765,15 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
   /** Remove orphan files: anything under data/ or meta/manifests/ that no
     * SURVIVING snapshot references — old COW bucket rewrites, and the
     * tokened leftovers of commit-arbitration losers and crashed writers.
-    * Safe by construction: committed state only ever references immutable
-    * paths, so the referenced set is exact. Returns the deleted count.
+    * The referenced set is exact (committed state only references
+    * immutable paths), but an IN-FLIGHT writer's files are not referenced
+    * until its commit — `olderThanMs` (default 10 min, Iceberg's
+    * remove_orphan_files has the same knob) keeps vacuum from eating a
+    * concurrent writer's pending output; pass 0 only when no other writer
+    * can be active. Returns the deleted count.
     */
-  def vacuum(): Int = {
+  def vacuum(olderThanMs: Long = 600000L): Int = {
+    val cutoff = System.currentTimeMillis - olderThanMs
     val snaps = versions().map(v => readSnapshot(metaDir.resolve(s"v$v.json")))
     val refManifests = snaps.flatMap(_.manifests.map(_.path))
       .filterNot(_.startsWith("inline:")).toSet
@@ -752,7 +786,10 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
         }
         all.foreach { p =>
           val rel = Paths.get(root).relativize(p).toString
-          if (!isReferenced(rel)) { Files.delete(p); deleted += 1 }
+          if (!isReferenced(rel) &&
+            Files.getLastModifiedTime(p).toMillis < cutoff) {
+            Files.delete(p); deleted += 1
+          }
         }
         // drop now-empty directories bottom-up
         scala.util.Using.resource(Files.walk(dir)) { st =>
@@ -835,6 +872,12 @@ object LakeTable {
                                   assigns: Seq[(String, String)],
                                   star: Boolean = false, starAlias: String = "")
 
+  /** Age after which a v<N>.json with an unmoved HEAD is treated as the
+    * debris of a crashed writer and reclaimed (an in-flight racer moves
+    * its file and flips HEAD within milliseconds of creating it).
+    */
+  val StrayCommitGraceMs: Long = 60000L
+
   /** Copy-on-write mode tag. */
   val Cow = "cow"
   /** Merge-on-read mode tag. */
@@ -868,10 +911,12 @@ object LakeTable {
     val meta = Paths.get(root, "meta", "table.json")
     require(Files.exists(Paths.get(root, "meta", "HEAD")),
       s"no graft lake table at $root")
-    val buckets =
-      if (Files.exists(meta))
-        mapper.readTree(Files.readString(meta)).get("numBuckets").asInt
-      else 32
+    // never guess the bucket count: a wrong modulus silently mis-hashes
+    // every key (wrong pruning, duplicate rows)
+    require(Files.exists(meta),
+      s"$root has no meta/table.json sidecar (pre-manifest table?) — " +
+        "open it with LakeTable(root, numBuckets) matching its creation")
+    val buckets = mapper.readTree(Files.readString(meta)).get("numBuckets").asInt
     new LakeTable(root, buckets)
   }
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -42,6 +43,14 @@ case class KmvAgg(
   extends TypedImperativeAggregate[KmvBuffer] {
 
   require(k >= 2, "kmv needs k >= 2")
+
+  // reject non-bigint hash columns at ANALYSIS time, not as an
+  // executor-side ClassCastException mid-job
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (hash.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kmv_distinct needs a BIGINT hash column (e.g. conv(substring(md5(x),1,15),16,10) " +
+        s"cast to bigint); got ${hash.dataType.catalogString}")
 
   /** 60-bit hash space (md5-derived h60 inputs). */
   private val HashSpace = 1152921504606846976.0d // 2^60

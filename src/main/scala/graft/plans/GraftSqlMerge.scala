@@ -83,10 +83,32 @@ object GraftSqlMergeRule extends Rule[LogicalPlan] {
       case missing => fail(s"ON must cover key column(s): ${missing.mkString(", ")}")
     }
 
+    val matched = m.matchedActions.map(clause(_, sAlias))
+    val notMatched = m.notMatchedActions.map(clause(_, sAlias))
+    // Key-column safety: every output row must stay in a bucket the merge
+    // touched (one-manifest-per-bucket + rebase conflict detection rely on
+    // it), so key assignments may only be the ON-clause source expression.
+    def canon(sql: String): String = sql.replace("`", "").toLowerCase
+    val sKeyCol = KeyCols.map(k => k -> s"$sAlias.$k").toMap
+    def checkKeys(c: SqlMergeClause, isInsert: Boolean): Unit =
+      if (c.star) KeyCols.foreach { k =>
+        if (canon(srcKey(k)) != canon(sKeyCol(k)))
+          fail(s"SET */INSERT * would reassign key '$k' to ${sKeyCol(k)} while ON " +
+            s"matches it against ${srcKey(k)} — rows would move across buckets")
+      } else KeyCols.foreach { k =>
+        c.assigns.find(_._1 == k) match {
+          case Some((_, sql)) if canon(sql) != canon(srcKey(k)) =>
+            fail(s"assignment to key column '$k' must be the ON expression " +
+              s"${srcKey(k)}; got $sql")
+          case None if isInsert => fail(s"INSERT must assign key column '$k'")
+          case _ => ()
+        }
+      }
+    matched.filter(_.kind == "update").foreach(checkKeys(_, isInsert = false))
+    notMatched.foreach(checkKeys(_, isInsert = true))
+
     GraftMergeCommand(root, tAlias, sAlias, m.mergeCondition.sql, srcKey.toMap,
-      m.matchedActions.map(clause(_, sAlias)),
-      m.notMatchedActions.map(clause(_, sAlias)),
-      m.sourceTable)
+      matched, notMatched, m.sourceTable)
   }
 
   private def keyOf(e: Expression, tAlias: String): Option[String] = e match {

@@ -142,7 +142,10 @@ object Tailer {
       }
     } catch { case scala.util.control.NonFatal(_) => () }
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-      if (e.id == queryId) spark.streams.removeListener(this)
+      if (e.id == queryId) {
+        spark.streams.removeListener(this)
+        listeners.remove(e.id) // continuous-mode queries detach here too
+      }
   }
 
   // live listeners by query id, so replay() can detach synchronously after

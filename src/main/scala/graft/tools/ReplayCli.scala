@@ -71,13 +71,16 @@ object ReplayCli {
 
     case "vacuum" :: workDir :: rest =>
       // expire old snapshots (keepLast, default: keep all) then remove
-      // orphan data/manifest files no surviving snapshot references
+      // orphan data/manifest files no surviving snapshot references and
+      // older than the grace window (default 10 min — protects files of
+      // in-flight writers; pass 0 only when no other writer is active)
       val table = LakeTable.open(s"$workDir/table")
       val expired = rest.headOption.map(_.toInt) match {
         case Some(keep) => table.expireSnapshots(keep)
         case None => Nil
       }
-      val removed = table.vacuum()
+      val grace = rest.drop(1).headOption.map(_.toLong).getOrElse(600000L)
+      val removed = table.vacuum(olderThanMs = grace)
       println(s"[vacuum] expired snapshots=${expired.mkString(",")} " +
         s"orphan files removed=$removed head=v${table.head().version}")
 

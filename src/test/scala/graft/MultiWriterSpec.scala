@@ -133,7 +133,9 @@ class MultiWriterSpec extends SparkSpec {
     val filesBefore = parquetCount
     val expired = t1.expireSnapshots(keepLast = 1)
     assert(expired.nonEmpty, "older snapshots must be expirable")
-    val removed = t1.vacuum()
+    // default grace protects files an in-flight writer just wrote
+    assert(t1.vacuum() === 0, "fresh files survive the default grace window")
+    val removed = t1.vacuum(olderThanMs = 0) // single-writer: reclaim now
     assert(removed > 0, "superseded rewrites + race orphans must be reclaimed")
     assert(parquetCount < filesBefore)
     // surviving state is untouched, lookup still prunes, fence intact
@@ -143,7 +145,7 @@ class MultiWriterSpec extends SparkSpec {
     assert(t1.lookup(spark, "r1", "p1").select("seq").as[Long].head() === 50L)
     assert(t1.head().lastBatchId === 4L)
     // a second vacuum finds nothing (fixpoint)
-    assert(t1.vacuum() === 0)
+    assert(t1.vacuum(olderThanMs = 0) === 0)
   }
 
   test("vacuum with full history keeps every time-travel version readable") {
@@ -151,7 +153,7 @@ class MultiWriterSpec extends SparkSpec {
     val t1 = LakeTable(s"$base/t", 4)
     t1.merge(spark, rows(("r1", "p1", 1L, "v1")), 0L)
     t1.merge(spark, rows(("r1", "p1", 2L, "v2")), 1L)
-    t1.vacuum() // nothing expired → only true orphans (none here) removed
+    t1.vacuum(olderThanMs = 0) // nothing expired → only true orphans (none here)
     assert(t1.readAt(spark, 1).select("content").as[String].head() === "v1")
     assert(t1.readAt(spark, 2).select("content").as[String].head() === "v2")
   }
