@@ -323,6 +323,11 @@ object Queries {
         graft.ops.BpeOps.tokenCount(col("text"), merges).cast("long").as("n_bpe_tokens"))
     }),
 
+    // Word-trigram repetition ratio (boilerplate/spam signal)
+    "t6_repetition" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.repetitionRatio(col("text"), n = 3).as("rep_ratio"))),
+
     // Spark-only (no SQL oracle): heuristic scores
     "t3_langid" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"), col("lang"),
@@ -365,6 +370,28 @@ object Queries {
       DedupOps.connectedComponents(
         DedupOps.jaccardPairsPrefix(t(s, d, "documents"), "doc_id", "text",
           n = 3, threshold = 0.5))),
+
+    // Benchmark decontamination: docs sharing any word-4-gram with the
+    // "eval suite" (every 97th doc stands in for it — deterministic, so
+    // the oracle reconstructs the same split).
+    "d7_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      DedupOps.decontaminate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 4)
+        .withColumn("n_sh", col("n_sh").cast("long"))
+    }),
+
+    // Deterministic samples: hash-Bernoulli (shuffle-free scale path) and
+    // exact per-stratum (window path) — both re-derivable bit-for-bit.
+    "x1_hash_sample" -> ((s, d) =>
+      graft.ops.SampleOps.hashSample(t(s, d, "documents"), "doc_id", keepSixteenths = 1)
+        .select("doc_id", "lang", "source")),
+
+    "x2_stratified_sample" -> ((s, d) =>
+      graft.ops.SampleOps.stratifiedSample(t(s, d, "documents"), "lang", "doc_id", percent = 10)
+        .select("doc_id", "lang")),
 
     "s1_ann_bruteforce" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -813,6 +840,43 @@ object Queries {
         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
         |FROM sim x JOIN sim y ON x.doc_id < y.doc_id
         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin,
+
+    // Word-4-gram overlap vs the doc_id%97==0 "eval suite"; n-grams are
+    // intersected as TRUE strings (Spark joins their 60-bit md5 tokens —
+    // a collision would fail this gate loudly).
+    "d7_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(ws) < 4 THEN [array_to_string(ws, ' ')]
+        |    ELSE list_transform(range(1, len(ws) - 2),
+        |         i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3])) END) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents)
+        |), bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id % 97 = 0),
+        |corp AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh WHERE doc_id % 97 <> 0)
+        |SELECT c.doc_id, count(*) AS n_shared, any_value(c.n_sh) AS n_sh,
+        |  round(count(*)::DOUBLE / any_value(c.n_sh), 6) AS overlap_frac
+        |FROM corp c JOIN bench b USING (shingle)
+        |GROUP BY c.doc_id""".stripMargin,
+
+    "t6_repetition" ->
+      """SELECT doc_id,
+        |  round(1.0 - len(list_distinct(sh))::DOUBLE / len(sh), 6) AS rep_ratio
+        |FROM (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |    ELSE list_transform(range(1, len(ws) - 1),
+        |         i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) END AS sh
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents))""".stripMargin,
+
+    "x1_hash_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '1'""".stripMargin,
+
+    "x2_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |WHERE rn <= (n * 10 + 99) // 100""".stripMargin,
 
     // Connected components over the jaccard pairs: recursive transitive
     // closure, component label = min reachable id.

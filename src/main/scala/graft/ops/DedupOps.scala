@@ -275,6 +275,33 @@ object DedupOps {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Benchmark decontamination: flag corpus docs sharing ≥1 word n-gram
+    * with any benchmark/eval doc — the standard pretraining hygiene pass
+    * (eval answers leaking into training data inflate benchmark scores).
+    *
+    * Output: (doc_id, n_shared, n_sh, overlap_frac) for contaminated
+    * NON-benchmark docs only. Shape: corpus postings ⋈ distinct benchmark
+    * n-grams — the benchmark side is eval-suite-sized (tiny vs corpus), so
+    * AQE broadcasts it and the corpus side never shuffles; work is one
+    * linear scan + a hash-aggregate on the (rare) matching postings.
+    * N-grams are compared as 60-bit md5 tokens (8-byte join keys); the
+    * DuckDB oracle intersects the true strings, so a 2^-60 collision fails
+    * the gate loudly instead of hiding.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val contaminated = postings(benchmark, idCol, textCol, n)
+      .select("shingle").distinct()
+    postings(corpus, idCol, textCol, n)
+      .join(contaminated, "shingle")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_shared")) // postings are per-doc distinct
+      .join(shingleCounts(corpus, idCol, textCol, n)
+        .select(col("id").as(idCol), col("n_sh")), idCol)
+      .withColumn("overlap_frac",
+        round(col("n_shared").cast("double") / col("n_sh"), 6))
+  }
+
   /** Connected components over near-dup pairs → duplicate groups with a
     * canonical survivor: (doc_id, group_id = min id in the component).
     * Only docs that appear in ≥1 pair are emitted (singletons are their

@@ -42,6 +42,18 @@ object TextOps {
         i => concat_ws(" ", slice(words, i + 1, lit(n)))))
   }
 
+  /** Word n-gram repetition ratio in [0,1): 1 − distinct/total n-grams.
+    * The standard boilerplate/spam signal (MassiveText-style repetition
+    * filters) — 0 for fully novel text, →1 for a looping template. Pure
+    * codegen'd column expression; rounded so external engines reproduce
+    * the exact doubles.
+    */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val sh = shingles(text, n)
+    round(lit(1.0) - size(array_distinct(sh)).cast("double") /
+      size(sh).cast("double"), 6)
+  }
+
   /** Stopword profiles for the n-gram/stopword language-ID heuristic. */
   val langProfiles: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
