@@ -175,8 +175,121 @@ final case class GraftMergeCommand(
   }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** SQL READ surface for graft lake tables — completes the `graft_lake.`
+  * namespace (MERGE writes above, SELECT reads here):
+  *
+  * {{{
+  *   SELECT * FROM graft_lake.`/path/to/table` [AS t]
+  *   SELECT * FROM graft_lake.`/path/to/table` VERSION AS OF 3   -- time travel
+  *   SELECT * FROM graft_lake.`tbl` WHERE repo='r' AND path='p'  -- bucket-pruned
+  * }}}
+  *
+  * The relation is replaced by the ANALYZED plan of the corresponding
+  * [[LakeTable]] read (live rows: tombstones filtered, MOR LWW-resolved) —
+  * a view-expansion, so Catalyst optimizes straight through it (filter and
+  * column pushdown reach the underlying parquet scan). A `WHERE` that pins
+  * both key columns to string literals swaps in [[LakeTable.lookup]]'s plan
+  * instead: the scan enumerates ONLY the key's bucket files — O(files/
+  * buckets) IO on a huge table. The original Filter stays on top (the
+  * pruned plan's rows are a superset-filtered-to-equal set, so extra
+  * conjuncts still apply; semantics never depend on the extraction).
+  *
+  * Runs AFTER [[GraftSqlMergeRule]] in the same resolution batch, so a
+  * MERGE target is already folded into [[GraftMergeCommand]] (a leaf) by
+  * the time this rule sees the plan; a graft relation in the MERGE
+  * *source* resolves when the command analyzes it at execution — SELECT
+  * and MERGE compose (`MERGE … USING (SELECT … FROM graft_lake.`a`) s`).
+  */
+final class GraftSqlReadRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  import org.apache.spark.sql.types.StringType
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val KeyCols = Set("repo", "path")
+
+  private def rootOf(p: LogicalPlan): Option[String] = p match {
+    case u: UnresolvedRelation if u.multipartIdentifier.length == 2 &&
+        u.multipartIdentifier.head.equalsIgnoreCase("graft_lake") =>
+      Some(u.multipartIdentifier(1))
+    case _ => None
+  }
+
+  /** (root, rewrap) when `p` is a graft relation, possibly aliased. */
+  private def relation(p: LogicalPlan): Option[(String, LogicalPlan => LogicalPlan)] = p match {
+    case s @ SubqueryAlias(_, child) => rootOf(child).map(r => (r, (x: LogicalPlan) => s.copy(child = x)))
+    case other => rootOf(other).map(r => (r, identity[LogicalPlan] _))
+  }
+
+  private def readPlan(root: String): LogicalPlan =
+    ColumnBridge.analyzed(LakeTable.open(root).read(session))
+
+  /** key → literal from `repo = 'x'`-shaped conjuncts (either side). */
+  private def keyLiterals(cond: Expression): Map[String, String] = {
+    def lit(e: Expression): Option[String] = e match {
+      case Literal(v: UTF8String, StringType) => Some(v.toString)
+      case _ => None
+    }
+    def key(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute if KeyCols.contains(a.nameParts.last.toLowerCase) =>
+        Some(a.nameParts.last.toLowerCase)
+      case _ => None
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    conjuncts(cond).flatMap {
+      case EqualTo(l, r) =>
+        key(l).zip(lit(r)).orElse(key(r).zip(lit(l)))
+      case _ => None
+    }.toMap
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
+    case i: InsertIntoStatement if relation(i.table).isDefined =>
+      throw new UnsupportedOperationException(
+        "graft lake tables are written with MERGE INTO graft_lake.`<path>`, not INSERT")
+
+    // time travel: SELECT … FROM graft_lake.`x` VERSION AS OF <n>
+    case tt: RelationTimeTravel if relation(tt.relation).isDefined =>
+      val (root, rewrap) = relation(tt.relation).get
+      tt.version match {
+        case Some(v) if v.forall(_.isDigit) =>
+          rewrap(ColumnBridge.analyzed(LakeTable.open(root).readAt(session, v.toInt)))
+        case Some(v) =>
+          throw new UnsupportedOperationException(
+            s"graft VERSION AS OF takes an integer snapshot version, got '$v'")
+        case None =>
+          throw new UnsupportedOperationException(
+            "graft lake supports VERSION AS OF <int>, not TIMESTAMP AS OF")
+      }
+
+    // point read: both keys pinned to literals → bucket-pruned file set
+    case f @ Filter(cond, child) if relation(child).isDefined => {
+      val (root, rewrap) = relation(child).get
+      val keys = keyLiterals(cond)
+      val inner =
+        if (KeyCols.forall(keys.contains))
+          ColumnBridge.analyzed(LakeTable.open(root).lookup(session, keys("repo"), keys("path")))
+        else readPlan(root)
+      f.copy(child = rewrap(inner))
+    }
+
+    case p if relation(p).isDefined => {
+      val (root, rewrap) = relation(p).get
+      rewrap(readPlan(root))
+    }
+  }
+}
+
+/** `spark.sql.extensions` entry point. Order matters: the MERGE rule must
+  * claim its target relation before the read rule expands relations.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(_ => GraftSqlMergeRule)
+    ext.injectResolutionRule(s => new GraftSqlReadRule(s))
+  }
 }

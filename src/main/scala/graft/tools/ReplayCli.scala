@@ -15,6 +15,7 @@ import org.apache.spark.sql.functions._
   * ReplayCli gen    <logDir> <nEvents> [seed] [nFiles]
   * ReplayCli replay <logDir> <workDir> [cores] [saltBuckets] [numBuckets]
   * ReplayCli show   <workDir> [repo path]
+  * ReplayCli sql    <workDir> "SELECT … FROM $TABLE …"
   * }}}
   */
 object ReplayCli {
@@ -83,6 +84,15 @@ object ReplayCli {
       val removed = table.vacuum(olderThanMs = grace)
       println(s"[vacuum] expired snapshots=${expired.mkString(",")} " +
         s"orphan files removed=$removed head=v${table.head().version}")
+
+    // ad-hoc SQL over the work table: the statement sees it as
+    // graft_lake.`<workDir>/table` (read rule: SELECT/time travel/point
+    // pruning; merge rule: MERGE INTO). `$TABLE` expands to that name.
+    case "sql" :: workDir :: stmt :: Nil =>
+      val spark = Sessions.local(sys.env.getOrElse("GRAFT_CORES", "8").toInt, "graft-sql")
+      val q = stmt.replace("$TABLE", s"graft_lake.`$workDir/table`")
+      spark.sql(q).show(20, truncate = 48)
+      spark.stop()
 
     case "show" :: workDir :: rest =>
       val spark = Sessions.local(4, "graft-show")

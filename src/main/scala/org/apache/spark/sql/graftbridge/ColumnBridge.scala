@@ -15,4 +15,6 @@ object ColumnBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark, plan)
+  def analyzed(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[Dataset[org.apache.spark.sql.Row]].queryExecution.analyzed
 }

@@ -94,6 +94,69 @@ class SqlSpec extends SparkSpec {
     assert(e.getMessage.contains("graft MERGE INTO"), e.getMessage)
   }
 
+  test("SQL SELECT over graft_lake: full read, time travel, bucket-pruned point read") {
+    val base = tmpDir("sqlread")
+    val table = lake.LakeTable(s"$base/t", 8)
+    val rows = (1 to 40).map(i =>
+      (s"r${i % 5}", s"p$i", "I", i.toLong, Option(s"c$i"), Option("scala"),
+        Option(s"content-$i"), Option(i.toLong)))
+    table.merge(spark, rows.toDF(
+      "repo", "path", "op", "seq", "commit", "language", "content", "size_bytes"), 0L)
+    // v2: update one key, delete another
+    table.merge(spark, Seq(
+      ("r1", "p1", "U", 100L, Option("c9"), Option("scala"), Option("v2"), Option(9L)),
+      ("r2", "p2", "D", 100L, Option.empty[String], Option.empty[String],
+        Option.empty[String], Option.empty[Long]))
+      .toDF("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes"), 1L)
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("repo", "path").collect().map(_.toSeq).toSeq
+
+    // full SELECT ≡ Dataset read (aliased and bare)
+    assert(canon(spark.sql(s"SELECT * FROM graft_lake.`$base/t`")) === canon(table.read(spark)))
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_lake.`$base/t` AS t WHERE t.language='scala'")
+      .head().getLong(0) === 39L) // 40 - 1 deleted
+    // time travel ≡ readAt
+    assert(canon(spark.sql(s"SELECT * FROM graft_lake.`$base/t` VERSION AS OF 1"))
+      === canon(table.readAt(spark, 1)))
+    // point read: correct row AND a pruned file set (scans 1 bucket, not 8)
+    val point = spark.sql(
+      s"SELECT content FROM graft_lake.`$base/t` WHERE repo = 'r1' AND path = 'p1'")
+    assert(point.as[String].collect().toSeq === Seq("v2"))
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      val plans = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s.relation.location.inputFiles.length.toLong
+      }
+      plans.sum
+    }
+    val full = spark.sql(s"SELECT content FROM graft_lake.`$base/t`")
+    assert(scannedFiles(point) < scannedFiles(full),
+      s"point read must enumerate fewer files (${scannedFiles(point)} vs ${scannedFiles(full)})")
+    // INSERT INTO is rejected with guidance
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft_lake.`$base/t` VALUES ('r','p')")
+    }
+    assert(e.getMessage.contains("MERGE INTO"), e.getMessage)
+  }
+
+  test("MERGE INTO composes with a graft_lake SELECT source") {
+    val base = tmpDir("sqlcompose")
+    val src = lake.LakeTable(s"$base/src", 4)
+    val dst = lake.LakeTable(s"$base/dst", 4)
+    val rows = Seq(
+      ("r1", "p1", "I", 1L, Option("c1"), Option("scala"), Option("a"), Option(1L)),
+      ("r2", "p2", "I", 2L, Option("c2"), Option("java"), Option("b"), Option(2L)))
+      .toDF("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes")
+    src.merge(spark, rows, 0L)
+    spark.sql(
+      s"""MERGE INTO graft_lake.`$base/dst` AS t
+         |USING (SELECT repo, path, 'I' AS op, seq, commit, language, content, size_bytes
+         |       FROM graft_lake.`$base/src`) AS s
+         |ON t.repo = s.repo AND t.path = s.path
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(dst.read(spark).count() === 2L)
+  }
+
   test("lww aggregate callable from SQL via registered function") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lww", exprs => graft.cdc.LwwAgg(exprs(0), exprs(1)).toAggregateExpression(),
