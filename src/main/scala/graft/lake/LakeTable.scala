@@ -313,6 +313,45 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     liveRows(readFiles(spark, filesOf(snap)), snap.mode)
   }
 
+  /** Change-data-feed: one row per key whose LIVE state differs between
+    * snapshot `fromVersion` and snapshot `toVersion`, with `op` ∈ I/U/D —
+    * I/U rows carry the after-image, D rows the before-image (so a
+    * downstream consumer can retract). The incremental-read primitive for
+    * derived pipelines: re-process only what changed, never the table.
+    *
+    * IO is proportional to CHANGED buckets, not table size: a bucket whose
+    * manifest reference is identical in both snapshots cannot differ
+    * (manifests are immutable), so only differing buckets are read and
+    * diffed — a full-outer equi-join on key comparing `seq`. Compaction
+    * rewrites manifests without changing live state; those buckets are
+    * re-read but diff to zero rows (seq per key unchanged), never false
+    * changes. Cost at scale: 2 scans of the touched buckets + one
+    * key-partitioned shuffle (AQE handles skew), O(changed data).
+    */
+  def changesBetween(spark: SparkSession, fromVersion: Int, toVersion: Int): DataFrame = {
+    require(fromVersion < toVersion,
+      s"changesBetween: fromVersion $fromVersion must be < toVersion $toVersion")
+    val sFrom = readSnapshot(metaDir.resolve(s"v$fromVersion.json"))
+    val sTo = readSnapshot(metaDir.resolve(s"v$toVersion.json"))
+    val refsFrom = sFrom.manifests.map(r => r.bucket -> r).toMap
+    val refsTo = sTo.manifests.map(r => r.bucket -> r).toMap
+    val changed = (refsFrom.keySet ++ refsTo.keySet).toSeq.sorted
+      .filter(b => refsFrom.get(b) != refsTo.get(b))
+    val before = liveRows(readFiles(spark, changed.flatMap(filesOf(sFrom, _))), sFrom.mode)
+    val after = liveRows(readFiles(spark, changed.flatMap(filesOf(sTo, _))), sTo.mode)
+    val beforeRenamed = payloadCols.foldLeft(before)(
+      (d, c) => d.withColumnRenamed(c, s"_b_$c"))
+    after.join(beforeRenamed, Seq("repo", "path"), "full_outer")
+      .withColumn("op",
+        when(col("_b_seq").isNull, lit("I"))
+          .when(col("seq").isNull, lit("D"))
+          .when(col("seq") =!= col("_b_seq"), lit("U")))
+      .filter(col("op").isNotNull)
+      .select(Seq(col("op"), col("repo"), col("path")) ++
+        payloadCols.map(c =>
+          when(col("op") === "D", col(s"_b_$c")).otherwise(col(c)).as(c)): _*)
+  }
+
   /** All snapshot versions present in meta/ (ascending). */
   def versions(): Seq[Int] =
     scala.util.Using.resource(Files.list(metaDir)) { stream =>

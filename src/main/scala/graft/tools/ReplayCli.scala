@@ -94,6 +94,17 @@ object ReplayCli {
       spark.sql(q).show(20, truncate = 48)
       spark.stop()
 
+    // change-data-feed between two snapshots (incremental read)
+    case "changes" :: workDir :: from :: to :: Nil =>
+      val spark = Sessions.local(sys.env.getOrElse("GRAFT_CORES", "8").toInt, "graft-changes")
+      val feed = LakeTable.open(s"$workDir/table")
+        .changesBetween(spark, from.toInt, to.toInt).cache()
+      val byOp = feed.groupBy("op").count().collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+      println(s"[changes] v$from→v$to rows=${feed.count()} $byOp")
+      feed.orderBy(desc("seq")).show(10, truncate = 40)
+      spark.stop()
+
     case "show" :: workDir :: rest =>
       val spark = Sessions.local(4, "graft-show")
       val table = LakeTable(s"$workDir/table")

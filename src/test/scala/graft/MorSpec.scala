@@ -169,4 +169,49 @@ class MorSpec extends SparkSpec {
     // below threshold now: a second pass is a no-op
     assert(table.compactBuckets(spark, maxFilesPerBucket = 4) === 0)
   }
+
+  test("change feed: I/U/D with before-image deletes, identical in COW and MOR") {
+    val cols = Seq("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes")
+    val feeds = Seq(LakeTable.Cow, LakeTable.Mor).map { mode =>
+      val table = LakeTable(tmpDir(s"cdf-$mode") + "/t", numBuckets = 8, mode)
+      table.merge(spark, Seq(
+        ("r1", "p1", "I", 10L, "c1", "scala", "a", Option(1L)),
+        ("r2", "p2", "I", 20L, "c2", "java", "b", Option(2L)),
+        ("r3", "p3", "I", 30L, "c3", "go", "c", Option(3L))).toDF(cols: _*), 0L)
+      table.merge(spark, Seq(
+        ("r1", "p1", "U", 100L, "c9", "scala", "a2", Option(9L)), // update
+        ("r2", "p2", "D", 100L, null, null, null, Option.empty[Long]), // delete
+        ("r4", "p4", "I", 40L, "c4", "rs", "d", Option(4L))).toDF(cols: _*), 1L) // insert
+      table.changesBetween(spark, 1, 2)
+        .select("op", "repo", "content", "seq")
+        .as[(String, String, String, Long)].collect().toSet
+    }
+    val expected = Set(
+      ("U", "r1", "a2", 100L),
+      ("D", "r2", "b", 20L), // before-image: content and seq from v1
+      ("I", "r4", "d", 40L))
+    assert(feeds.head === expected)
+    assert(feeds(1) === expected, "MOR feed must equal COW feed")
+  }
+
+  test("change feed reads only buckets whose manifests changed") {
+    val cols = Seq("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes")
+    val table = LakeTable(tmpDir("cdf-prune") + "/t", numBuckets = 16)
+    val wide = (1 to 64).map(i =>
+      ("r" + i, "p" + i, "I", i.toLong, "c", "scala", "x" * 10, Option(10L)))
+    table.merge(spark, wide.toDF(cols: _*), 0L)
+    table.merge(spark, Seq(("r1", "p1", "U", 1000L, "c9", "scala", "y", Option(1L)))
+      .toDF(cols: _*), 1L)
+    def scanned(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.inputFiles.length.toLong
+      }.sum
+    val feed = table.changesBetween(spark, 1, 2)
+    assert(feed.select("op", "repo").as[(String, String)].collect().toSeq
+      === Seq(("U", "r1")))
+    // both sides together must enumerate ≪ 2 × the full file set
+    assert(scanned(feed) < scanned(table.read(spark)),
+      s"feed scanned ${scanned(feed)} files vs full ${scanned(table.read(spark))}")
+  }
 }
