@@ -325,8 +325,7 @@ object Queries {
 
     // Word-trigram repetition ratio (boilerplate/spam signal)
     "t6_repetition" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
-        TextOps.repetitionRatio(col("text"), n = 3).as("rep_ratio"))),
+      TextOps.repetition(t(s, d, "documents"), "doc_id", "text", n = 3)),
 
     // Spark-only (no SQL oracle): heuristic scores
     "t3_langid" -> ((s, d) =>

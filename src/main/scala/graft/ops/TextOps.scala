@@ -54,6 +54,25 @@ object TextOps {
       size(sh).cast("double"), 6)
   }
 
+  /** DataFrame-shaped [[repetitionRatio]]: (idCol, rep_ratio). The split
+    * and shingle arrays are hoisted into their own projections so each is
+    * computed ONCE per row — the single-Column form inlines `split` into
+    * the transform lambda where codegen subexpression elimination is off,
+    * re-splitting the text per shingle (measured ~10× on this op; same
+    * CollapseProject non-cheap-expression guard DedupOps relies on).
+    */
+  def repetition(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val ws = col("ws")
+    df.select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("ws"))
+      .select(col(idCol),
+        when(size(ws) < n, array(concat_ws(" ", ws)))
+          .otherwise(transform(sequence(lit(0), size(ws) - n),
+            i => concat_ws(" ", slice(ws, i + 1, lit(n))))).as("sh"))
+      .select(col(idCol),
+        round(lit(1.0) - size(array_distinct(col("sh"))).cast("double") /
+          size(col("sh")).cast("double"), 6).as("rep_ratio"))
+  }
+
   /** Stopword profiles for the n-gram/stopword language-ID heuristic. */
   val langProfiles: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
