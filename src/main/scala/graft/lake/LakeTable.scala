@@ -415,6 +415,23 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
             updateColumns: Option[Seq[String]]): MergeStats =
     merge(spark, batch, batchId, updateColumns, retries = 3)
 
+  /** Cardinality guard: a COW merge with DUPLICATE source keys would emit
+    * one output row per (target × duplicate) join pair — silent state
+    * corruption. Iceberg raises the same error. One hash-aggregate over
+    * the batch (map-side combined, O(batch) ≪ the bucket rewrite); callers
+    * whose batches are deduped by construction (the Tailer: LwwAgg groupBy
+    * key) skip it via `srcKeyUnique = true`.
+    */
+  private def requireUniqueKeys(src: DataFrame): Unit = {
+    val dup = src.groupBy("repo", "path").count()
+      .filter(col("count") > 1).limit(1).collect()
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(
+        s"MERGE cardinality violation: ${dup.head.getLong(2)} source rows share key " +
+          s"(${dup.head.getString(0)}, ${dup.head.getString(1)}) — LWW-dedupe the batch " +
+          "first (e.g. Dedupe.lwwTyped) or pass srcKeyUnique=true if deduped by construction")
+  }
+
   /** Multi-writer arbitration (optimistic): a lost HEAD CAS triggers
     *  - '''manifest rebase''' when every writer that won in between left
     *    OUR touched buckets alone (e.g. compaction is conflicting; merges
@@ -429,15 +446,19 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     * no collisions).
     */
   def merge(spark: SparkSession, batch: DataFrame, batchId: Long,
-            updateColumns: Option[Seq[String]], retries: Int): MergeStats = {
+            updateColumns: Option[Seq[String]], retries: Int,
+            srcKeyUnique: Boolean = false): MergeStats = {
     val h0 = head()
     if (batchId <= h0.lastBatchId)
       return MergeStats(applied = false, h0.version, 0L, 0, h0.totalRows)
     if (h0.mode == Mor) {
       require(updateColumns.isEmpty,
         "column-subset merge needs the target row — COW mode only")
+      // duplicate keys per append batch are sound in MOR (log semantics:
+      // read-time LWW resolves) — no cardinality requirement
       return mergeAppend(spark, batch, batchId, h0, retries)
     }
+    if (!srcKeyUnique) requireUniqueKeys(batch)
 
     val src = batch.withColumn("_b", bucketExpr).persist()
     try {
@@ -624,6 +645,14 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     // re-alias after withColumn (a Project strips the subquery alias)
     val src = source.withColumn("_s_exists", lit(true)).alias(sAlias).persist()
     try {
+      // ANSI/Iceberg MERGE cardinality rule: >1 source row per key would
+      // update the same target row twice — nondeterministic; reject.
+      val dup = src.groupBy(expr(srcKeySql("repo")).as("_r"), expr(srcKeySql("path")).as("_p"))
+        .count().filter(col("count") > 1).limit(1).collect()
+      if (dup.nonEmpty)
+        throw new IllegalArgumentException(
+          s"MERGE cardinality violation: ${dup.head.getLong(2)} source rows share key " +
+            s"(${dup.head.get(0)}, ${dup.head.get(1)}) — aggregate the source to one row per key")
       val touched = src
         .select(pmod(hash(expr(srcKeySql("repo")), expr(srcKeySql("path"))),
           lit(numBuckets)).as("_b"))

@@ -83,7 +83,8 @@ object Tailer {
     val deduped = Normalize(dedupedRaw).select(mergeCols.map(col): _*)
 
     val t0 = System.nanoTime()
-    val stats = table.merge(spark, deduped, batchId)
+    val stats = table.merge(spark, deduped, batchId, updateColumns = None,
+      retries = 3, srcKeyUnique = true) // LwwAgg groupBy key ⇒ unique by construction
     // periodic INCREMENTAL compaction keeps MOR read amplification bounded
     // (folds duplicate key versions in buckets whose manifests exceed the
     // file threshold — O(selected buckets), manifest-stats driven;
