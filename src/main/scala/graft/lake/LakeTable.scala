@@ -352,6 +352,29 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
           when(col("op") === "D", col(s"_b_$c")).otherwise(col(c)).as(c)): _*)
   }
 
+  /** Drain new changes since the durable cursor: if the head has advanced
+    * past the cursor's last-processed version, returns (fromV, toV, feed)
+    * and a `commit()` that atomically advances the cursor — the consumer
+    * calls it AFTER its own output is durable, giving at-least-once
+    * delivery with exactly-once effect when the downstream apply is
+    * idempotent (which [[changesBetween]]'s keyed I/U/D rows make trivial:
+    * upserts/deletes by key re-apply harmlessly). A missing cursor file
+    * starts from version 0 (full history as one feed). Crash between
+    * callback and commit ⇒ the same window is re-delivered, never skipped.
+    */
+  def drainChanges(spark: SparkSession, cursorFile: Path): Option[ChangeWindow] = {
+    val from =
+      if (Files.exists(cursorFile)) Files.readString(cursorFile).trim.toInt else 0
+    val to = head().version
+    if (to <= from) None
+    else Some(ChangeWindow(from, to, changesBetween(spark, from, to), () => {
+      val tmp = cursorFile.resolveSibling(s".${cursorFile.getFileName}.tmp")
+      Files.writeString(tmp, to.toString)
+      Files.move(tmp, cursorFile, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }))
+  }
+
   /** All snapshot versions present in meta/ (ascending). */
   def versions(): Seq[Int] =
     scala.util.Using.resource(Files.list(metaDir)) { stream =>
@@ -389,6 +412,10 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
   }
 
   // --- MERGE ---------------------------------------------------------------
+
+  /** One drained change window: the feed plus a cursor-advance callback. */
+  final case class ChangeWindow(fromVersion: Int, toVersion: Int,
+                                feed: DataFrame, commit: () => Unit)
 
   final case class MergeStats(applied: Boolean, version: Int, srcRows: Long,
                               touchedBuckets: Int, rowsAfter: Long)

@@ -94,6 +94,21 @@ object ReplayCli {
       spark.sql(q).show(20, truncate = 48)
       spark.stop()
 
+    // drain changes since the durable cursor (incremental consumer step):
+    // prints the window, then advances <workDir>/cdf.cursor atomically
+    case "drain" :: workDir :: Nil =>
+      val spark = Sessions.local(sys.env.getOrElse("GRAFT_CORES", "8").toInt, "graft-drain")
+      LakeTable.open(s"$workDir/table")
+        .drainChanges(spark, java.nio.file.Paths.get(workDir, "cdf.cursor")) match {
+        case Some(w) =>
+          val n = w.feed.count()
+          println(s"[drain] v${w.fromVersion}→v${w.toVersion} rows=$n")
+          w.feed.orderBy(desc("seq")).show(5, truncate = 40)
+          w.commit()
+        case None => println("[drain] up to date")
+      }
+      spark.stop()
+
     // change-data-feed between two snapshots (incremental read)
     case "changes" :: workDir :: from :: to :: Nil =>
       val spark = Sessions.local(sys.env.getOrElse("GRAFT_CORES", "8").toInt, "graft-changes")

@@ -121,6 +121,33 @@ class LakeModelSpec extends SparkSpec {
         === stateAt(last), s"CDF v$first→v$last [$mode]")
     }
 
+  test("drainChanges: cursor advances only on commit; windows never skip or overlap") {
+    val base = tmpDir("drain")
+    val table = LakeTable(s"$base/t", 4)
+    val cursor = java.nio.file.Paths.get(base, "cdf.cursor")
+    def mk(r: String, s: Long, op: String = "I") =
+      (r, "p", op, s, s"c$s", "scala", s"v$s", Option(s))
+    table.merge(spark, Seq(mk("r1", 1), mk("r2", 2)).toDF(cols: _*), 0L)
+
+    // window 1: full history from v0; re-drain BEFORE commit re-delivers
+    val w1 = table.drainChanges(spark, cursor).get
+    assert((w1.fromVersion, w1.toVersion) === ((0, 1)))
+    assert(w1.feed.count() === 2)
+    val w1again = table.drainChanges(spark, cursor).get // crashed consumer
+    assert((w1again.fromVersion, w1again.toVersion) === ((0, 1)))
+    w1.commit()
+    assert(table.drainChanges(spark, cursor).isEmpty, "up to date after commit")
+
+    // window 2: only the delta
+    table.merge(spark, Seq(mk("r1", 10, "U"), mk("r3", 3)).toDF(cols: _*), 1L)
+    val w2 = table.drainChanges(spark, cursor).get
+    assert((w2.fromVersion, w2.toVersion) === ((1, 2)))
+    assert(w2.feed.select("op", "repo").as[(String, String)].collect().toSet
+      === Set(("U", "r1"), ("I", "r3")))
+    w2.commit()
+    assert(table.drainChanges(spark, cursor).isEmpty)
+  }
+
   test("COW merge rejects duplicate source keys (cardinality violation); MOR accepts") {
     val dupBatch = Seq(
       ("r", "p", "I", 1L, "c1", "scala", "a", Option(1L)),
