@@ -322,15 +322,24 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     * IO is proportional to CHANGED buckets, not table size: a bucket whose
     * manifest reference is identical in both snapshots cannot differ
     * (manifests are immutable), so only differing buckets are read and
-    * diffed — a full-outer equi-join on key comparing `seq`. Compaction
-    * rewrites manifests without changing live state; those buckets are
-    * re-read but diff to zero rows (seq per key unchanged), never false
-    * changes. Cost at scale: 2 scans of the touched buckets + one
-    * key-partitioned shuffle (AQE handles skew), O(changed data).
+    * diffed — a full-outer equi-join on key. A row is an update when ANY
+    * payload column differs (null-safe), not just `seq`: a SQL MERGE
+    * UPDATE clause may mutate payload while leaving seq unassigned, and
+    * those rows must still reach the feed. Compaction rewrites manifests
+    * without changing live state; those buckets are re-read but diff to
+    * zero rows, never false changes. Cost at scale: 2 scans of the touched
+    * buckets + one key-partitioned shuffle (AQE handles skew).
     */
   def changesBetween(spark: SparkSession, fromVersion: Int, toVersion: Int): DataFrame = {
     require(fromVersion < toVersion,
       s"changesBetween: fromVersion $fromVersion must be < toVersion $toVersion")
+    Seq(fromVersion, toVersion).foreach { v =>
+      if (!Files.exists(metaDir.resolve(s"v$v.json")))
+        throw new IllegalStateException(
+          s"changesBetween: snapshot v$v has been expired (oldest retained: " +
+            s"v${versions().headOption.getOrElse(-1)}) — incremental history is gone; " +
+            "bootstrap the consumer with a full read() and seed its cursor at head")
+    }
     val sFrom = readSnapshot(metaDir.resolve(s"v$fromVersion.json"))
     val sTo = readSnapshot(metaDir.resolve(s"v$toVersion.json"))
     val refsFrom = sFrom.manifests.map(r => r.bucket -> r).toMap
@@ -341,11 +350,14 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     val after = liveRows(readFiles(spark, changed.flatMap(filesOf(sTo, _))), sTo.mode)
     val beforeRenamed = payloadCols.foldLeft(before)(
       (d, c) => d.withColumnRenamed(c, s"_b_$c"))
+    val payloadDiffers = payloadCols
+      .map(c => !(col(c) <=> col(s"_b_$c")))
+      .reduce(_ || _)
     after.join(beforeRenamed, Seq("repo", "path"), "full_outer")
       .withColumn("op",
         when(col("_b_seq").isNull, lit("I"))
           .when(col("seq").isNull, lit("D"))
-          .when(col("seq") =!= col("_b_seq"), lit("U")))
+          .when(payloadDiffers, lit("U")))
       .filter(col("op").isNotNull)
       .select(Seq(col("op"), col("repo"), col("path")) ++
         payloadCols.map(c =>
@@ -361,6 +373,9 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     * upserts/deletes by key re-apply harmlessly). A missing cursor file
     * starts from version 0 (full history as one feed). Crash between
     * callback and commit ⇒ the same window is re-delivered, never skipped.
+    * If the cursor (or v0) predates the oldest RETAINED snapshot —
+    * expireSnapshots ran — [[changesBetween]] fails with bootstrap
+    * guidance rather than silently skipping history.
     */
   def drainChanges(spark: SparkSession, cursorFile: Path): Option[ChangeWindow] = {
     val from =
@@ -449,14 +464,14 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     * whose batches are deduped by construction (the Tailer: LwwAgg groupBy
     * key) skip it via `srcKeyUnique = true`.
     */
-  private def requireUniqueKeys(src: DataFrame): Unit = {
-    val dup = src.groupBy("repo", "path").count()
+  private[lake] def requireUniqueKeys(src: DataFrame, keyRepo: Column, keyPath: Column,
+                                      hint: String): Unit = {
+    val dup = src.groupBy(keyRepo.as("_r"), keyPath.as("_p")).count()
       .filter(col("count") > 1).limit(1).collect()
     if (dup.nonEmpty)
       throw new IllegalArgumentException(
         s"MERGE cardinality violation: ${dup.head.getLong(2)} source rows share key " +
-          s"(${dup.head.getString(0)}, ${dup.head.getString(1)}) — LWW-dedupe the batch " +
-          "first (e.g. Dedupe.lwwTyped) or pass srcKeyUnique=true if deduped by construction")
+          s"(${dup.head.get(0)}, ${dup.head.get(1)}) — $hint")
   }
 
   /** Multi-writer arbitration (optimistic): a lost HEAD CAS triggers
@@ -485,10 +500,13 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
       // read-time LWW resolves) — no cardinality requirement
       return mergeAppend(spark, batch, batchId, h0, retries)
     }
-    if (!srcKeyUnique) requireUniqueKeys(batch)
-
     val src = batch.withColumn("_b", bucketExpr).persist()
     try {
+      // guard runs on the PERSISTED frame so its job warms the cache the
+      // touched-bucket/rewrite jobs reuse (not a second lineage recompute)
+      if (!srcKeyUnique) requireUniqueKeys(src, col("repo"), col("path"),
+        "LWW-dedupe the batch first (e.g. Dedupe.lwwTyped) or pass srcKeyUnique=true " +
+          "if deduped by construction")
       // one job yields both the touched-bucket set and the source row count
       val bucketCounts = src.groupBy("_b").count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -562,7 +580,8 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
             return MergeStats(applied = false, h1.version, 0L, 0, h1.totalRows)
           val conflict = touched.exists(b => refOf(base, b) != refOf(h1, b))
           if (conflict) // our rows derive from stale buckets → recompute
-            return merge(spark, batch, batchId, updateColumns, attempts)
+            return merge(spark, batch, batchId, updateColumns, attempts,
+              srcKeyUnique = true) // already validated on the first attempt
           base = h1 // disjoint: pure manifest rebase
         }
       }
@@ -674,12 +693,8 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     try {
       // ANSI/Iceberg MERGE cardinality rule: >1 source row per key would
       // update the same target row twice — nondeterministic; reject.
-      val dup = src.groupBy(expr(srcKeySql("repo")).as("_r"), expr(srcKeySql("path")).as("_p"))
-        .count().filter(col("count") > 1).limit(1).collect()
-      if (dup.nonEmpty)
-        throw new IllegalArgumentException(
-          s"MERGE cardinality violation: ${dup.head.getLong(2)} source rows share key " +
-            s"(${dup.head.get(0)}, ${dup.head.get(1)}) — aggregate the source to one row per key")
+      requireUniqueKeys(src, expr(srcKeySql("repo")), expr(srcKeySql("path")),
+        "aggregate the source to one row per key")
       val touched = src
         .select(pmod(hash(expr(srcKeySql("repo")), expr(srcKeySql("path"))),
           lit(numBuckets)).as("_b"))

@@ -63,12 +63,7 @@ object DedupOps {
     fanOut(df).select(col(idCol).as("id"),
       split(lower(trim(col(textCol))), "\\s+").as("ws"))
 
-  private def shingleArr(n: Int) = {
-    val ws = col("ws")
-    when(size(ws) < n, array(concat_ws(" ", ws)))
-      .otherwise(transform(sequence(lit(0), size(ws) - n),
-        i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
-  }
+  private def shingleArr(n: Int) = TextOps.shingleArrOf(col("ws"), n)
 
   /** Doc → exploded distinct shingles (the inverted-index postings),
     * tokenized to 60-bit hashes at the boundary: every downstream
@@ -280,24 +275,26 @@ object DedupOps {
     * (eval answers leaking into training data inflate benchmark scores).
     *
     * Output: (doc_id, n_shared, n_sh, overlap_frac) for contaminated
-    * NON-benchmark docs only. Shape: corpus postings ⋈ distinct benchmark
-    * n-grams — the benchmark side is eval-suite-sized (tiny vs corpus), so
-    * AQE broadcasts it and the corpus side never shuffles; work is one
-    * linear scan + a hash-aggregate on the (rare) matching postings.
-    * N-grams are compared as 60-bit md5 tokens (8-byte join keys); the
-    * DuckDB oracle intersects the true strings, so a 2^-60 collision fails
-    * the gate loudly instead of hiding.
+    * NON-benchmark docs only. Shape: corpus postings LEFT ⋈ distinct
+    * benchmark n-grams — the benchmark side is eval-suite-sized (tiny vs
+    * corpus) so AQE broadcasts it and the corpus side never shuffles; ONE
+    * shingle pass feeds one hash-aggregate producing both the per-doc
+    * total and matched posting counts (a separate shingleCounts join would
+    * shingle the whole corpus a second time just to annotate the rare
+    * hits). N-grams are compared as 60-bit md5 tokens (8-byte join keys);
+    * the DuckDB oracle intersects the true strings, so a 2^-60 collision
+    * fails the gate loudly instead of hiding.
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     idCol: String, textCol: String, n: Int = 5): DataFrame = {
     val contaminated = postings(benchmark, idCol, textCol, n)
-      .select("shingle").distinct()
+      .select("shingle").distinct().withColumn("_hit", lit(true))
     postings(corpus, idCol, textCol, n)
-      .join(contaminated, "shingle")
+      .join(contaminated, Seq("shingle"), "left")
       .groupBy(col("id").as(idCol))
-      .agg(count(lit(1)).as("n_shared")) // postings are per-doc distinct
-      .join(shingleCounts(corpus, idCol, textCol, n)
-        .select(col("id").as(idCol), col("n_sh")), idCol)
+      .agg(count(col("_hit")).as("n_shared"), // postings are per-doc distinct
+        count(lit(1)).as("n_sh"))
+      .filter(col("n_shared") > 0)
       .withColumn("overlap_frac",
         round(col("n_shared").cast("double") / col("n_sh"), 6))
   }

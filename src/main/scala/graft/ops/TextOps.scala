@@ -33,14 +33,21 @@ object TextOps {
   def fingerprint64(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
-  /** Word n-gram shingles (default 3) as an array column. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val words = split(lower(trim(text)), "\\s+")
+  /** Shingle array over a PRE-SPLIT words column — THE one definition of
+    * word n-grams (DedupOps and the DuckDB oracles mirror it; `<n` words
+    * fall back to a single whole-text shingle). Callers should project the
+    * split into its own column first (see [[repetition]]): inlining
+    * `split` here re-splits once per shingle inside the transform lambda.
+    */
+  def shingleArrOf(words: Column, n: Int): Column =
     when(size(words) < n, array(concat_ws(" ", words)))
       .otherwise(transform(
         sequence(lit(0), size(words) - n),
         i => concat_ws(" ", slice(words, i + 1, lit(n)))))
-  }
+
+  /** Word n-gram shingles (default 3) as an array column. */
+  def shingles(text: Column, n: Int = 3): Column =
+    shingleArrOf(split(lower(trim(text)), "\\s+"), n)
 
   /** Word n-gram repetition ratio in [0,1): 1 − distinct/total n-grams.
     * The standard boilerplate/spam signal (MassiveText-style repetition
@@ -61,17 +68,12 @@ object TextOps {
     * re-splitting the text per shingle (measured ~10× on this op; same
     * CollapseProject non-cheap-expression guard DedupOps relies on).
     */
-  def repetition(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val ws = col("ws")
+  def repetition(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     df.select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("ws"))
-      .select(col(idCol),
-        when(size(ws) < n, array(concat_ws(" ", ws)))
-          .otherwise(transform(sequence(lit(0), size(ws) - n),
-            i => concat_ws(" ", slice(ws, i + 1, lit(n))))).as("sh"))
+      .select(col(idCol), shingleArrOf(col("ws"), n).as("sh"))
       .select(col(idCol),
         round(lit(1.0) - size(array_distinct(col("sh"))).cast("double") /
           size(col("sh")).cast("double"), 6).as("rep_ratio"))
-  }
 
   /** Stopword profiles for the n-gram/stopword language-ID heuristic. */
   val langProfiles: Map[String, Seq[String]] = Map(

@@ -216,23 +216,30 @@ final class GraftSqlReadRule(session: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** (root, rewrap) when `p` is a graft relation, possibly aliased. */
-  private def relation(p: LogicalPlan): Option[(String, LogicalPlan => LogicalPlan)] = p match {
-    case s @ SubqueryAlias(_, child) => rootOf(child).map(r => (r, (x: LogicalPlan) => s.copy(child = x)))
-    case other => rootOf(other).map(r => (r, identity[LogicalPlan] _))
+  /** (root, alias, rewrap) when `p` is a graft relation, possibly aliased. */
+  private def relation(p: LogicalPlan): Option[(String, Option[String], LogicalPlan => LogicalPlan)] = p match {
+    case s @ SubqueryAlias(_, child) =>
+      rootOf(child).map(r => (r, Some(s.alias), (x: LogicalPlan) => s.copy(child = x)))
+    case other => rootOf(other).map(r => (r, None, identity[LogicalPlan] _))
   }
 
   private def readPlan(root: String): LogicalPlan =
     ColumnBridge.analyzed(LakeTable.open(root).read(session))
 
-  /** key → literal from `repo = 'x'`-shaped conjuncts (either side). */
-  private def keyLiterals(cond: Expression): Map[String, String] = {
+  /** key → literal from `repo = 'x'`-shaped conjuncts (either side). The
+    * attribute must be unqualified or qualified by THIS relation's alias:
+    * a correlated conjunct like `o.repo = 'r1'` constrains the OUTER table
+    * and must not trigger pruning of this one.
+    */
+  private def keyLiterals(cond: Expression, alias: Option[String]): Map[String, String] = {
     def lit(e: Expression): Option[String] = e match {
       case Literal(v: UTF8String, StringType) => Some(v.toString)
       case _ => None
     }
     def key(e: Expression): Option[String] = e match {
-      case a: UnresolvedAttribute if KeyCols.contains(a.nameParts.last.toLowerCase) =>
+      case a: UnresolvedAttribute if KeyCols.contains(a.nameParts.last.toLowerCase) &&
+          (a.nameParts.length == 1 ||
+            (a.nameParts.length == 2 && alias.exists(_.equalsIgnoreCase(a.nameParts.head)))) =>
         Some(a.nameParts.last.toLowerCase)
       case _ => None
     }
@@ -254,7 +261,7 @@ final class GraftSqlReadRule(session: SparkSession) extends Rule[LogicalPlan] {
 
     // time travel: SELECT … FROM graft_lake.`x` VERSION AS OF <n>
     case tt: RelationTimeTravel if relation(tt.relation).isDefined =>
-      val (root, rewrap) = relation(tt.relation).get
+      val (root, _, rewrap) = relation(tt.relation).get
       tt.version match {
         case Some(v) if v.forall(_.isDigit) =>
           rewrap(ColumnBridge.analyzed(LakeTable.open(root).readAt(session, v.toInt)))
@@ -268,8 +275,8 @@ final class GraftSqlReadRule(session: SparkSession) extends Rule[LogicalPlan] {
 
     // point read: both keys pinned to literals → bucket-pruned file set
     case f @ Filter(cond, child) if relation(child).isDefined => {
-      val (root, rewrap) = relation(child).get
-      val keys = keyLiterals(cond)
+      val (root, alias, rewrap) = relation(child).get
+      val keys = keyLiterals(cond, alias)
       val inner =
         if (KeyCols.forall(keys.contains))
           ColumnBridge.analyzed(LakeTable.open(root).lookup(session, keys("repo"), keys("path")))
@@ -278,7 +285,7 @@ final class GraftSqlReadRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
 
     case p if relation(p).isDefined => {
-      val (root, rewrap) = relation(p).get
+      val (root, _, rewrap) = relation(p).get
       rewrap(readPlan(root))
     }
   }

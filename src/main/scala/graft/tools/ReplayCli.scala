@@ -14,8 +14,12 @@ import org.apache.spark.sql.functions._
   * {{{
   * ReplayCli gen    <logDir> <nEvents> [seed] [nFiles]
   * ReplayCli replay <logDir> <workDir> [cores] [saltBuckets] [numBuckets]
-  * ReplayCli show   <workDir> [repo path]
-  * ReplayCli sql    <workDir> "SELECT … FROM $TABLE …"
+  * ReplayCli show    <workDir> [repo path]
+  * ReplayCli sql     <workDir> "SELECT … FROM $TABLE …"
+  * ReplayCli changes <workDir> <fromVersion> <toVersion>
+  * ReplayCli drain   <workDir>
+  * ReplayCli compact <workDir> [gc]
+  * ReplayCli vacuum  <workDir> [keepLast] [graceMs]
   * }}}
   */
 object ReplayCli {
@@ -101,9 +105,9 @@ object ReplayCli {
       LakeTable.open(s"$workDir/table")
         .drainChanges(spark, java.nio.file.Paths.get(workDir, "cdf.cursor")) match {
         case Some(w) =>
-          val n = w.feed.count()
-          println(s"[drain] v${w.fromVersion}→v${w.toVersion} rows=$n")
-          w.feed.orderBy(desc("seq")).show(5, truncate = 40)
+          val feed = w.feed.cache()
+          println(s"[drain] v${w.fromVersion}→v${w.toVersion} rows=${feed.count()}")
+          feed.orderBy(desc("seq")).show(5, truncate = 40)
           w.commit()
         case None => println("[drain] up to date")
       }
@@ -139,7 +143,8 @@ object ReplayCli {
       spark.stop()
 
     case _ =>
-      System.err.println("usage: ReplayCli gen|replay|show ...")
+      System.err.println(
+        "usage: ReplayCli gen|replay|show|sql|changes|drain|compact|vacuum ... (see scaladoc)")
       sys.exit(2)
   }
 }

@@ -163,6 +163,38 @@ class LakeModelSpec extends SparkSpec {
       Map(("r", "p") -> ((2L, "c2", "scala", "b", Some(2L)))))
   }
 
+  test("change feed catches seq-preserving payload updates (SQL MERGE SET content)") {
+    val base = tmpDir("cdf-seqless")
+    val table = LakeTable(s"$base/t", 4)
+    table.merge(spark, Seq(("r", "p", "I", 5L, "c1", "scala", "old", Option(1L)))
+      .toDF(cols: _*), 0L)
+    // SQL UPDATE that assigns content but NOT seq: live state changes while
+    // seq stays 5 — the feed must still emit a U row
+    Seq(("r", "p")).toDF("repo", "path").createOrReplaceTempView("touch")
+    spark.sql(
+      s"""MERGE INTO graft_lake.`$base/t` AS t USING touch AS s
+         |ON t.repo = s.repo AND t.path = s.path
+         |WHEN MATCHED THEN UPDATE SET content = 'new'""".stripMargin)
+    val feed = table.changesBetween(spark, 1, 2)
+      .select("op", "repo", "content", "seq")
+      .as[(String, String, String, Long)].collect().toSeq
+    assert(feed === Seq(("U", "r", "new", 5L)),
+      s"seq-preserving update must reach the feed: $feed")
+  }
+
+  test("changesBetween on an expired snapshot fails with bootstrap guidance") {
+    val base = tmpDir("cdf-expired")
+    val table = LakeTable(s"$base/t", 4)
+    (0 to 2).foreach { i =>
+      table.merge(spark, Seq(("r", s"p$i", "I", i + 1L, "c", "scala", "x", Option(1L)))
+        .toDF(cols: _*), i.toLong)
+    }
+    table.expireSnapshots(keepLast = 1)
+    val e = intercept[IllegalStateException](table.changesBetween(spark, 0, 3))
+    assert(e.getMessage.contains("expired") && e.getMessage.contains("bootstrap"),
+      e.getMessage)
+  }
+
   test("SQL MERGE rejects duplicate source keys") {
     val base = tmpDir("card-sql")
     lake.LakeTable(s"$base/t", 4)

@@ -137,6 +137,17 @@ class SqlSpec extends SparkSpec {
       spark.sql(s"INSERT INTO graft_lake.`$base/t` VALUES ('r','p')")
     }
     assert(e.getMessage.contains("MERGE INTO"), e.getMessage)
+    // correlated conjuncts naming an OUTER alias must NOT trigger pruning:
+    // o.repo/o.path constrain events, so for every event row the EXISTS
+    // subquery is over the FULL lake table (non-empty) — all rows survive
+    spark.range(1).selectExpr("'rX' AS repo", "'pX' AS path", "id")
+      .createOrReplaceTempView("outer_events")
+    val corr = spark.sql(
+      s"""SELECT count(*) AS n FROM outer_events o WHERE EXISTS (
+         |  SELECT 1 FROM graft_lake.`$base/t` WHERE o.repo = 'rX' AND o.path = 'pX')""".stripMargin)
+      .head().getLong(0)
+    assert(corr === 1L,
+      "outer-qualified key conjuncts pruned the inner relation (must stay a full read)")
   }
 
   test("MERGE INTO composes with a graft_lake SELECT source") {
