@@ -13,7 +13,8 @@ object Bench {
   val headline: Seq[String] = Seq(
     "a4_lww", "a6_sum_pairs", "j1_enrichment", "j9_dim_join",
     "w1_topk_per_key", "d1_exact_dedup", "d2_ngram_jaccard",
-    "d3_minhash_lsh", "s1_ann_bruteforce", "t4_fingerprint", "c8_sha256")
+    "d3_minhash_lsh", "s1_ann_bruteforce", "t4_fingerprint", "c8_sha256",
+    "d7_decontaminate", "x1_hash_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
