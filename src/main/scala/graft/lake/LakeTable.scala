@@ -653,11 +653,23 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
   /** Write rows as tokened bucket files (≤1 per bucket, repartitioned on
     * the key-hash bucket) and return their manifest entries.
     */
-  private def writeSnapshotFiles(rows: DataFrame, tag: String): Seq[DataFile] = {
+  /** `sorted = true` applies the table sort order (key-clustered within
+    * each bucket file) — the Iceberg split: hot-path merges write unsorted
+    * (no per-batch sort tax), compaction rewrites sorted so parquet
+    * row-group min/max stats on (repo, path) prune point reads inside a
+    * bucket and similar keys compress together. sortWithinPartitions is a
+    * per-partition sort — no extra shuffle beyond the bucket repartition.
+    */
+  private def writeSnapshotFiles(rows: DataFrame, tag: String,
+                                 sorted: Boolean = false): Seq[DataFile] = {
     val outDir = s"data/snap-$tag"
-    rows.withColumn("_b", bucketExpr)
-      .repartition(col("_b"))
-      .write.mode(SaveMode.ErrorIfExists).partitionBy("_b")
+    val bucketed = rows.withColumn("_b", bucketExpr).repartition(col("_b"))
+    // _b leads the sort so FileFormatWriter's required partition-column
+    // ordering is already satisfied and it does not inject its own
+    // _b-only sort (which would destroy the key clustering)
+    val shaped = if (sorted) bucketed.sortWithinPartitions(col("_b"), col("repo"), col("path"))
+                 else bucketed
+    shaped.write.mode(SaveMode.ErrorIfExists).partitionBy("_b")
       .parquet(s"$root/$outDir")
     listDataFiles(Paths.get(root, outDir), outDir)
   }
@@ -804,7 +816,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
                    else readFiles(spark, filesOf(h0))
     val live = if (gcTombstones) resolved.filter(!col("deleted")) else resolved
     val token = newToken()
-    val newRefs = writeManifests(token, writeSnapshotFiles(live, token))
+    val newRefs = writeManifests(token, writeSnapshotFiles(live, token, sorted = true))
     firePreCommitHook()
     try
       commitSnapshot(Snapshot(h0.version + 1, h0.version, h0.lastBatchId,
@@ -841,7 +853,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     val resolved = if (h0.mode == Mor) resolve(physical) else physical
     val live = if (gcTombstones) resolved.filter(!col("deleted")) else resolved
     val token = newToken()
-    val newRefs = writeManifests(token, writeSnapshotFiles(live, token))
+    val newRefs = writeManifests(token, writeSnapshotFiles(live, token, sorted = true))
     firePreCommitHook()
     try {
       commitSnapshot(Snapshot(h0.version + 1, h0.version, h0.lastBatchId,

@@ -6,6 +6,7 @@ import graft.lake.LakeTable
 import graft.model.Model._
 import graft.stream.Tailer
 import graft.stream.Tailer.TailerConfig
+import scala.jdk.CollectionConverters._
 
 /** Merge-on-read mode: O(batch) appends + read-time LWW resolution must
   * reach exactly the same final state as copy-on-write, under multi-batch
@@ -104,6 +105,26 @@ class MorSpec extends SparkSpec {
       .toDF("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes")
     table.merge(spark, extra, after.lastBatchId + 1)
     assert(table.lookup(spark, "zz/new", "a").count() === 1)
+  }
+
+  test("compaction applies the table sort order: files are key-clustered") {
+    val tc = mkTailer()
+    Tailer.replay(spark, tc)
+    val table = LakeTable(tc.tableRoot, tc.numBuckets)
+    table.compact(spark, gcTombstones = true)
+    assertGolden(table)
+    // expire+vacuum so the only data files on disk are the compacted ones
+    table.expireSnapshots(keepLast = 1)
+    table.vacuum(olderThanMs = 0L)
+    val dataFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(tc.tableRoot, "data"))
+      .iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+    assert(dataFiles.nonEmpty)
+    dataFiles.foreach { f =>
+      // one file = one scan partition = file order preserved on collect
+      val keys = spark.read.parquet(f.toString)
+        .select($"repo", $"path").as[(String, String)].collect().toSeq
+      assert(keys === keys.sorted, s"compacted file not key-sorted: $f")
+    }
   }
 
   test("MOR with auto-compaction (compactEvery=2): parity + bounded file count") {
