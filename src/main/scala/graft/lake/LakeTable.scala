@@ -163,7 +163,9 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     else {
       val n = mapper.readTree(Files.readString(Paths.get(root, ref.path)))
       val fs = n.get("files").elements.asScala.map { f =>
-        DataFile(f.get("path").asText, f.get("bucket").asInt, f.get("rowCount").asLong)
+        def opt(k: String) = Option(f.get(k)).map(_.asText)
+        DataFile(f.get("path").asText, f.get("bucket").asInt, f.get("rowCount").asLong,
+          opt("minRepo"), opt("maxRepo"), opt("minPath"), opt("maxPath"))
       }.toSeq
       manifestCache.put(ref.path, fs)
       fs
@@ -202,6 +204,8 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
       fs.foreach { f =>
         val fn = arr.addObject()
         fn.put("path", f.path); fn.put("bucket", f.bucket); fn.put("rowCount", f.rowCount)
+        f.minRepo.foreach(fn.put("minRepo", _)); f.maxRepo.foreach(fn.put("maxRepo", _))
+        f.minPath.foreach(fn.put("minPath", _)); f.maxPath.foreach(fn.put("maxPath", _))
       }
       Files.writeString(Paths.get(root, rel), mapper.writeValueAsString(node))
       manifestCache.put(rel, fs)
@@ -404,14 +408,18 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(files.map(f => s"$root/${f.path}"): _*)
 
-  /** Point lookup with bucket pruning: scans only the key's bucket files
-    * (reference analog: per-key doc fetch, PantherLocalWrapper.java:373-383).
+  /** Point lookup with bucket pruning + manifest key-bound file skipping:
+    * the key's bucket manifest is read, then files whose recorded
+    * (repo, path) bounds exclude the key are skipped before any parquet
+    * footer is touched — after sort-order compaction with a target file
+    * size, that is typically ONE file of the bucket. (Reference analog:
+    * per-key doc fetch, PantherLocalWrapper.java:373-383.)
     */
   def lookup(spark: SparkSession, repo: String, path: String): DataFrame = {
     val h = head()
     val b = bucketOf(repo, path)
     liveRows(
-      readFiles(spark, filesOf(h, b))
+      readFiles(spark, filesOf(h, b).filter(fileMayContain(_, repo, path)))
         .filter(col("repo") === repo && col("path") === path),
       h.mode)
   }
@@ -661,7 +669,8 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     * per-partition sort — no extra shuffle beyond the bucket repartition.
     */
   private def writeSnapshotFiles(rows: DataFrame, tag: String,
-                                 sorted: Boolean = false): Seq[DataFile] = {
+                                 sorted: Boolean = false,
+                                 maxRowsPerFile: Option[Long] = None): Seq[DataFile] = {
     val outDir = s"data/snap-$tag"
     val bucketed = rows.withColumn("_b", bucketExpr).repartition(col("_b"))
     // _b leads the sort so FileFormatWriter's required partition-column
@@ -669,8 +678,11 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     // _b-only sort (which would destroy the key clustering)
     val shaped = if (sorted) bucketed.sortWithinPartitions(col("_b"), col("repo"), col("path"))
                  else bucketed
-    shaped.write.mode(SaveMode.ErrorIfExists).partitionBy("_b")
-      .parquet(s"$root/$outDir")
+    val w = shaped.write.mode(SaveMode.ErrorIfExists).partitionBy("_b")
+    // sorted + split-by-size ⇒ a bucket's files carry tight DISJOINT key
+    // ranges, which is what makes the manifest bounds prune to one file
+    maxRowsPerFile.foreach(n => w.option("maxRecordsPerFile", n))
+    w.parquet(s"$root/$outDir")
     listDataFiles(Paths.get(root, outDir), outDir)
   }
 
@@ -808,7 +820,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     * manifest stats); the snapshot protocol is identical.
     */
   def compact(spark: SparkSession, gcTombstones: Boolean = false,
-              retries: Int = 3): Unit = {
+              retries: Int = 3, targetFileRows: Option[Long] = None): Unit = {
     val h0 = head()
     // mode-aware: MOR resolves LWW duplicates before the rewrite, so the
     // compacted snapshot is unique-per-key in both modes
@@ -816,7 +828,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
                    else readFiles(spark, filesOf(h0))
     val live = if (gcTombstones) resolved.filter(!col("deleted")) else resolved
     val token = newToken()
-    val newRefs = writeManifests(token, writeSnapshotFiles(live, token, sorted = true))
+    val newRefs = writeManifests(token, writeSnapshotFiles(live, token, sorted = true, maxRowsPerFile = targetFileRows))
     firePreCommitHook()
     try
       commitSnapshot(Snapshot(h0.version + 1, h0.version, h0.lastBatchId,
@@ -829,7 +841,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
       // compaction reads every bucket, so ANY interleaved commit conflicts:
       // recompute against the new head (ingest always wins over compaction)
       if (retries <= 0) throw e
-      compact(spark, gcTombstones, retries - 1)
+      compact(spark, gcTombstones, retries - 1, targetFileRows)
     }
   }
 
@@ -844,7 +856,8 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     * against the new head (ingest wins).
     */
   def compactBuckets(spark: SparkSession, maxFilesPerBucket: Int = 4,
-                     gcTombstones: Boolean = false, retries: Int = 3): Int = {
+                     gcTombstones: Boolean = false, retries: Int = 3,
+                     targetFileRows: Option[Long] = None): Int = {
     val h0 = head()
     val picked = h0.manifests.filter(_.fileCount > maxFilesPerBucket).map(_.bucket).toSet
     if (picked.isEmpty) return 0
@@ -853,7 +866,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     val resolved = if (h0.mode == Mor) resolve(physical) else physical
     val live = if (gcTombstones) resolved.filter(!col("deleted")) else resolved
     val token = newToken()
-    val newRefs = writeManifests(token, writeSnapshotFiles(live, token, sorted = true))
+    val newRefs = writeManifests(token, writeSnapshotFiles(live, token, sorted = true, maxRowsPerFile = targetFileRows))
     firePreCommitHook()
     try {
       commitSnapshot(Snapshot(h0.version + 1, h0.version, h0.lastBatchId,
@@ -866,7 +879,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
       picked.size
     } catch { case e: ConcurrentCommitException =>
       if (retries <= 0) throw e
-      compactBuckets(spark, maxFilesPerBucket, gcTombstones, retries - 1)
+      compactBuckets(spark, maxFilesPerBucket, gcTombstones, retries - 1, targetFileRows)
     }
   }
 
@@ -963,8 +976,28 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(p.toUri), conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      val count = try r.getRecordCount finally r.close()
-      DataFile(s"$rel/${dir.relativize(p)}", bucket, count)
+      val (count, bounds) = try {
+        val blocks = r.getFooter.getBlocks.asScala.toSeq
+        // per-file key bounds from the footer's per-row-group column stats
+        // (same footer read that yields the row count — no extra IO)
+        def colBounds(name: String): (Option[String], Option[String]) = {
+          val perBlock = blocks.map { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == name)
+              .map(_.getStatistics).filter(s => s != null && !s.isEmpty && s.hasNonNullValue)
+              .map(s => (s.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8,
+                         s.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8))
+          }
+          if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) (None, None)
+          else {
+            val bs = perBlock.map(_.get)
+            (Some(bs.map(_._1).reduce((a, b) => if (cmpUtf8(a, b) <= 0) a else b)),
+             Some(bs.map(_._2).reduce((a, b) => if (cmpUtf8(a, b) >= 0) a else b)))
+          }
+        }
+        (r.getRecordCount, (colBounds("repo"), colBounds("path")))
+      } finally r.close()
+      val ((minR, maxR), (minP, maxP)) = bounds
+      DataFile(s"$rel/${dir.relativize(p)}", bucket, count, minR, maxR, minP, maxP)
     }}
     Await.result(Future.sequence(futs), Duration.Inf)
   }
@@ -978,7 +1011,29 @@ object LakeTable {
     */
   final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
-  final case class DataFile(path: String, bucket: Int, rowCount: Long)
+  /** `minRepo`/`maxRepo`/`minPath`/`maxPath` are per-file key bounds
+    * harvested from the parquet footer column statistics at commit time
+    * (Iceberg lower_bounds/upper_bounds analog). None = unknown (legacy
+    * manifests, missing stats) and never prunes.
+    */
+  final case class DataFile(path: String, bucket: Int, rowCount: Long,
+                            minRepo: Option[String] = None, maxRepo: Option[String] = None,
+                            minPath: Option[String] = None, maxPath: Option[String] = None)
+
+  /** Parquet string stats are unsigned-UTF-8-byte ordered; compare the same
+    * way (Java String compareTo is UTF-16 order — differs above ASCII).
+    */
+  private def cmpUtf8(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** File-skipping predicate for a point key: false only when the file's
+    * recorded bounds PROVE the key is absent.
+    */
+  def fileMayContain(f: DataFile, repo: String, path: String): Boolean =
+    f.minRepo.forall(cmpUtf8(repo, _) >= 0) && f.maxRepo.forall(cmpUtf8(repo, _) <= 0) &&
+    f.minPath.forall(cmpUtf8(path, _) >= 0) && f.maxPath.forall(cmpUtf8(path, _) <= 0)
 
   /** Snapshot-level pointer to one bucket's manifest file (row/file counts
     * denormalized so planning-level stats never need the manifest body).

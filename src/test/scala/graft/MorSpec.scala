@@ -127,6 +127,37 @@ class MorSpec extends SparkSpec {
     }
   }
 
+  test("manifest key bounds: sorted+sized compaction prunes lookups to one file") {
+    val tc = mkTailer()
+    Tailer.replay(spark, tc)
+    val table = LakeTable(tc.tableRoot, tc.numBuckets)
+    // split each sorted bucket into several range-disjoint files
+    table.compact(spark, gcTombstones = true, targetFileRows = Some(150L))
+    val h = table.head()
+    assert(h.manifests.exists(_.fileCount > 1), "buckets split into multiple files")
+    // every file carries bounds, and for a sample of keys the bounds prune
+    // the bucket's file list down to exactly one candidate
+    val someKeys = golden.keys.take(20).toSeq
+    val candidateCounts = someKeys.map { case (r, p) =>
+      val b = table.bucketOf(r, p)
+      val files = table.filesOf(h, b)
+      assert(files.forall(f => f.minRepo.isDefined && f.maxPath.isDefined))
+      val candidates = files.filter(LakeTable.fileMayContain(_, r, p))
+      // bounds are per-column, so a repo straddling a file boundary can
+      // match two adjacent files — never more, and never zero
+      assert(candidates.nonEmpty && candidates.size <= 2,
+        s"($r,$p): ${candidates.size} candidates of ${files.size} files")
+      assert(files.size == 1 || candidates.size < files.size, s"($r,$p): no pruning")
+      // and the pruned lookup still answers correctly
+      val got = table.lookup(spark, r, p).select($"content", $"seq")
+        .as[(String, Long)].collect()
+      assert(got.length === 1 && got.head === ((golden((r, p)).content, golden((r, p)).seq)))
+      candidates.size
+    }
+    assert(candidateCounts.count(_ == 1) >= someKeys.size / 2,
+      "majority of point lookups should hit exactly one file")
+  }
+
   test("MOR with auto-compaction (compactEvery=2): parity + bounded file count") {
     val base = tmpDir("morauto")
     val tc = mkTailer().copy(
