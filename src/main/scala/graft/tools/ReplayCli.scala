@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   * ReplayCli sql     <workDir> "SELECT … FROM $TABLE …"
   * ReplayCli changes <workDir> <fromVersion> <toVersion>
   * ReplayCli drain   <workDir>
-  * ReplayCli compact <workDir> [gc]
+  * ReplayCli compact <workDir> [gc] [targetFileRows]
   * ReplayCli vacuum  <workDir> [keepLast] [graceMs]
   * }}}
   */
@@ -61,11 +61,16 @@ object ReplayCli {
 
     case "compact" :: workDir :: rest =>
       val gc = rest.headOption.contains("gc") // GC tombstones: end-of-stream only
+      // optional target rows per file: sorted buckets split into
+      // range-disjoint files the manifest key bounds prune to on lookup
+      val targetRows = rest.filterNot(_ == "gc").headOption.map(_.toLong)
       val spark = Sessions.local(sys.env.getOrElse("GRAFT_CORES", "8").toInt, "graft-compact")
-      val table = LakeTable(s"$workDir/table")
+      // open (NOT create-with-default-buckets): compacting with a bucket
+      // count different from the table's would silently rebucket the data
+      val table = LakeTable.open(s"$workDir/table")
       val before = table.head()
       val tombs = table.readWithTombstones(spark).filter(col("deleted")).count()
-      table.compact(spark, gcTombstones = gc)
+      table.compact(spark, gcTombstones = gc, targetFileRows = targetRows)
       val after = table.head()
       val tombMsg = if (gc) f"dropped $tombs%,d tombstones"
                     else f"retained $tombs%,d tombstones"
@@ -126,7 +131,7 @@ object ReplayCli {
 
     case "show" :: workDir :: rest =>
       val spark = Sessions.local(4, "graft-show")
-      val table = LakeTable(s"$workDir/table")
+      val table = LakeTable.open(s"$workDir/table")
       val df = table.read(spark)
       rest match {
         case repo :: path :: Nil =>
