@@ -424,6 +424,25 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
       h.mode)
   }
 
+  /** All of one repo's rows. Bucket hashing spreads a repo over ALL
+    * buckets — bucket pruning cannot serve "everything in repo X" — but
+    * after sort-order compaction each data file covers a narrow repo
+    * range, so the manifest key bounds skip most files table-wide.
+    * Files without bounds (legacy manifests, fresh merge output) are
+    * always read — pruning only ever drops files that provably lack the
+    * repo.
+    */
+  def readWhereRepo(spark: SparkSession, repo: String): DataFrame = {
+    val h = head()
+    liveRows(
+      readFiles(spark, filesForRepo(h, repo))
+        .filter(col("repo") === repo),
+      h.mode)
+  }
+
+  private[graft] def filesForRepo(s: Snapshot, repo: String): Seq[DataFile] =
+    filesOf(s).filter(fileMayContainRepo(_, repo))
+
   /** Driver-side bucket id — must agree with [[bucketExpr]]; uses Catalyst's
     * own Murmur3 so there is one hash definition.
     */
@@ -1032,8 +1051,12 @@ object LakeTable {
     * recorded bounds PROVE the key is absent.
     */
   def fileMayContain(f: DataFile, repo: String, path: String): Boolean =
-    f.minRepo.forall(cmpUtf8(repo, _) >= 0) && f.maxRepo.forall(cmpUtf8(repo, _) <= 0) &&
+    fileMayContainRepo(f, repo) &&
     f.minPath.forall(cmpUtf8(path, _) >= 0) && f.maxPath.forall(cmpUtf8(path, _) <= 0)
+
+  /** Repo-dimension-only variant (repo-scoped scans). */
+  def fileMayContainRepo(f: DataFile, repo: String): Boolean =
+    f.minRepo.forall(cmpUtf8(repo, _) >= 0) && f.maxRepo.forall(cmpUtf8(repo, _) <= 0)
 
   /** Snapshot-level pointer to one bucket's manifest file (row/file counts
     * denormalized so planning-level stats never need the manifest body).

@@ -273,13 +273,17 @@ final class GraftSqlReadRule(session: SparkSession) extends Rule[LogicalPlan] {
             "graft lake supports VERSION AS OF <int>, not TIMESTAMP AS OF")
       }
 
-    // point read: both keys pinned to literals → bucket-pruned file set
+    // point read: both keys pinned → bucket-pruned file set; repo alone
+    // pinned → manifest-bounds file skipping (a repo spreads over ALL
+    // buckets, so this is the only pruning that can serve it)
     case f @ Filter(cond, child) if relation(child).isDefined => {
       val (root, alias, rewrap) = relation(child).get
       val keys = keyLiterals(cond, alias)
       val inner =
         if (KeyCols.forall(keys.contains))
           ColumnBridge.analyzed(LakeTable.open(root).lookup(session, keys("repo"), keys("path")))
+        else if (keys.contains("repo"))
+          ColumnBridge.analyzed(LakeTable.open(root).readWhereRepo(session, keys("repo")))
         else readPlan(root)
       f.copy(child = rewrap(inner))
     }

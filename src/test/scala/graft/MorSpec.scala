@@ -156,6 +156,15 @@ class MorSpec extends SparkSpec {
     }
     assert(candidateCounts.count(_ == 1) >= someKeys.size / 2,
       "majority of point lookups should hit exactly one file")
+    // repo-scoped read: correct rows AND bounds-pruned file set (a repo
+    // spans all buckets, so only the file bounds can prune this shape)
+    val someRepo = golden.keys.head._1
+    val expect = golden.collect { case ((r, p), rec) if r == someRepo => (p, rec.content, rec.seq) }.toSet
+    val got = table.readWhereRepo(spark, someRepo)
+      .select($"path", $"content", $"seq").as[(String, String, Long)].collect().toSet
+    assert(got === expect)
+    assert(table.filesForRepo(h, someRepo).size < table.filesOf(h).size,
+      "repo bounds pruned no files")
   }
 
   test("MOR with auto-compaction (compactEvery=2): parity + bounded file count") {

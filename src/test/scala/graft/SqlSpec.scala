@@ -150,6 +150,34 @@ class SqlSpec extends SparkSpec {
       "outer-qualified key conjuncts pruned the inner relation (must stay a full read)")
   }
 
+  test("SQL SELECT with repo-only predicate: bounds-pruned after sorted compaction") {
+    val base = tmpDir("sqlrepo")
+    val table = lake.LakeTable(s"$base/t", 8)
+    val rows = (1 to 80).map(i =>
+      (s"r${i % 8}", s"p$i", "I", i.toLong, Option(s"c$i"), Option("scala"),
+        Option(s"content-$i"), Option(i.toLong)))
+    table.merge(spark, rows.toDF(
+      "repo", "path", "op", "seq", "commit", "language", "content", "size_bytes"), 0L)
+    // sorted + size-split compaction gives files with narrow repo ranges
+    table.compact(spark, gcTombstones = true, targetFileRows = Some(4L))
+
+    val repoQ = spark.sql(
+      s"SELECT * FROM graft_lake.`$base/t` WHERE repo = 'r3'")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("repo", "path").collect().map(_.toSeq).toSeq
+    assert(canon(repoQ) ===
+      canon(table.read(spark).filter($"repo" === "r3")))
+    assert(repoQ.count() === 10L)
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.inputFiles.length.toLong
+      }.sum
+    val full = spark.sql(s"SELECT * FROM graft_lake.`$base/t`")
+    assert(scannedFiles(repoQ) < scannedFiles(full),
+      s"repo-scoped read must enumerate fewer files (${scannedFiles(repoQ)} vs ${scannedFiles(full)})")
+  }
+
   test("MERGE INTO composes with a graft_lake SELECT source") {
     val base = tmpDir("sqlcompose")
     val src = lake.LakeTable(s"$base/src", 4)
