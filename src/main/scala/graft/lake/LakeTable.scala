@@ -126,7 +126,8 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
       if (n.has("manifests"))
         n.get("manifests").elements.asScala.map { m =>
           ManifestRef(m.get("bucket").asInt, m.get("path").asText,
-            m.get("rowCount").asLong, m.get("fileCount").asInt)
+            m.get("rowCount").asLong, m.get("fileCount").asInt,
+            Option(m.get("sizeBytes")).map(_.asLong).getOrElse(0L))
         }.toSeq
       else {
         val inline = n.get("files").elements.asScala.map { f =>
@@ -165,7 +166,8 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
       val fs = n.get("files").elements.asScala.map { f =>
         def opt(k: String) = Option(f.get(k)).map(_.asText)
         DataFile(f.get("path").asText, f.get("bucket").asInt, f.get("rowCount").asLong,
-          opt("minRepo"), opt("maxRepo"), opt("minPath"), opt("maxPath"))
+          opt("minRepo"), opt("maxRepo"), opt("minPath"), opt("maxPath"),
+          sizeBytes = Option(f.get("sizeBytes")).map(_.asLong).getOrElse(0L))
       }.toSeq
       manifestCache.put(ref.path, fs)
       fs
@@ -206,10 +208,11 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
         fn.put("path", f.path); fn.put("bucket", f.bucket); fn.put("rowCount", f.rowCount)
         f.minRepo.foreach(fn.put("minRepo", _)); f.maxRepo.foreach(fn.put("maxRepo", _))
         f.minPath.foreach(fn.put("minPath", _)); f.maxPath.foreach(fn.put("maxPath", _))
+        if (f.sizeBytes > 0) fn.put("sizeBytes", f.sizeBytes)
       }
       Files.writeString(Paths.get(root, rel), mapper.writeValueAsString(node))
       manifestCache.put(rel, fs)
-      ManifestRef(b, rel, fs.map(_.rowCount).sum, fs.size)
+      ManifestRef(b, rel, fs.map(_.rowCount).sum, fs.size, fs.map(_.sizeBytes).sum)
     }
   }
 
@@ -244,6 +247,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
       val mn = arr.addObject()
       mn.put("bucket", m.bucket); mn.put("path", m.path)
       mn.put("rowCount", m.rowCount); mn.put("fileCount", m.fileCount)
+      if (m.sizeBytes > 0) mn.put("sizeBytes", m.sizeBytes)
     }
     val sum = node.putObject("summary")
     s.summary.foreach { case (k, v) => sum.put(k, v) }
@@ -876,9 +880,18 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     */
   def compactBuckets(spark: SparkSession, maxFilesPerBucket: Int = 4,
                      gcTombstones: Boolean = false, retries: Int = 3,
-                     targetFileRows: Option[Long] = None): Int = {
+                     targetFileRows: Option[Long] = None,
+                     minFileBytes: Option[Long] = None): Int = {
     val h0 = head()
-    val picked = h0.manifests.filter(_.fileCount > maxFilesPerBucket).map(_.bucket).toSet
+    // two Iceberg-style triggers, both pure manifest-stats reads:
+    // read-amplification (too many files) and binpack (files averaging
+    // below minFileBytes — the small-file problem). sizeBytes == 0 means
+    // legacy/unknown and never triggers the byte rule.
+    def smallFiles(r: ManifestRef): Boolean = minFileBytes.exists(m =>
+      r.fileCount > 1 && r.sizeBytes > 0 && r.sizeBytes / r.fileCount < m)
+    val picked = h0.manifests
+      .filter(r => r.fileCount > maxFilesPerBucket || smallFiles(r))
+      .map(_.bucket).toSet
     if (picked.isEmpty) return 0
     val (pickedRefs, carried) = h0.manifests.partition(r => picked(r.bucket))
     val physical = readFiles(spark, pickedRefs.flatMap(loadManifest))
@@ -1016,7 +1029,8 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
         (r.getRecordCount, (colBounds("repo"), colBounds("path")))
       } finally r.close()
       val ((minR, maxR), (minP, maxP)) = bounds
-      DataFile(s"$rel/${dir.relativize(p)}", bucket, count, minR, maxR, minP, maxP)
+      DataFile(s"$rel/${dir.relativize(p)}", bucket, count, minR, maxR, minP, maxP,
+        sizeBytes = Files.size(p))
     }}
     Await.result(Future.sequence(futs), Duration.Inf)
   }
@@ -1037,7 +1051,8 @@ object LakeTable {
     */
   final case class DataFile(path: String, bucket: Int, rowCount: Long,
                             minRepo: Option[String] = None, maxRepo: Option[String] = None,
-                            minPath: Option[String] = None, maxPath: Option[String] = None)
+                            minPath: Option[String] = None, maxPath: Option[String] = None,
+                            sizeBytes: Long = 0L)
 
   /** Parquet string stats are unsigned-UTF-8-byte ordered; compare the same
     * way (Java String compareTo is UTF-16 order — differs above ASCII).
@@ -1061,7 +1076,8 @@ object LakeTable {
   /** Snapshot-level pointer to one bucket's manifest file (row/file counts
     * denormalized so planning-level stats never need the manifest body).
     */
-  final case class ManifestRef(bucket: Int, path: String, rowCount: Long, fileCount: Int)
+  final case class ManifestRef(bucket: Int, path: String, rowCount: Long, fileCount: Int,
+                               sizeBytes: Long = 0L)
 
   /** One parsed WHEN clause of a SQL MERGE statement. `kind` ∈ update /
     * delete / insert; `assigns` are (target column → source-side SQL);

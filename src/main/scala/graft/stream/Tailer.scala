@@ -36,6 +36,7 @@ object Tailer {
       useSalt: Boolean = false,
       tableMode: String = graft.lake.LakeTable.Cow,
       compactEvery: Option[Int] = None, // auto-compact after every N applied batches
+      targetFileRows: Option[Long] = None, // sorted size-split compaction output
       maxFilesPerTrigger: Option[Int] = None,
       availableNow: Boolean = true)
 
@@ -92,7 +93,8 @@ object Tailer {
     // preserved so exactly-once is unaffected
     cfg.compactEvery.foreach { n =>
       if (stats.applied && n > 0 && (batchId + 1) % n == 0)
-        table.compactBuckets(spark, maxFilesPerBucket = 4)
+        table.compactBuckets(spark, maxFilesPerBucket = 4,
+          targetFileRows = cfg.targetFileRows)
     }
     val secs = (System.nanoTime() - t0) / 1e9
 

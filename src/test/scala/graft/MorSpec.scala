@@ -199,6 +199,30 @@ class MorSpec extends SparkSpec {
     assert(mor === cow)
   }
 
+  test("binpack trigger: small-file buckets compact even under the file-count bar") {
+    val base = tmpDir("morbinpack")
+    val table = LakeTable(s"$base/t", numBuckets = 4, LakeTable.Mor)
+    val cols = Seq("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes")
+    // two tiny appends to one key: 2 files, far under the count bar of 10
+    table.merge(spark, Seq(("r", "k", "U", 1L, "c1", "scala", "a",
+      Option.empty[Long])).toDF(cols: _*), 0L)
+    table.merge(spark, Seq(("r", "k", "U", 2L, "c2", "scala", "b",
+      Option.empty[Long])).toDF(cols: _*), 1L)
+    val b = table.bucketOf("r", "k")
+    val ref0 = table.head().manifests.find(_.bucket == b).get
+    assert(ref0.fileCount === 2 && ref0.sizeBytes > 0)
+
+    // count-only policy: nothing to do
+    assert(table.compactBuckets(spark, maxFilesPerBucket = 10) === 0)
+    // byte-aware policy: tiny files (avg ≪ 1 MiB) trigger the binpack
+    val n = table.compactBuckets(spark, maxFilesPerBucket = 10,
+      minFileBytes = Some(1L << 20))
+    assert(n === 1)
+    val ref1 = table.head().manifests.find(_.bucket == b).get
+    assert(ref1.fileCount === 1)
+    assert(table.read(spark).select($"content").as[String].collect().toSeq === Seq("b"))
+  }
+
   test("incremental compaction folds only over-threshold buckets; state unchanged") {
     val base = tmpDir("morinc")
     val table = LakeTable(s"$base/t", numBuckets = 8, LakeTable.Mor)
