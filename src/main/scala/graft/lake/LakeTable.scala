@@ -681,15 +681,15 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     } finally src.unpersist()
   }
 
-  /** Write rows as tokened bucket files (≤1 per bucket, repartitioned on
-    * the key-hash bucket) and return their manifest entries.
-    */
-  /** `sorted = true` applies the table sort order (key-clustered within
-    * each bucket file) — the Iceberg split: hot-path merges write unsorted
-    * (no per-batch sort tax), compaction rewrites sorted so parquet
-    * row-group min/max stats on (repo, path) prune point reads inside a
-    * bucket and similar keys compress together. sortWithinPartitions is a
-    * per-partition sort — no extra shuffle beyond the bucket repartition.
+  /** Write rows as tokened bucket files (repartitioned on the key-hash
+    * bucket; one file per bucket unless `maxRowsPerFile` splits it) and
+    * return their manifest entries. `sorted = true` applies the table
+    * sort order (key-clustered within each bucket file) — the Iceberg
+    * split: hot-path merges write unsorted (no per-batch sort tax),
+    * compaction rewrites sorted so parquet row-group min/max stats on
+    * (repo, path) prune point reads inside a bucket and similar keys
+    * compress together. sortWithinPartitions is a per-partition sort —
+    * no extra shuffle beyond the bucket repartition.
     */
   private def writeSnapshotFiles(rows: DataFrame, tag: String,
                                  sorted: Boolean = false,
@@ -883,14 +883,33 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
                      targetFileRows: Option[Long] = None,
                      minFileBytes: Option[Long] = None): Int = {
     val h0 = head()
-    // two Iceberg-style triggers, both pure manifest-stats reads:
-    // read-amplification (too many files) and binpack (files averaging
-    // below minFileBytes — the small-file problem). sizeBytes == 0 means
-    // legacy/unknown and never triggers the byte rule.
-    def smallFiles(r: ManifestRef): Boolean = minFileBytes.exists(m =>
-      r.fileCount > 1 && r.sizeBytes > 0 && r.sizeBytes / r.fileCount < m)
+    // Two Iceberg-style triggers. Both are evaluated against the file
+    // count the rewrite itself would PRODUCE (ceil(rows/targetFileRows))
+    // — not against 1 — otherwise a size-split compaction immediately
+    // re-qualifies its own output and every cadence tick rewrites the
+    // whole bucket forever.
+    def producedFiles(r: ManifestRef): Long = targetFileRows match {
+      case Some(t) if t > 0 => math.max(1L, (r.rowCount + t - 1) / t)
+      case _ => 1L
+    }
+    // read-amplification: more than maxFilesPerBucket files OVER the
+    // compacted shape (reduces to the plain fileCount > max bar when no
+    // target size is set)
+    def readAmplified(r: ManifestRef): Boolean =
+      r.fileCount - producedFiles(r) >= maxFilesPerBucket
+    // binpack: files averaging below minFileBytes AND a rewrite would
+    // actually reduce the file count. The denormalized sum can be skewed
+    // by legacy sizeBytes=0 entries, so confirm against the manifest body
+    // (cached; loaded only for sum-preselected buckets).
+    def smallFiles(r: ManifestRef): Boolean = minFileBytes.exists { m =>
+      r.fileCount > producedFiles(r) && r.sizeBytes > 0 &&
+        r.sizeBytes / r.fileCount < m && {
+          val fs = loadManifest(r)
+          fs.forall(_.sizeBytes > 0) && fs.map(_.sizeBytes).sum / fs.size < m
+        }
+    }
     val picked = h0.manifests
-      .filter(r => r.fileCount > maxFilesPerBucket || smallFiles(r))
+      .filter(r => readAmplified(r) || smallFiles(r))
       .map(_.bucket).toSet
     if (picked.isEmpty) return 0
     val (pickedRefs, carried) = h0.manifests.partition(r => picked(r.bucket))
@@ -911,7 +930,8 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
       picked.size
     } catch { case e: ConcurrentCommitException =>
       if (retries <= 0) throw e
-      compactBuckets(spark, maxFilesPerBucket, gcTombstones, retries - 1, targetFileRows)
+      compactBuckets(spark, maxFilesPerBucket, gcTombstones, retries - 1,
+        targetFileRows, minFileBytes)
     }
   }
 

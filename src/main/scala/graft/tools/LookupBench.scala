@@ -25,6 +25,8 @@ object LookupBench {
         org.apache.spark.sql.functions.col("repo"),
         org.apache.spark.sql.functions.col("path")))
       .limit(n).collect().map(r => (r.getString(0), r.getString(1)))
+    require(keys.nonEmpty, "table has no live rows")
+    val m = keys.length // may be < n on small tables
 
     // pruning ratio (driver-side, no scan)
     val ratios = keys.map { case (r, p) =>
@@ -43,6 +45,6 @@ object LookupBench {
       (System.nanoTime() - t0) / 1e6
     }.sorted
     spark.stop()
-    println(f"""{"metric":"lookup_latency_ms","n":$n,"mean":${times.sum / n}%.1f,"p50":${times(n / 2)}%.1f,"p90":${times((n * 9) / 10)}%.1f,"filesPerBucket":${fileTot / n}%.1f,"candidatesPerLookup":${candTot / n}%.2f,"version":${h.version}}""")
+    println(f"""{"metric":"lookup_latency_ms","n":$m,"mean":${times.sum / m}%.1f,"p50":${times(m / 2)}%.1f,"p90":${times(math.min(m - 1, (m * 9) / 10))}%.1f,"filesPerBucket":${fileTot / m}%.1f,"candidatesPerLookup":${candTot / m}%.2f,"version":${h.version}}""")
   }
 }

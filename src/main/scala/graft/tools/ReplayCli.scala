@@ -60,7 +60,7 @@ object ReplayCli {
         f"secs=$secs%.1f eventsPerSec=${nEvents / secs}%,.0f cores=$cores")
 
     case "compact" :: workDir :: rest =>
-      val gc = rest.headOption.contains("gc") // GC tombstones: end-of-stream only
+      val gc = rest.contains("gc") // GC tombstones: end-of-stream only
       // optional target rows per file: sorted buckets split into
       // range-disjoint files the manifest key bounds prune to on lookup
       val targetRows = rest.filterNot(_ == "gc").headOption.map(_.toLong)

@@ -116,8 +116,10 @@ class MorSpec extends SparkSpec {
     // expire+vacuum so the only data files on disk are the compacted ones
     table.expireSnapshots(keepLast = 1)
     table.vacuum(olderThanMs = 0L)
-    val dataFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(tc.tableRoot, "data"))
-      .iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+    val dataFiles = scala.util.Using.resource(
+        java.nio.file.Files.walk(java.nio.file.Paths.get(tc.tableRoot, "data"))) { st =>
+      st.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+    }
     assert(dataFiles.nonEmpty)
     dataFiles.foreach { f =>
       // one file = one scan partition = file order preserved on collect
@@ -143,9 +145,10 @@ class MorSpec extends SparkSpec {
       val files = table.filesOf(h, b)
       assert(files.forall(f => f.minRepo.isDefined && f.maxPath.isDefined))
       val candidates = files.filter(LakeTable.fileMayContain(_, r, p))
-      // bounds are per-column, so a repo straddling a file boundary can
-      // match two adjacent files — never more, and never zero
-      assert(candidates.nonEmpty && candidates.size <= 2,
+      // bounds are per-column (not composite), so a repo straddling file
+      // boundaries can match several adjacent files — but never zero, and
+      // pruning must still drop something whenever there is a choice
+      assert(candidates.nonEmpty,
         s"($r,$p): ${candidates.size} candidates of ${files.size} files")
       assert(files.size == 1 || candidates.size < files.size, s"($r,$p): no pruning")
       // and the pruned lookup still answers correctly
@@ -156,6 +159,11 @@ class MorSpec extends SparkSpec {
     }
     assert(candidateCounts.count(_ == 1) >= someKeys.size / 2,
       "majority of point lookups should hit exactly one file")
+    // size-split output must not re-trigger cadence compaction: the pick
+    // rule measures file count against the shape the rewrite produces
+    assert(table.compactBuckets(spark, maxFilesPerBucket = 4,
+      targetFileRows = Some(150L)) === 0,
+      "sized compaction output re-qualified itself (perpetual rewrite)")
     // repo-scoped read: correct rows AND bounds-pruned file set (a repo
     // spans all buckets, so only the file bounds can prune this shape)
     val someRepo = golden.keys.head._1
@@ -221,6 +229,10 @@ class MorSpec extends SparkSpec {
     val ref1 = table.head().manifests.find(_.bucket == b).get
     assert(ref1.fileCount === 1)
     assert(table.read(spark).select($"content").as[String].collect().toSeq === Seq("b"))
+    // stable: the compacted output must not re-qualify itself (the single
+    // folded file is still tiny, but a rewrite would not reduce the count)
+    assert(table.compactBuckets(spark, maxFilesPerBucket = 10,
+      minFileBytes = Some(1L << 20)) === 0)
   }
 
   test("incremental compaction folds only over-threshold buckets; state unchanged") {
