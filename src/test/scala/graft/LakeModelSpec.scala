@@ -93,11 +93,16 @@ class LakeModelSpec extends SparkSpec {
           modelApply(batch)
           stateAt += table.head().version -> model
         }
-        // occasional maintenance: must not change live state
+        // occasional maintenance: must not change live state; sometimes
+        // with a target file size so the sorted size-split layout (and
+        // its manifest key bounds) is exercised under the model too
         if (rnd.nextInt(3) == 0) {
           val before = model
-          if (rnd.nextBoolean()) table.compact(spark, gcTombstones = false)
-          else table.compactBuckets(spark, maxFilesPerBucket = 2)
+          val target = if (rnd.nextBoolean()) Some(7L) else None
+          if (rnd.nextBoolean()) table.compact(spark, gcTombstones = false,
+            targetFileRows = target)
+          else table.compactBuckets(spark, maxFilesPerBucket = 2,
+            targetFileRows = target)
           stateAt += table.head().version -> before
         }
 
