@@ -447,6 +447,20 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
   private[graft] def filesForRepo(s: Snapshot, repo: String): Seq[DataFile] =
     filesOf(s).filter(fileMayContainRepo(_, repo))
 
+  /** Directory-listing read: one repo, paths under a prefix (the
+    * reference's per-directory scan shape). Prunes by repo bounds AND
+    * path bounds compared on the prefix's leading bytes — after sorted
+    * compaction a repo's paths are contiguous, so this typically touches
+    * one file per matched directory run.
+    */
+  def readWherePathPrefix(spark: SparkSession, repo: String, prefix: String): DataFrame = {
+    val h = head()
+    liveRows(
+      readFiles(spark, filesOf(h).filter(fileMayContainPathPrefix(_, repo, prefix)))
+        .filter(col("repo") === repo && col("path").startsWith(prefix)),
+      h.mode)
+  }
+
   /** Driver-side bucket id — must agree with [[bucketExpr]]; uses Catalyst's
     * own Murmur3 so there is one hash definition.
     */
@@ -1092,6 +1106,22 @@ object LakeTable {
   /** Repo-dimension-only variant (repo-scoped scans). */
   def fileMayContainRepo(f: DataFile, repo: String): Boolean =
     f.minRepo.forall(cmpUtf8(repo, _) >= 0) && f.maxRepo.forall(cmpUtf8(repo, _) <= 0)
+
+  /** True unless the file's path bounds prove no path starting with
+    * `prefix` can be inside: compares only the first |prefix| bytes, so a
+    * file is skipped exactly when its whole [minPath, maxPath] interval
+    * lies strictly before or after the prefix's byte range.
+    */
+  def fileMayContainPathPrefix(f: DataFile, repo: String, prefix: String): Boolean = {
+    val pb = prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def headCmp(bound: String): Int = {
+      val bb = bound.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      java.util.Arrays.compareUnsigned(
+        java.util.Arrays.copyOf(bb, math.min(bb.length, pb.length)), pb)
+    }
+    fileMayContainRepo(f, repo) &&
+      f.maxPath.forall(headCmp(_) >= 0) && f.minPath.forall(headCmp(_) <= 0)
+  }
 
   /** Snapshot-level pointer to one bucket's manifest file (row/file counts
     * denormalized so planning-level stats never need the manifest body).

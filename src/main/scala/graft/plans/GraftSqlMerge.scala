@@ -254,6 +254,30 @@ final class GraftSqlReadRule(session: SparkSession) extends Rule[LogicalPlan] {
     }.toMap
   }
 
+  /** Prefix from a `path LIKE 'lit%'` conjunct (single trailing %, no
+    * other wildcards, default escape) — the directory-listing shape.
+    * Same alias discipline as [[keyLiterals]].
+    */
+  private def pathPrefix(cond: Expression, alias: Option[String]): Option[String] = {
+    import org.apache.spark.sql.catalyst.expressions.Like
+    def isPath(e: Expression): Boolean = e match {
+      case a: UnresolvedAttribute if a.nameParts.last.equalsIgnoreCase("path") &&
+          (a.nameParts.length == 1 ||
+            (a.nameParts.length == 2 && alias.exists(_.equalsIgnoreCase(a.nameParts.head)))) => true
+      case _ => false
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    conjuncts(cond).collectFirst {
+      case Like(l, Literal(pat: UTF8String, StringType), '\\') if isPath(l) &&
+          pat.toString.endsWith("%") &&
+          !pat.toString.dropRight(1).exists(c => c == '%' || c == '_' || c == '\\') =>
+        pat.toString.dropRight(1)
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
     case i: InsertIntoStatement if relation(i.table).isDefined =>
       throw new UnsupportedOperationException(
@@ -283,7 +307,13 @@ final class GraftSqlReadRule(session: SparkSession) extends Rule[LogicalPlan] {
         if (KeyCols.forall(keys.contains))
           ColumnBridge.analyzed(LakeTable.open(root).lookup(session, keys("repo"), keys("path")))
         else if (keys.contains("repo"))
-          ColumnBridge.analyzed(LakeTable.open(root).readWhereRepo(session, keys("repo")))
+          pathPrefix(cond, alias) match {
+            // directory listing: repo = 'x' AND path LIKE 'dir/%'
+            case Some(pre) => ColumnBridge.analyzed(
+              LakeTable.open(root).readWherePathPrefix(session, keys("repo"), pre))
+            case None => ColumnBridge.analyzed(
+              LakeTable.open(root).readWhereRepo(session, keys("repo")))
+          }
         else readPlan(root)
       f.copy(child = rewrap(inner))
     }

@@ -173,6 +173,11 @@ class MorSpec extends SparkSpec {
     assert(got === expect)
     assert(table.filesForRepo(h, someRepo).size < table.filesOf(h).size,
       "repo bounds pruned no files")
+    // directory listing: same repo, one directory prefix
+    val dirExpect = expect.filter(_._1.startsWith("src/d1/"))
+    val dirGot = table.readWherePathPrefix(spark, someRepo, "src/d1/")
+      .select($"path", $"content", $"seq").as[(String, String, Long)].collect().toSet
+    assert(dirGot === dirExpect)
   }
 
   test("MOR with auto-compaction (compactEvery=2): parity + bounded file count") {

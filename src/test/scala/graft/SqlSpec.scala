@@ -176,6 +176,20 @@ class SqlSpec extends SparkSpec {
     val full = spark.sql(s"SELECT * FROM graft_lake.`$base/t`")
     assert(scannedFiles(repoQ) < scannedFiles(full),
       s"repo-scoped read must enumerate fewer files (${scannedFiles(repoQ)} vs ${scannedFiles(full)})")
+
+    // directory listing: repo + path LIKE 'prefix%' — prefix-pruned
+    val dirQ = spark.sql(
+      s"SELECT * FROM graft_lake.`$base/t` WHERE repo = 'r3' AND path LIKE 'p1%'")
+    assert(canon(dirQ) === canon(
+      table.read(spark).filter($"repo" === "r3" && $"path".startsWith("p1"))))
+    assert(dirQ.count() === 2L) // p11, p19 belong to r3 (i % 8 == 3)
+    assert(scannedFiles(dirQ) <= scannedFiles(repoQ),
+      "path-prefix read must not scan more than the repo-scoped read")
+    // non-prefix LIKE patterns must NOT trigger prefix pruning (still correct)
+    val midQ = spark.sql(
+      s"SELECT count(*) AS n FROM graft_lake.`$base/t` WHERE repo = 'r3' AND path LIKE '%9'")
+    assert(midQ.head().getLong(0) ===
+      table.read(spark).filter($"repo" === "r3" && $"path".endsWith("9")).count())
   }
 
   test("MERGE INTO composes with a graft_lake SELECT source") {
