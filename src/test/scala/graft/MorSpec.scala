@@ -212,6 +212,28 @@ class MorSpec extends SparkSpec {
     assert(mor === cow)
   }
 
+  test("prefix pruning is sound: a file containing a match is never skipped") {
+    // seeded adversarial strings around truncation edges: bounds shorter /
+    // longer than the prefix, multi-byte UTF-8, shared prefixes
+    val rnd = new scala.util.Random(4242)
+    val alphabet = "ab/éÿ01"
+    def str(): String = (0 until rnd.nextInt(6)).map(_ =>
+      alphabet(rnd.nextInt(alphabet.length))).mkString
+    (1 to 2000).foreach { _ =>
+      // a simulated sorted file: its true path contents and exact bounds
+      val paths = Seq.fill(1 + rnd.nextInt(4))(str())
+      val f = graft.lake.LakeTable.DataFile("f", 0, paths.size,
+        minRepo = Some("r"), maxRepo = Some("r"),
+        minPath = Some(paths.min), maxPath = Some(paths.max))
+      val prefix = str()
+      val contains = paths.exists(_.startsWith(prefix))
+      val kept = graft.lake.LakeTable.fileMayContainPathPrefix(f, "r", prefix)
+      // soundness: contains ⇒ kept (completeness is best-effort pruning)
+      assert(!contains || kept,
+        s"false skip: paths=$paths prefix='$prefix' bounds=[${paths.min},${paths.max}]")
+    }
+  }
+
   test("binpack trigger: small-file buckets compact even under the file-count bar") {
     val base = tmpDir("morbinpack")
     val table = LakeTable(s"$base/t", numBuckets = 4, LakeTable.Mor)
