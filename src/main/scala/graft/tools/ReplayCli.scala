@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   *
   * {{{
   * ReplayCli gen    <logDir> <nEvents> [seed] [nFiles]
-  * ReplayCli replay <logDir> <workDir> [cores] [saltBuckets] [numBuckets]
+  * ReplayCli replay <logDir> <workDir> [cores] [saltBuckets] [numBuckets] [mode] [compactEvery] [targetFileRows]
   * ReplayCli show    <workDir> [repo path]
   * ReplayCli sql     <workDir> "SELECT … FROM $TABLE …"
   * ReplayCli changes <workDir> <fromVersion> <toVersion>
@@ -40,12 +40,16 @@ object ReplayCli {
       val buckets = rest.drop(2).headOption.map(_.toInt).getOrElse(32)
       val mode = rest.drop(3).headOption.getOrElse(
         sys.env.getOrElse("GRAFT_TABLE_MODE", graft.lake.LakeTable.Cow))
+      val compactEvery = rest.drop(4).headOption.map(_.toInt).filter(_ > 0)
+      val targetRows = rest.drop(5).headOption.map(_.toLong).filter(_ > 0)
+      val maxFiles = sys.env.get("GRAFT_MAX_FILES_PER_TRIGGER").map(_.toInt)
       val spark = Sessions.local(cores, "graft-replay")
       val cfg = TailerConfig(
         logDir = logDir, tableRoot = s"$workDir/table",
         checkpointDir = s"$workDir/ckpt", lineageDir = s"$workDir/lineage",
         metricsDir = s"$workDir/metrics", numBuckets = buckets, saltBuckets = salt,
-        tableMode = mode)
+        tableMode = mode, compactEvery = compactEvery,
+        targetFileRows = targetRows, maxFilesPerTrigger = maxFiles)
       val t0 = System.nanoTime()
       Tailer.replay(spark, cfg)
       val secs = (System.nanoTime() - t0) / 1e9
