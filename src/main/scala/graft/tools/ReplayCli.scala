@@ -15,6 +15,7 @@ import org.apache.spark.sql.functions._
   * ReplayCli gen    <logDir> <nEvents> [seed] [nFiles]
   * ReplayCli replay <logDir> <workDir> [cores] [saltBuckets] [numBuckets] [mode] [compactEvery] [targetFileRows]
   * ReplayCli show    <workDir> [repo path]
+  * ReplayCli stats   <workDir>
   * ReplayCli sql     <workDir> "SELECT … FROM $TABLE …"
   * ReplayCli changes <workDir> <fromVersion> <toVersion>
   * ReplayCli drain   <workDir>
@@ -133,6 +134,23 @@ object ReplayCli {
       feed.orderBy(desc("seq")).show(10, truncate = 40)
       spark.stop()
 
+    // metadata-only table stats: reads HEAD + manifests, never data files
+    case "stats" :: workDir :: Nil =>
+      val table = LakeTable.open(s"$workDir/table")
+      val h = table.head()
+      val ms = h.manifests.sortBy(_.bucket)
+      val bounded = ms.map(r => table.filesOf(h, r.bucket).count(f =>
+        f.minRepo.isDefined && f.minPath.isDefined)).sum
+      println(s"[stats] version=${h.version} mode=${h.mode} " +
+        s"lastBatchId=${h.lastBatchId} buckets=${ms.size}/${table.numBuckets} " +
+        f"rows=${h.totalRows}%,d files=${h.totalFiles} " +
+        f"bytes=${ms.map(_.sizeBytes).sum}%,d boundedFiles=$bounded/${h.totalFiles}")
+      val worst = ms.sortBy(-_.fileCount).take(5)
+      worst.foreach { r =>
+        println(f"[stats]   bucket=${r.bucket}%3d files=${r.fileCount}%3d " +
+          f"rows=${r.rowCount}%,9d bytes=${r.sizeBytes}%,12d")
+      }
+
     case "show" :: workDir :: rest =>
       val spark = Sessions.local(4, "graft-show")
       val table = LakeTable.open(s"$workDir/table")
@@ -153,7 +171,7 @@ object ReplayCli {
 
     case _ =>
       System.err.println(
-        "usage: ReplayCli gen|replay|show|sql|changes|drain|compact|vacuum ... (see scaladoc)")
+        "usage: ReplayCli gen|replay|show|stats|sql|changes|drain|compact|vacuum ... (see scaladoc)")
       sys.exit(2)
   }
 }
