@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench` as
+// JSON. sbt's default logger decorates forked-process stdout as
+// "[info] {...}" and appends a "[success]" trailer — both rounds 1 and 2
+// lost their bench numbers to that. StdoutOutput passes the forked JVM's
+// stdout through verbatim (Bench ALSO writes the same JSON to a file).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -67,8 +67,12 @@ object Bench {
     // stop FIRST, print LAST: the result JSON must be the final stdout line
     // (round 1 lost its bench numbers to a post-print listener stack trace)
     spark.stop()
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cores":$cpus,"cdcReplay":{"events":1000000,"secs":$cdcSecs%.3f,"eventsPerSec":$cdcEps%.0f}}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cores":$cpus,"cdcReplay":{"events":1000000,"secs":$cdcSecs%.3f,"eventsPerSec":$cdcEps%.0f}}"""
+    // belt and braces vs stdout decoration (rounds 1+2 lost the line to
+    // sbt's log prefix): persist the identical JSON next to the repo root
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
+    println(json)
     System.out.flush()
   }
 }

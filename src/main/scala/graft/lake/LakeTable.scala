@@ -117,6 +117,37 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     readSnapshot(metaDir.resolve(name))
   }
 
+  /** head() + bucket-modulus guard: every path that HASHES a key (merge
+    * write planning, point-lookup pruning) must agree with the modulus the
+    * head snapshot's files were written under — a stale handle held across
+    * a [[rebucket]] would otherwise silently mis-bucket every key (wrong
+    * pruning on reads, wrong touched-set on writes). Legacy snapshots
+    * (numBuckets unrecorded) skip the check.
+    */
+  private def checkedHead(): Snapshot = {
+    val h = head()
+    if (h.numBuckets > 0 && h.numBuckets != numBuckets)
+      throw new IllegalStateException(
+        s"stale table handle: this instance hashes keys mod $numBuckets but " +
+          s"snapshot v${h.version} was written mod ${h.numBuckets} (rebucket ran) " +
+          "— re-open the table with LakeTable.open(root)")
+    h
+  }
+
+  /** Newest snapshot committed at or before `tsMillis` (TIMESTAMP AS OF).
+    * Legacy snapshots without a recorded commit time never match.
+    */
+  def versionAt(tsMillis: Long): Int = {
+    val at = versions()
+      .map(v => v -> readSnapshot(metaDir.resolve(s"v$v.json")).committedAtMs)
+      .filter { case (_, ts) => ts >= 0 && ts <= tsMillis }
+    if (at.isEmpty)
+      throw new IllegalArgumentException(
+        s"no snapshot committed at or before ${java.time.Instant.ofEpochMilli(tsMillis)} " +
+          s"(oldest retained: v${versions().headOption.getOrElse(-1)})")
+    at.maxBy(_._2)._1
+  }
+
   private def readSnapshot(p: Path): Snapshot = {
     val n = mapper.readTree(Files.readString(p))
     val version = n.get("version").asInt
@@ -127,7 +158,8 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
         n.get("manifests").elements.asScala.map { m =>
           ManifestRef(m.get("bucket").asInt, m.get("path").asText,
             m.get("rowCount").asLong, m.get("fileCount").asInt,
-            Option(m.get("sizeBytes")).map(_.asLong).getOrElse(0L))
+            Option(m.get("sizeBytes")).map(_.asLong).getOrElse(0L),
+            Option(m.get("sortedFiles")).map(_.asInt).getOrElse(0))
         }.toSeq
       else {
         val inline = n.get("files").elements.asScala.map { f =>
@@ -146,7 +178,8 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
       schemaIds = n.get("schemaIds").elements.asScala.map(_.asInt).toSeq,
       manifests = manifests,
       summary = n.get("summary").fields.asScala.map(e => e.getKey -> e.getValue.asText).toMap,
-      mode = Option(n.get("mode")).map(_.asText).getOrElse(Cow))
+      mode = Option(n.get("mode")).map(_.asText).getOrElse(Cow),
+      numBuckets = Option(n.get("numBuckets")).map(_.asInt).getOrElse(-1))
   }
 
   // --- per-bucket manifests ------------------------------------------------
@@ -167,7 +200,8 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
         def opt(k: String) = Option(f.get(k)).map(_.asText)
         DataFile(f.get("path").asText, f.get("bucket").asInt, f.get("rowCount").asLong,
           opt("minRepo"), opt("maxRepo"), opt("minPath"), opt("maxPath"),
-          sizeBytes = Option(f.get("sizeBytes")).map(_.asLong).getOrElse(0L))
+          sizeBytes = Option(f.get("sizeBytes")).map(_.asLong).getOrElse(0L),
+          sorted = Option(f.get("sorted")).exists(_.asBoolean))
       }.toSeq
       manifestCache.put(ref.path, fs)
       fs
@@ -209,10 +243,12 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
         f.minRepo.foreach(fn.put("minRepo", _)); f.maxRepo.foreach(fn.put("maxRepo", _))
         f.minPath.foreach(fn.put("minPath", _)); f.maxPath.foreach(fn.put("maxPath", _))
         if (f.sizeBytes > 0) fn.put("sizeBytes", f.sizeBytes)
+        if (f.sorted) fn.put("sorted", true)
       }
       Files.writeString(Paths.get(root, rel), mapper.writeValueAsString(node))
       manifestCache.put(rel, fs)
-      ManifestRef(b, rel, fs.map(_.rowCount).sum, fs.size, fs.map(_.sizeBytes).sum)
+      ManifestRef(b, rel, fs.map(_.rowCount).sum, fs.size, fs.map(_.sizeBytes).sum,
+        fs.count(_.sorted))
     }
   }
 
@@ -241,6 +277,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     node.put("parent", s.parent)
     node.put("lastBatchId", s.lastBatchId)
     node.put("mode", s.mode)
+    node.put("numBuckets", if (s.numBuckets > 0) s.numBuckets else numBuckets)
     val sids = node.putArray("schemaIds"); s.schemaIds.foreach(sids.add)
     val arr = node.putArray("manifests")
     s.manifests.foreach { m =>
@@ -248,9 +285,12 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
       mn.put("bucket", m.bucket); mn.put("path", m.path)
       mn.put("rowCount", m.rowCount); mn.put("fileCount", m.fileCount)
       if (m.sizeBytes > 0) mn.put("sizeBytes", m.sizeBytes)
+      if (m.sortedFiles > 0) mn.put("sortedFiles", m.sortedFiles)
     }
     val sum = node.putObject("summary")
     s.summary.foreach { case (k, v) => sum.put(k, v) }
+    if (!s.summary.contains("committedAtMs"))
+      sum.put("committedAtMs", System.currentTimeMillis.toString)
     val snapPath = metaDir.resolve(s"v${s.version}.json")
     // tmp names are TOKENED: two same-version racers must never share a
     // temp path, or the winner could move the loser's content into place
@@ -387,7 +427,12 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     */
   def drainChanges(spark: SparkSession, cursorFile: Path): Option[ChangeWindow] = {
     val from =
-      if (Files.exists(cursorFile)) Files.readString(cursorFile).trim.toInt else 0
+      if (!Files.exists(cursorFile)) 0
+      else Files.readString(cursorFile).trim.toIntOption.getOrElse(
+        throw new IllegalStateException(
+          s"cursor file $cursorFile is corrupt (expected a snapshot version " +
+            "integer) — delete it to re-consume from v0, or re-seed it with " +
+            "the last version the consumer durably applied"))
     val to = head().version
     if (to <= from) None
     else Some(ChangeWindow(from, to, changesBetween(spark, from, to), () => {
@@ -420,7 +465,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     * per-key doc fetch, PantherLocalWrapper.java:373-383.)
     */
   def lookup(spark: SparkSession, repo: String, path: String): DataFrame = {
-    val h = head()
+    val h = checkedHead() // bucketOf must use the head snapshot's modulus
     val b = bucketOf(repo, path)
     liveRows(
       readFiles(spark, filesOf(h, b).filter(fileMayContain(_, repo, path)))
@@ -535,7 +580,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
   def merge(spark: SparkSession, batch: DataFrame, batchId: Long,
             updateColumns: Option[Seq[String]], retries: Int,
             srcKeyUnique: Boolean = false): MergeStats = {
-    val h0 = head()
+    val h0 = checkedHead()
     if (batchId <= h0.lastBatchId)
       return MergeStats(applied = false, h0.version, 0L, 0, h0.totalRows)
     if (h0.mode == Mor) {
@@ -624,7 +669,10 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
           if (batchId <= h1.lastBatchId) // our batch won through another writer
             return MergeStats(applied = false, h1.version, 0L, 0, h1.totalRows)
           val conflict = touched.exists(b => refOf(base, b) != refOf(h1, b))
-          if (conflict) // our rows derive from stale buckets → recompute
+          // vanished: a concurrent vacuum(0) reclaimed our pending files
+          // between data write and CAS — rebasing would commit dangling
+          // references; recompute re-writes fresh files
+          if (conflict || pendingVanished(newRefs))
             return merge(spark, batch, batchId, updateColumns, attempts,
               srcKeyUnique = true) // already validated on the first attempt
           base = h1 // disjoint: pure manifest rebase
@@ -688,6 +736,8 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
           val h1 = head()
           if (batchId <= h1.lastBatchId)
             return MergeStats(applied = false, h1.version, 0L, 0, h1.totalRows)
+          if (newFiles.exists(f => !Files.exists(Paths.get(root, f.path))))
+            return mergeAppend(spark, batch, batchId, h1, attempts) // vacuum raced us
           base = h1
         }
       }
@@ -707,9 +757,11 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     */
   private def writeSnapshotFiles(rows: DataFrame, tag: String,
                                  sorted: Boolean = false,
-                                 maxRowsPerFile: Option[Long] = None): Seq[DataFile] = {
+                                 maxRowsPerFile: Option[Long] = None,
+                                 buckets: Int = numBuckets): Seq[DataFile] = {
     val outDir = s"data/snap-$tag"
-    val bucketed = rows.withColumn("_b", bucketExpr).repartition(col("_b"))
+    val bExpr = pmod(hash(col("repo"), col("path")), lit(buckets))
+    val bucketed = rows.withColumn("_b", bExpr).repartition(col("_b"))
     // _b leads the sort so FileFormatWriter's required partition-column
     // ordering is already satisfied and it does not inject its own
     // _b-only sort (which would destroy the key clustering)
@@ -720,7 +772,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     // ranges, which is what makes the manifest bounds prune to one file
     maxRowsPerFile.foreach(n => w.option("maxRecordsPerFile", n))
     w.parquet(s"$root/$outDir")
-    listDataFiles(Paths.get(root, outDir), outDir)
+    listDataFiles(Paths.get(root, outDir), outDir).map(_.copy(sorted = sorted))
   }
 
   /** Generic SQL `MERGE INTO` executor (the graft_lake SQL surface,
@@ -745,8 +797,10 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
   def mergeSql(spark: SparkSession, source: DataFrame, tAlias: String,
                sAlias: String, onSql: String, srcKeySql: Map[String, String],
                matched: Seq[SqlMergeClause],
-               notMatched: Seq[SqlMergeClause], retries: Int = 3): MergeStats = {
-    val h0 = head()
+               notMatched: Seq[SqlMergeClause],
+               notBySource: Seq[SqlMergeClause] = Nil,
+               retries: Int = 3): MergeStats = {
+    val h0 = checkedHead()
     require(h0.mode == Cow, "SQL MERGE INTO targets copy-on-write tables")
     val dataCols = schema.fieldNames.filterNot(_ == "deleted").toSeq
     // re-alias after withColumn (a Project strips the subquery alias)
@@ -756,11 +810,19 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
       // update the same target row twice — nondeterministic; reject.
       requireUniqueKeys(src, expr(srcKeySql("repo")), expr(srcKeySql("path")),
         "aggregate the source to one row per key")
-      val touched = src
+      val srcTouched = src
         .select(pmod(hash(expr(srcKeySql("repo")), expr(srcKeySql("path"))),
           lit(numBuckets)).as("_b"))
         .groupBy("_b").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val srcRows = touched.values.sum
+      // WHEN NOT MATCHED BY SOURCE acts on target rows whose key the source
+      // does NOT carry — those can live in ANY bucket, so bucket pruning is
+      // unsound and every non-empty bucket becomes part of the rewrite.
+      // (Iceberg's MERGE does the same: such statements scan the table.)
+      val touched =
+        if (notBySource.isEmpty) srcTouched
+        else srcTouched ++ h0.manifests.map(r =>
+          r.bucket -> srcTouched.getOrElse(r.bucket, 0L))
+      val srcRows = srcTouched.values.sum
       val (touchedRefs, carried) = h0.manifests.partition(r => touched.contains(r.bucket))
       val tgt = readFiles(spark, touchedRefs.flatMap(loadManifest))
       val live = tgt.filter(!col("deleted")).drop("deleted")
@@ -779,21 +841,28 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
             .map(n => n -> expr(s"`${c.starAlias}`.`$n`")).toMap
         else c.assigns.map { case (n, sql) => n -> expr(sql) }.toMap
 
-      // first-matching clause index ("m<i>" / "i<i>"), else keep/drop
-      var act: Column = when(tEx && !sEx, lit("keep"))
+      // first-matching clause index ("m<i>" / "i<i>" / "b<i>" for NOT
+      // MATCHED BY SOURCE), else keep (target-side rows) / drop
+      var act: Column = when(lit(false), lit("keep"))
       matched.zipWithIndex.foreach { case (c, i) =>
         act = act.when(isM && c.condSql.map(expr).getOrElse(lit(true)), lit(s"m$i"))
       }
       notMatched.zipWithIndex.foreach { case (c, i) =>
         act = act.when(!tEx && sEx && c.condSql.map(expr).getOrElse(lit(true)), lit(s"i$i"))
       }
+      notBySource.zipWithIndex.foreach { case (c, i) =>
+        act = act.when(tEx && !sEx && c.condSql.map(expr).getOrElse(lit(true)), lit(s"b$i"))
+      }
       val withAct = joined.withColumn("_act",
-        act.otherwise(when(isM, lit("keep")).otherwise(lit("drop"))))
+        act.otherwise(when(tEx, lit("keep")).otherwise(lit("drop"))))
 
-      val dropped = matched.zipWithIndex.collect {
-        case (c, i) if c.kind == "delete" => s"m$i" }.toSet + "drop"
+      val dropped = (matched.zipWithIndex.collect {
+        case (c, i) if c.kind == "delete" => s"m$i" } ++
+        notBySource.zipWithIndex.collect {
+          case (c, i) if c.kind == "delete" => s"b$i" }).toSet + "drop"
       val assignMaps = (matched.zipWithIndex.map { case (c, i) => s"m$i" -> assignsOf(c) } ++
-        notMatched.zipWithIndex.map { case (c, i) => s"i$i" -> assignsOf(c) }).toMap
+        notMatched.zipWithIndex.map { case (c, i) => s"i$i" -> assignsOf(c) } ++
+        notBySource.zipWithIndex.map { case (c, i) => s"b$i" -> assignsOf(c) }).toMap
       def valueFor(name: String): Column = {
         val field = schema(name)
         val base: Column = assignMaps.foldLeft(when(lit(false), lit(null))) {
@@ -837,15 +906,28 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
           attempts -= 1
           val h1 = head()
           val conflict = touched.keySet.exists(b => refOf(base, b) != refOf(h1, b))
-          if (conflict) // stale target rows → recompute the whole merge
+          if (conflict || pendingVanished(newRefs)) // stale target rows (or a
+            // concurrent vacuum reclaimed our pending files) → recompute
             return mergeSql(spark, source, tAlias, sAlias, onSql, srcKeySql,
-              matched, notMatched, attempts)
+              matched, notMatched, notBySource, attempts)
           base = h1
         }
       }
       throw new IllegalStateException("unreachable")
     } finally src.unpersist()
   }
+
+  /** True when any of this writer's PENDING (not yet committed) manifest
+    * or data files has disappeared — a concurrent vacuum with a zero/short
+    * grace window ran between our data write and the commit CAS. A rebase
+    * retry must then recompute (re-writing fresh files) instead of
+    * committing a snapshot that references deleted files.
+    */
+  private def pendingVanished(refs: Seq[ManifestRef]): Boolean =
+    refs.exists { r =>
+      !Files.exists(Paths.get(root, r.path)) ||
+        loadManifest(r).exists(f => !Files.exists(Paths.get(root, f.path)))
+    }
 
   /** Compaction: fold each key to its single latest version and coalesce
     * small files (one per bucket); lastBatchId (the exactly-once fence)
@@ -858,7 +940,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     */
   def compact(spark: SparkSession, gcTombstones: Boolean = false,
               retries: Int = 3, targetFileRows: Option[Long] = None): Unit = {
-    val h0 = head()
+    val h0 = checkedHead()
     // mode-aware: MOR resolves LWW duplicates before the rewrite, so the
     // compacted snapshot is unique-per-key in both modes
     val resolved = if (h0.mode == Mor) resolve(readFiles(spark, filesOf(h0)))
@@ -896,7 +978,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
                      gcTombstones: Boolean = false, retries: Int = 3,
                      targetFileRows: Option[Long] = None,
                      minFileBytes: Option[Long] = None): Int = {
-    val h0 = head()
+    val h0 = checkedHead()
     // Two Iceberg-style triggers. Both are evaluated against the file
     // count the rewrite itself would PRODUCE (ceil(rows/targetFileRows))
     // — not against 1 — otherwise a size-split compaction immediately
@@ -922,8 +1004,18 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
           fs.forall(_.sizeBytes > 0) && fs.map(_.sizeBytes).sum / fs.size < m
         }
     }
+    // layout restore (COW only): a COW merge rewrites its touched buckets
+    // to ONE unsorted file each, so the count-based triggers above can
+    // never re-select them and the sorted/size-split layout (and its
+    // bounds pruning) would silently degrade after any merge. The sorted
+    // flag in the manifest re-picks exactly those buckets. MOR is excluded
+    // — appends are unsorted by design there, and re-picking every bucket
+    // with any unsorted file would rewrite the table each cadence tick
+    // (read amplification is MOR's trigger).
+    def layoutDegraded(r: ManifestRef): Boolean =
+      h0.mode == Cow && targetFileRows.isDefined && r.sortedFiles < r.fileCount
     val picked = h0.manifests
-      .filter(r => readAmplified(r) || smallFiles(r))
+      .filter(r => readAmplified(r) || smallFiles(r) || layoutDegraded(r))
       .map(_.bucket).toSet
     if (picked.isEmpty) return 0
     val (pickedRefs, carried) = h0.manifests.partition(r => picked(r.bucket))
@@ -947,6 +1039,54 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
       compactBuckets(spark, maxFilesPerBucket, gcTombstones, retries - 1,
         targetFileRows, minFileBytes)
     }
+  }
+
+  /** Rewrite every row under a NEW key-hash modulus (the maintenance op for
+    * "the table outgrew its bucket count": more buckets = more write
+    * parallelism per merge and smaller per-bucket manifests). Runs with the
+    * [[compact]] commit protocol — sorted, optionally size-split output —
+    * and commits the new modulus IN the snapshot (authoritative), then
+    * refreshes the meta/table.json opener cache. Old snapshots keep their
+    * own recorded modulus, so time travel still reads them correctly.
+    *
+    * Returns a FRESH handle bound to the new modulus. This handle and any
+    * other stale one fail loudly afterwards (see [[checkedHead]]) — a
+    * stale modulus would silently mis-hash every key.
+    */
+  def rebucket(spark: SparkSession, newBuckets: Int,
+               targetFileRows: Option[Long] = None, retries: Int = 3): LakeTable = {
+    require(newBuckets > 0, s"rebucket: bucket count must be positive, got $newBuckets")
+    val h0 = checkedHead()
+    val physical = readFiles(spark, filesOf(h0))
+    // MOR duplicate versions fold here (same as compact) — the rebucketed
+    // table starts at one row per key either way; tombstones are retained
+    val resolved = if (h0.mode == Mor) resolve(physical) else physical
+    val token = newToken()
+    val newRefs = writeManifests(token, writeSnapshotFiles(resolved, token,
+      sorted = true, maxRowsPerFile = targetFileRows, buckets = newBuckets))
+    firePreCommitHook()
+    try
+      commitSnapshot(Snapshot(h0.version + 1, h0.version, h0.lastBatchId,
+        h0.schemaIds, newRefs,
+        Map("rebucket" -> s"$numBuckets->$newBuckets",
+          "totalRows" -> newRefs.map(_.rowCount).sum.toString),
+        mode = h0.mode, numBuckets = newBuckets),
+        expectedParent = h0.version)
+    catch { case e: ConcurrentCommitException =>
+      // any interleaved commit conflicts (rebucket reads every bucket):
+      // recompute against the new head, ingest wins
+      if (retries <= 0) throw e
+      return rebucket(spark, newBuckets, targetFileRows, retries - 1)
+    }
+    // sidecar refresh: a CACHE of the now-committed snapshot value (openers
+    // prefer the snapshot; the sidecar only serves pre-rebucket readers of
+    // the file). Atomic replace, after the commit — a crash between the two
+    // leaves a stale sidecar that open() ignores in favor of the snapshot.
+    val tmp = metaDir.resolve(s".table.json.${newToken()}.tmp")
+    Files.writeString(tmp, s"""{"numBuckets": $newBuckets}""")
+    Files.move(tmp, metaDir.resolve("table.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    new LakeTable(root, newBuckets)
   }
 
   /** Expire old snapshots: delete snapshot JSONs older than the newest
@@ -1016,7 +1156,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     * deleteByQuery("*:*"), PhylogenesServerWrapper.java:137-145).
     */
   def truncate(): Unit = {
-    val h0 = head()
+    val h0 = checkedHead()
     commitSnapshot(Snapshot(h0.version + 1, h0.version, h0.lastBatchId,
       h0.schemaIds, Nil, Map("truncate" -> "true"), mode = h0.mode),
       expectedParent = h0.version)
@@ -1086,7 +1226,11 @@ object LakeTable {
   final case class DataFile(path: String, bucket: Int, rowCount: Long,
                             minRepo: Option[String] = None, maxRepo: Option[String] = None,
                             minPath: Option[String] = None, maxPath: Option[String] = None,
-                            sizeBytes: Long = 0L)
+                            sizeBytes: Long = 0L,
+                            // written under the table sort order (key-clustered)?
+                            // Merges write unsorted; compaction writes sorted.
+                            // Drives the COW layout-restore compaction trigger.
+                            sorted: Boolean = false)
 
   /** Parquet string stats are unsigned-UTF-8-byte ordered; compare the same
     * way (Java String compareTo is UTF-16 order — differs above ASCII).
@@ -1127,7 +1271,7 @@ object LakeTable {
     * denormalized so planning-level stats never need the manifest body).
     */
   final case class ManifestRef(bucket: Int, path: String, rowCount: Long, fileCount: Int,
-                               sizeBytes: Long = 0L)
+                               sizeBytes: Long = 0L, sortedFiles: Int = 0)
 
   /** One parsed WHEN clause of a SQL MERGE statement. `kind` ∈ update /
     * delete / insert; `assigns` are (target column → source-side SQL);
@@ -1156,7 +1300,14 @@ object LakeTable {
       schemaIds: Seq[Int],
       manifests: Seq[ManifestRef],
       summary: Map[String, String],
-      mode: String = Cow) {
+      mode: String = Cow,
+      // physical key-hash modulus this snapshot's files were written under;
+      // authoritative over the table.json sidecar (rebucket() changes it
+      // atomically WITH the snapshot commit). -1 = legacy snapshot.
+      numBuckets: Int = -1) {
+    /** Commit wall-clock (ms) recorded at commitSnapshot — TIMESTAMP AS OF
+      * resolves against it. -1 for legacy snapshots. */
+    def committedAtMs: Long = summary.get("committedAtMs").map(_.toLong).getOrElse(-1L)
     def totalRows: Long = manifests.map(_.rowCount).sum
     def totalFiles: Long = manifests.map(_.fileCount.toLong).sum
   }
@@ -1177,12 +1328,18 @@ object LakeTable {
     val meta = Paths.get(root, "meta", "table.json")
     require(Files.exists(Paths.get(root, "meta", "HEAD")),
       s"no graft lake table at $root")
-    // never guess the bucket count: a wrong modulus silently mis-hashes
-    // every key (wrong pruning, duplicate rows)
-    require(Files.exists(meta),
-      s"$root has no meta/table.json sidecar (pre-manifest table?) — " +
-        "open it with LakeTable(root, numBuckets) matching its creation")
-    val buckets = mapper.readTree(Files.readString(meta)).get("numBuckets").asInt
-    new LakeTable(root, buckets)
+    // the HEAD snapshot's recorded modulus is authoritative (rebucket
+    // commits it atomically with the data); the sidecar covers legacy
+    // snapshots that predate the field. Never guess: a wrong modulus
+    // silently mis-hashes every key (wrong pruning, duplicate rows).
+    val t0 = new LakeTable(root, 1)
+    val snapBuckets = t0.head().numBuckets
+    if (snapBuckets > 0) new LakeTable(root, snapBuckets)
+    else {
+      require(Files.exists(meta),
+        s"$root has no meta/table.json sidecar (pre-manifest table?) — " +
+          "open it with LakeTable(root, numBuckets) matching its creation")
+      new LakeTable(root, mapper.readTree(Files.readString(meta)).get("numBuckets").asInt)
+    }
   }
 }

@@ -60,8 +60,6 @@ object GraftSqlMergeRule extends Rule[LogicalPlan] {
       case s: SubqueryAlias => s.alias
       case _ => fail("alias the MERGE source: USING <query> AS s")
     }
-    if (m.notMatchedBySourceActions.nonEmpty)
-      fail("WHEN NOT MATCHED BY SOURCE is not supported")
 
     // ON must be a conjunction of equalities covering exactly the key
     // columns — that is what makes bucket pruning (and the equi-join
@@ -85,6 +83,22 @@ object GraftSqlMergeRule extends Rule[LogicalPlan] {
 
     val matched = m.matchedActions.map(clause(_, sAlias))
     val notMatched = m.notMatchedActions.map(clause(_, sAlias))
+    // NOT MATCHED BY SOURCE: acts on target rows absent from the source —
+    // update/delete only (no source row to insert), and conditions/assigns
+    // may reference only the target side (source columns are all null on
+    // those join rows, which would silently null whatever touches them).
+    val notBySource = m.notMatchedBySourceActions.map(clause(_, sAlias))
+    notBySource.foreach { c =>
+      if (c.kind == "insert" || c.star)
+        fail("WHEN NOT MATCHED BY SOURCE supports UPDATE SET <col>=<expr> and DELETE only")
+      val sRef = (c.condSql.toSeq ++ c.assigns.map(_._2))
+        .find(canonHasAlias(_, sAlias))
+      sRef.foreach(sql => fail(
+        s"WHEN NOT MATCHED BY SOURCE may only reference the target: $sql uses $sAlias"))
+      c.assigns.find(a => KeyCols.contains(a._1)).foreach { case (k, _) =>
+        fail(s"WHEN NOT MATCHED BY SOURCE must not reassign key column '$k'")
+      }
+    }
     // Key-column safety: every output row must stay in a bucket the merge
     // touched (one-manifest-per-bucket + rebase conflict detection rely on
     // it), so key assignments may only be the ON-clause source expression.
@@ -108,7 +122,18 @@ object GraftSqlMergeRule extends Rule[LogicalPlan] {
     notMatched.foreach(checkKeys(_, isInsert = true))
 
     GraftMergeCommand(root, tAlias, sAlias, m.mergeCondition.sql, srcKey.toMap,
-      matched, notMatched, m.sourceTable)
+      matched, notMatched, notBySource, m.sourceTable)
+  }
+
+  /** Does a serialized SQL fragment reference `alias` as a qualifier
+    * (`alias.` preceded by a non-identifier char)? Conservative textual
+    * check over the canonical fragment — expressions are serialized with
+    * explicit qualifiers, so a source reference always prints as alias.col.
+    */
+  private def canonHasAlias(sql: String, alias: String): Boolean = {
+    val canon = sql.replace("`", "").toLowerCase
+    val a = java.util.regex.Pattern.quote(alias.toLowerCase)
+    java.util.regex.Pattern.compile(s"(?<![a-z0-9_])$a\\.").matcher(canon).find()
   }
 
   private def keyOf(e: Expression, tAlias: String): Option[String] = e match {
@@ -158,6 +183,7 @@ final case class GraftMergeCommand(
     root: String, tAlias: String, sAlias: String, onSql: String,
     srcKeySql: Map[String, String],
     matched: Seq[SqlMergeClause], notMatched: Seq[SqlMergeClause],
+    notBySource: Seq[SqlMergeClause],
     source: LogicalPlan) extends LeafRunnableCommand {
 
   override def output: Seq[Attribute] = Seq(
@@ -170,7 +196,8 @@ final case class GraftMergeCommand(
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val src = org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(cs, source)
     val stats = LakeTable.open(root)
-      .mergeSql(cs, src, tAlias, sAlias, onSql, srcKeySql, matched, notMatched)
+      .mergeSql(cs, src, tAlias, sAlias, onSql, srcKeySql, matched, notMatched,
+        notBySource)
     Seq(Row(stats.version, stats.srcRows, stats.touchedBuckets, stats.rowsAfter))
   }
 }
@@ -287,14 +314,31 @@ final class GraftSqlReadRule(session: SparkSession) extends Rule[LogicalPlan] {
     case tt: RelationTimeTravel if relation(tt.relation).isDefined =>
       val (root, _, rewrap) = relation(tt.relation).get
       tt.version match {
-        case Some(v) if v.forall(_.isDigit) =>
+        // toIntOption also rejects ""/overflow (forall on "" is true)
+        case Some(v) if v.nonEmpty && v.forall(_.isDigit) && v.toIntOption.isDefined =>
           rewrap(ColumnBridge.analyzed(LakeTable.open(root).readAt(session, v.toInt)))
         case Some(v) =>
           throw new UnsupportedOperationException(
             s"graft VERSION AS OF takes an integer snapshot version, got '$v'")
         case None =>
-          throw new UnsupportedOperationException(
-            "graft lake supports VERSION AS OF <int>, not TIMESTAMP AS OF")
+          // TIMESTAMP AS OF <expr>: resolve to the newest snapshot whose
+          // recorded commit wall-clock is <= the timestamp, then read that
+          // pinned version (identical plan to VERSION AS OF).
+          val tsExpr = tt.timestamp.getOrElse(
+            throw new UnsupportedOperationException(
+              "graft time travel needs VERSION AS OF <int> or TIMESTAMP AS OF <ts>"))
+          if (!tsExpr.resolved || !tsExpr.foldable)
+            throw new UnsupportedOperationException(
+              s"graft TIMESTAMP AS OF must be a literal/foldable timestamp, got ${tsExpr.sql}")
+          val micros = Cast(tsExpr, org.apache.spark.sql.types.TimestampType,
+            Some(session.sessionState.conf.sessionLocalTimeZone)).eval() match {
+            case l: java.lang.Long => l.longValue()
+            case other => throw new UnsupportedOperationException(
+              s"graft TIMESTAMP AS OF: cannot interpret ${tsExpr.sql} as a timestamp ($other)")
+          }
+          val table = LakeTable.open(root)
+          val v = table.versionAt(micros / 1000L)
+          rewrap(ColumnBridge.analyzed(table.readAt(session, v)))
       }
 
     // point read: both keys pinned → bucket-pruned file set; repo alone

@@ -188,4 +188,47 @@ object Tailer {
     q.awaitTermination()
     Option(listeners.remove(q.id)).foreach(spark.streams.removeListener)
   }
+
+  /** Apply one change-feed micro-batch (op/repo/path/payload/seq rows from
+    * [[CdfSource]] / [[graft.lake.LakeTable.changesBetween]]) to a DERIVED
+    * lake table as an idempotent fenced merge — the sink half of
+    * table-to-table replication. A feed window carries at most one row per
+    * key by construction, so the merge's cardinality precondition holds.
+    *
+    * D rows carry the BEFORE-image seq (so consumers can retract); the
+    * derived mirror holds that same seq, and the merge's `src.seq >
+    * tgt.seq` guard would drop the delete. Bumping the tombstone to
+    * seq+1 is sound: the primary's LWW guarantees any LATER event for the
+    * key carried seq' strictly greater than the delete's real seq, which
+    * itself exceeded the before-image seq — so seq' >= before+2 always
+    * outranks the bumped tombstone, and no other writer feeds the mirror.
+    */
+  def applyChanges(derived: LakeTable, feed: DataFrame, batchId: Long): Unit = {
+    if (feed.isEmpty) return
+    val batch = feed.select(
+      col("repo"), col("path"), col("op"),
+      when(col("op") === "D", col("seq") + 1).otherwise(col("seq")).as("seq"),
+      col("commit"), col("language"), col("content"), col("size_bytes"))
+    derived.merge(feed.sparkSession, batch, batchId, updateColumns = None,
+      retries = 3, srcKeyUnique = true)
+  }
+
+  /** Follow a primary table's change feed into a derived table until the
+    * feed is drained (Trigger.AvailableNow over [[CdfSource]]); restart
+    * with the same checkpoint to pick up new commits — exactly-once via
+    * the derived table's batch fence. Returns after parity.
+    */
+  def followInto(spark: SparkSession, primaryRoot: String, derived: LakeTable,
+                 checkpointDir: String): Unit = {
+    val q = spark.readStream.format("graft-cdf")
+      .option("path", primaryRoot)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((feed: DataFrame, batchId: Long) =>
+        applyChanges(derived, feed, batchId))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -67,8 +67,15 @@ object ReplayCli {
     case "compact" :: workDir :: rest =>
       val gc = rest.contains("gc") // GC tombstones: end-of-stream only
       // optional target rows per file: sorted buckets split into
-      // range-disjoint files the manifest key bounds prune to on lookup
-      val targetRows = rest.filterNot(_ == "gc").headOption.map(_.toLong)
+      // range-disjoint files the manifest key bounds prune to on lookup.
+      // 0/negative would silently mean "no limit" downstream
+      // (maxRecordsPerFile) — reject, same policy as replay's args.
+      val targetRows = rest.filterNot(_ == "gc").headOption.map { a =>
+        a.toLongOption.filter(_ > 0).getOrElse {
+          System.err.println(s"usage: ReplayCli compact <workDir> [gc] [targetFileRows>0]; got '$a'")
+          sys.exit(2)
+        }
+      }
       val spark = Sessions.local(sys.env.getOrElse("GRAFT_CORES", "8").toInt, "graft-compact")
       // open (NOT create-with-default-buckets): compacting with a bucket
       // count different from the table's would silently rebucket the data

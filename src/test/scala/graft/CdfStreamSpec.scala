@@ -1,0 +1,105 @@
+package graft
+
+import graft.lake.LakeTable
+import graft.stream.Tailer
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The change feed as a STREAMING SOURCE (`format("graft-cdf")`): a derived
+  * lake table must stay in exact sync with the primary across repeated
+  * merge + compact cycles using ONLY the feed — the invariant that makes
+  * derived pipelines sound (extends LakeModelSpec's per-window CDF
+  * reconstruction to the full streaming loop with checkpointed offsets).
+  */
+class CdfStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cols = Seq("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes")
+
+  private def state(t: LakeTable): Set[(String, String, Long, String)] =
+    t.read(spark).select("repo", "path", "seq", "content")
+      .as[(String, String, Long, String)].collect().toSet
+
+  test("derived table follows the primary across 3 merge/compact cycles via the feed only") {
+    val base = tmpDir("cdf-follow")
+    val primary = LakeTable(s"$base/primary", 8)
+    val derived = LakeTable(s"$base/derived", 4) // different bucket count: feed is logical
+    val ckpt = s"$base/ckpt"
+
+    def mk(r: String, p: String, s: Long, op: String = "U") =
+      (r, p, op, s, s"c$s", "scala", if (op == "D") null else s"v$s-$r$p", Option(s))
+
+    var batchId = 0L
+    def mergeP(rows: (String, String, String, Long, String, String, String, Option[Long])*): Unit = {
+      primary.merge(spark, rows.toSeq.toDF(cols: _*), batchId); batchId += 1
+    }
+
+    // cycle 1: inserts, then follow
+    mergeP(mk("r1", "p1", 1), mk("r2", "p2", 2), mk("r3", "p3", 3))
+    Tailer.followInto(spark, s"$base/primary", derived, ckpt)
+    assert(state(derived) === state(primary), "cycle 1 parity")
+
+    // cycle 2: update + delete + insert, a compaction in between (must diff
+    // to zero extra rows), then follow again from the SAME checkpoint
+    mergeP(mk("r1", "p1", 10), mk("r2", "p2", 11, "D"))
+    primary.compact(spark)
+    mergeP(mk("r4", "p4", 12))
+    Tailer.followInto(spark, s"$base/primary", derived, ckpt)
+    assert(state(derived) === state(primary), "cycle 2 parity")
+    assert(state(derived).exists(_._1 == "r4") && !state(derived).exists(_._1 == "r2"))
+
+    // cycle 3: re-insert a deleted key (seq advanced past the delete),
+    // compact with tombstone GC, update again
+    mergeP(mk("r2", "p2", 20))
+    primary.compact(spark, gcTombstones = true)
+    mergeP(mk("r3", "p3", 21), mk("r1", "p1", 22, "D"))
+    Tailer.followInto(spark, s"$base/primary", derived, ckpt)
+    assert(state(derived) === state(primary), "cycle 3 parity")
+
+    // nothing new: the follow is a no-op (offset checkpoint holds)
+    val vBefore = derived.head().version
+    Tailer.followInto(spark, s"$base/primary", derived, ckpt)
+    assert(derived.head().version === vBefore, "drained feed must not re-apply")
+
+    // replaying the WHOLE feed from a fresh checkpoint into the same derived
+    // table is idempotent (batch fence + seq guard absorb the re-delivery)
+    Tailer.followInto(spark, s"$base/primary", derived, s"$base/ckpt2")
+    assert(state(derived) === state(primary), "full re-feed is idempotent")
+  }
+
+  test("graft-cdf source: startVersion skips history; missing path fails loudly") {
+    val base = tmpDir("cdf-opts")
+    val primary = LakeTable(s"$base/t", 4)
+    def mk(s: Long) = ("r", s"p$s", "I", s, s"c$s", "scala", s"v$s", Option(s))
+    primary.merge(spark, Seq(mk(1)).toDF(cols: _*), 0L)
+    primary.merge(spark, Seq(mk(2)).toDF(cols: _*), 1L)
+
+    // startVersion = 1: only the second commit's changes flow
+    val got = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val q = spark.readStream.format("graft-cdf")
+      .option("path", s"$base/t").option("startVersion", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (feed: DataFrame, _: Long) =>
+        got ++= feed.select("op", "path").as[(String, String)].collect()
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(got.toSet === Set(("I", "p2")), s"got $got")
+
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-cdf").load()
+        .writeStream.option("checkpointLocation", s"$base/ckpt3")
+        .foreachBatch((_: DataFrame, _: Long) => ())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => Option(c.getMessage).exists(_.contains("graft-cdf"))),
+      s"want a graft-cdf usage error, got: ${e.getMessage}")
+  }
+}

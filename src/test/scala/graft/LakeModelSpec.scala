@@ -7,14 +7,17 @@ import org.apache.spark.sql.functions._
 import scala.util.Random
 
 /** Model-based test of the lake: a seeded random sequence of merges and
-  * maintenance ops (compact / incremental compact / expire+vacuum) against
-  * an in-memory LWW model, in BOTH apply modes. Invariants per step:
+  * maintenance ops (compact / incremental compact, then a terminal
+  * expire+vacuum retention phase) against an in-memory LWW model, in BOTH
+  * apply modes. Invariants per step:
   *
   *  1. live state == model (every column, every key);
   *  2. CDF reconstruction: applying changesBetween(v, v') to the
   *     materialized state at v reproduces the state at v' exactly —
   *     the property that makes incremental downstream pipelines sound;
-  *  3. maintenance ops never change live state and diff to zero changes.
+  *  3. maintenance ops never change live state and diff to zero changes;
+  *  4. after expire+vacuum, live state and CDF between RETAINED versions
+  *     survive, and expired-range CDF fails with bootstrap guidance.
   */
 class LakeModelSpec extends SparkSpec {
   import spark.implicits._
@@ -124,6 +127,24 @@ class LakeModelSpec extends SparkSpec {
       val first = versions.head; val last = versions.last
       assert(applyFeed(stateAt(first), table.changesBetween(spark, first, last))
         === stateAt(last), s"CDF v$first→v$last [$mode]")
+
+      // retention phase: expire all but the newest 3 snapshots + vacuum —
+      // live state and recent CDF survive; expired history fails loudly
+      val expired = table.expireSnapshots(keepLast = 3)
+      assert(expired.nonEmpty, "the 14-round run must leave expirable history")
+      assert(table.vacuum(olderThanMs = 0) > 0,
+        "expired snapshots must strand reclaimable files")
+      assert(liveState(table.read(spark)) === model, s"state after vacuum [$mode]")
+      val retained = table.versions()
+      retained.sliding(2).foreach { case Seq(a, b) =>
+        if (stateAt.contains(a) && stateAt.contains(b))
+          assert(applyFeed(stateAt(a), table.changesBetween(spark, a, b))
+            === stateAt(b), s"post-vacuum CDF v$a→v$b [$mode]")
+      }
+      val gone = expired.head
+      val e = intercept[IllegalStateException](
+        table.changesBetween(spark, gone, retained.last))
+      assert(e.getMessage.contains("expired"), e.getMessage)
     }
 
   test("drainChanges: cursor advances only on commit; windows never skip or overlap") {

@@ -180,6 +180,39 @@ class MorSpec extends SparkSpec {
     assert(dirGot === dirExpect)
   }
 
+  test("COW layout restore: cadence compaction re-picks merge-degraded buckets") {
+    val base = tmpDir("cow-layout")
+    val t = LakeTable(s"$base/t", 4, LakeTable.Cow)
+    val cols = Seq("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes")
+    val seed = (1 to 200).map(i =>
+      (s"r${i % 10}", f"p$i%03d", "I", i.toLong, s"c$i", "scala", s"v$i", Option(i.toLong)))
+    t.merge(spark, seed.toDF(cols: _*), 0L)
+    // establish the sorted size-split layout
+    t.compact(spark, targetFileRows = Some(20L))
+    val sortedAll = t.head().manifests
+    assert(sortedAll.forall(r => r.sortedFiles == r.fileCount),
+      "compaction output must be flagged sorted")
+
+    // a COW merge rewrites its touched bucket to ONE unsorted file —
+    // the file-count triggers alone could never re-select it
+    t.merge(spark, Seq(("r1", "p001", "U", 1000L, "cX", "scala", "upd", Option(1L)))
+      .toDF(cols: _*), 1L)
+    val b = t.bucketOf("r1", "p001")
+    val degraded = t.head().manifests.find(_.bucket == b).get
+    assert(degraded.sortedFiles < degraded.fileCount, "merge output is unsorted")
+
+    // cadence compaction with a target size restores EXACTLY that bucket
+    val n = t.compactBuckets(spark, maxFilesPerBucket = 4, targetFileRows = Some(20L))
+    assert(n === 1, s"exactly the degraded bucket re-compacts, got $n")
+    val restored = t.head().manifests.find(_.bucket == b).get
+    assert(restored.sortedFiles === restored.fileCount)
+    // fixpoint: nothing left to do
+    assert(t.compactBuckets(spark, maxFilesPerBucket = 4,
+      targetFileRows = Some(20L)) === 0)
+    // without a target size the trigger stays off (no thrash)
+    assert(t.compactBuckets(spark, maxFilesPerBucket = 4) === 0)
+  }
+
   test("MOR with auto-compaction (compactEvery=2): parity + bounded file count") {
     val base = tmpDir("morauto")
     val tc = mkTailer().copy(

@@ -148,6 +148,61 @@ class MultiWriterSpec extends SparkSpec {
     assert(t1.vacuum(olderThanMs = 0) === 0)
   }
 
+  test("vacuum(0) racing a loser's rebase: retry recomputes, never dangling refs") {
+    val base = tmpDir("mw-vacrace")
+    val t1 = LakeTable(s"$base/t", 4)
+    val t2 = new LakeTable(s"$base/t", 4)
+    val (r2, p2) = disjointKey(t1)
+    t1.merge(spark, rows(("r1", "p1", 1L, "v1")), 0L)
+    // interleaving: after t1 wrote its pending (unreferenced) files but
+    // before its CAS, a DISJOINT writer commits (so t1 would normally take
+    // the cheap manifest-rebase path) and an aggressive vacuum(olderThan=0)
+    // reclaims t1's pending output. The rebase must detect the loss and
+    // recompute — committing the stale refs would corrupt the table.
+    t1.preCommitHook = () => {
+      val src = rows((r2, p2, 5L, "other")).alias("s")
+      t2.mergeSql(spark, src, "t", "s",
+        "`t`.`repo` = `s`.`repo` AND `t`.`path` = `s`.`path`",
+        Map("repo" -> "`s`.`repo`", "path" -> "`s`.`path`"),
+        matched = Nil,
+        notMatched = Seq(LakeTable.SqlMergeClause("insert", None, Nil,
+          star = true, starAlias = "s")))
+      Thread.sleep(10) // ensure pending-file mtimes are strictly < cutoff
+      t2.vacuum(olderThanMs = 0)
+      ()
+    }
+    val stats = t1.merge(spark, rows(("r1", "p1", 10L, "v2")), 1L)
+    assert(stats.applied, "merge must still win (recompute path)")
+    // invariant: every file the committed head references exists on disk
+    val h = t1.head()
+    t1.filesOf(h).foreach { f =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/t", f.path)),
+        s"head v${h.version} references deleted file ${f.path}")
+    }
+    val state = t1.read(spark).select("repo", "path", "seq", "content")
+      .as[(String, String, Long, String)].collect().toSet
+    assert(state === Set(("r1", "p1", 10L, "v2"), (r2, p2, 5L, "other")))
+
+    // same interleaving in MOR (append rebase path)
+    val m1 = LakeTable(s"$base/m", 4, LakeTable.Mor)
+    val m2 = new LakeTable(s"$base/m", 4)
+    m1.merge(spark, rows(("r1", "p1", 1L, "v1")), 0L)
+    m1.preCommitHook = () => {
+      m2.merge(spark, rows((r2, p2, 7L, "mor-other")), 98L)
+      Thread.sleep(10)
+      m2.vacuum(olderThanMs = 0)
+      ()
+    }
+    val mStats = m1.merge(spark, rows(("r1", "p1", 20L, "v2")), 99L)
+    assert(mStats.applied)
+    val mh = m1.head()
+    m1.filesOf(mh).foreach { f =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/m", f.path)),
+        s"MOR head v${mh.version} references deleted file ${f.path}")
+    }
+    assert(m1.read(spark).filter($"repo" === "r1").select("content").as[String].head() === "v2")
+  }
+
   test("vacuum with full history keeps every time-travel version readable") {
     val base = tmpDir("mw-vacuum2")
     val t1 = LakeTable(s"$base/t", 4)

@@ -307,4 +307,46 @@ class ReplaySpec extends SparkSpec {
     assert(row.length === 1)
     assert(row.head.getAs[String]("content") === golden(k).content)
   }
+
+  test("rebucket 16→64: state parity, sharper pruning, stale handles fenced") {
+    val (tc, _) = mkTailer(logDir)
+    Tailer.replay(spark, tc)
+    val t16 = LakeTable(tc.tableRoot, tc.numBuckets)
+    val t64 = t16.rebucket(spark, 64, targetFileRows = Some(512L))
+    assert(t64.numBuckets === 64)
+    assertParity(t64)
+    // openers resolve the NEW modulus from the snapshot (and the sidecar)
+    assert(LakeTable.open(tc.tableRoot).numBuckets === 64)
+
+    // point lookup: the key's (finer) bucket manifest + key bounds prune to
+    // exactly one file before any parquet footer is read
+    val k = golden.keysIterator.next()
+    val h = t64.head()
+    val b = t64.bucketOf(k._1, k._2)
+    val candidates = t64.filesOf(h, b)
+      .filter(LakeTable.fileMayContain(_, k._1, k._2))
+    assert(candidates.size === 1,
+      s"sorted size-split rebucket output must prune to 1 file, got ${candidates.size}")
+    assert(t64.lookup(spark, k._1, k._2)
+      .select("content").as[String].head() === golden(k).content)
+
+    // the stale pre-rebucket handle must fail loudly, not mis-hash keys
+    val e = intercept[IllegalStateException](t16.lookup(spark, k._1, k._2))
+    assert(e.getMessage.contains("rebucket"), e.getMessage)
+    val e2 = intercept[IllegalStateException](
+      t16.merge(spark, spark.range(0).selectExpr(
+        "'r' as repo", "'p' as path", "'I' as op", "id as seq",
+        "'c' as commit", "'l' as language", "'x' as content",
+        "id as size_bytes"), 9999L))
+    assert(e2.getMessage.contains("rebucket"), e2.getMessage)
+
+    // merges continue against the new layout; time travel to the
+    // pre-rebucket snapshot still reads the OLD files correctly
+    val preVersion = t64.head().parent
+    t64.merge(spark, Seq(("zz-new", "pp", "I", 999999L, "c", "scala", "post-rebucket",
+      Option(1L))).toDF("repo", "path", "op", "seq", "commit", "language",
+      "content", "size_bytes"), t64.head().lastBatchId + 1)
+    assert(t64.lookup(spark, "zz-new", "pp").count() === 1)
+    assert(t64.readAt(spark, preVersion).count() === golden.size.toLong)
+  }
 }

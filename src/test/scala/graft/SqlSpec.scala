@@ -210,6 +210,97 @@ class SqlSpec extends SparkSpec {
     assert(dst.read(spark).count() === 2L)
   }
 
+  test("TIMESTAMP AS OF resolves to the newest snapshot at-or-before the ts") {
+    val base = tmpDir("sqltt")
+    val table = lake.LakeTable(s"$base/t", 4)
+    def put(seq: Long, v: String): Unit = table.merge(spark,
+      Seq(("r", "p", "U", seq, s"c$seq", "scala", v, Option(seq)))
+        .toDF("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes"),
+      seq)
+    put(1, "v1")
+    Thread.sleep(20) // distinct commit wall-clocks
+    put(2, "v2")
+    val tsAfterV2 = table.head().committedAtMs
+    Thread.sleep(20)
+    put(3, "v3")
+
+    // ≡ readAt of the resolved version (v2 was head at tsAfterV2)
+    val resolved = table.versionAt(tsAfterV2)
+    // render the literal in UTC explicitly (the session tz) — Timestamp
+    // .toString would use the JVM default tz and skew the comparison
+    val tsLit = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(tsAfterV2))
+    val viaTs = spark.sql(
+      s"""SELECT content FROM graft_lake.`$base/t`
+         |TIMESTAMP AS OF '$tsLit'""".stripMargin)
+      .as[String].collect().toSeq
+    val viaVersion = table.readAt(spark, resolved)
+      .select("content").as[String].collect().toSeq
+    assert(viaTs === viaVersion)
+    assert(viaTs === Seq("v2"))
+    // head unchanged; current read still v3
+    assert(spark.sql(s"SELECT content FROM graft_lake.`$base/t`")
+      .as[String].head() === "v3")
+    // before any commit → curated error
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_lake.`$base/t` TIMESTAMP AS OF '1999-01-01 00:00:00'").collect())
+    assert(e.getMessage.contains("no snapshot"), e.getMessage)
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE: full-sync delete + flag ≡ Dataset-computed state") {
+    val base = tmpDir("sqlnmbs")
+    val table = lake.LakeTable(s"$base/t", 4)
+    val initial = Seq(
+      ("r1", "p1", "I", 1L, Option("c1"), Option("scala"), Option("a"), Option(1L)),
+      ("r2", "p2", "I", 2L, Option("c2"), Option("java"), Option("b"), Option(2L)),
+      ("r3", "p3", "I", 3L, Option("c3"), Option("py"), Option("c"), Option(3L)),
+      ("r4", "p4", "I", 4L, Option("c4"), Option("go"), Option("d"), Option(4L)))
+      .toDF("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes")
+    table.merge(spark, initial, 0L)
+
+    // the "full sync" shape: source is the complete desired key set;
+    // target-only rows are deleted, matched rows refreshed, new inserted
+    Seq(("r2", "p2", 20L, "b2"), ("r3", "p3", 30L, "c2"), ("r9", "p9", 90L, "new"))
+      .toDF("repo", "path", "seq", "content").createOrReplaceTempView("sync_src")
+    spark.sql(
+      s"""MERGE INTO graft_lake.`$base/t` AS t
+         |USING sync_src AS s
+         |ON t.repo = s.repo AND t.path = s.path
+         |WHEN MATCHED THEN UPDATE SET content = s.content, seq = s.seq
+         |WHEN NOT MATCHED THEN INSERT (repo, path, seq, content) VALUES (s.repo, s.path, s.seq, s.content)
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val got = table.read(spark).select("repo", "seq", "content")
+      .as[(String, Long, String)].collect().toSet
+    // Dataset-computed expectation: exactly the source's keyset
+    assert(got === Set(("r2", 20L, "b2"), ("r3", 30L, "c2"), ("r9", 90L, "new")))
+
+    // conditional UPDATE arm: mark unmatched rows instead of deleting
+    val t2 = lake.LakeTable(s"$base/t2", 4)
+    t2.merge(spark, initial, 0L)
+    spark.sql(
+      s"""MERGE INTO graft_lake.`$base/t2` AS t
+         |USING sync_src AS s
+         |ON t.repo = s.repo AND t.path = s.path
+         |WHEN NOT MATCHED BY SOURCE AND t.seq < 4 THEN UPDATE SET language = 'orphan'""".stripMargin)
+    val langs = t2.read(spark).select("repo", "language")
+      .as[(String, String)].collect().toMap
+    assert(langs === Map("r1" -> "orphan", "r2" -> "java", "r3" -> "py", "r4" -> "go"),
+      s"only unmatched rows passing the condition update: $langs")
+
+    // guard rails: source references and key reassignment are rejected
+    val e1 = intercept[Exception](spark.sql(
+      s"""MERGE INTO graft_lake.`$base/t2` AS t USING sync_src AS s
+         |ON t.repo = s.repo AND t.path = s.path
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET content = s.content""".stripMargin))
+    assert(e1.getMessage.contains("may only reference the target"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      s"""MERGE INTO graft_lake.`$base/t2` AS t USING sync_src AS s
+         |ON t.repo = s.repo AND t.path = s.path
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET repo = 'moved'""".stripMargin))
+    assert(e2.getMessage.contains("key column"), e2.getMessage)
+  }
+
   test("lww aggregate callable from SQL via registered function") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lww", exprs => graft.cdc.LwwAgg(exprs(0), exprs(1)).toAggregateExpression(),
