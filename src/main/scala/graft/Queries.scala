@@ -400,8 +400,16 @@ object Queries {
 
     "s3_ann_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
+      // pretrained-codebook IVF: centroids are the 8 smallest-id corpus
+      // vectors — deterministic, so the DuckDB oracle reproduces the cell
+      // assignment (and thus the candidate set) exactly. The KMeans-trained
+      // variant is covered by OpsSpec's recall oracle.
+      val codebook = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0).toArray)
       SimilarityOps.ivfTopK(emb, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, nLists = 8, nProbe = 3)
+        "vec_id", "embedding", k = 5, nLists = 8, nProbe = 3,
+        codebook = Some(codebook))
     }),
 
     "s2_ann_lsh" -> ((s, d) => {
@@ -1048,6 +1056,79 @@ object Queries {
         |      ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 5) DESC,
         |               c.vec_id) AS rank
         |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
-        |  WHERE q.vec_id < 10) WHERE rank <= 5""".stripMargin
+        |  WHERE q.vec_id < 10) WHERE rank <= 5""".stripMargin,
+
+    // Full re-derivation of the hyperplane LSH: planes from the SAME
+    // md5("42:t:b:d")-derived family (13 hex digits = exact 52-bit int,
+    // /2^52*2-1 is all power-of-two arithmetic, so both engines hold
+    // bit-identical doubles), sign-bit signatures per table, candidates
+    // share (t, sig), exact cosine rerank — the oracle checks the
+    // CANDIDATE SET, not just the scores.
+    "s2_ann_lsh" ->
+      """WITH planes AS (
+        |  SELECT t, b, list(comp ORDER BY d) AS plane FROM (
+        |    SELECT t, b, d,
+        |      list_reduce(list_transform(range(1, 14), i ->
+        |        CAST(strpos('0123456789abcdef',
+        |          substring(md5('42:' || t || ':' || b || ':' || d), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |        (a, x) -> a * 16 + x) / 4503599627370496.0 * 2 - 1 AS comp
+        |    FROM (SELECT unnest(range(0, 16)) AS t),
+        |         (SELECT unnest(range(0, 4)) AS b),
+        |         (SELECT unnest(range(0, 64)) AS d))
+        |  GROUP BY t, b),
+        |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sigs AS (
+        |  SELECT e.vec_id, p.t,
+        |    CAST(sum(CASE WHEN
+        |      list_reduce(list_transform(range(1, 65),
+        |        i -> e.v[CAST(i AS INT)] * p.plane[CAST(i AS INT)]), (a, x) -> a + x) > 0
+        |      THEN 1 << CAST(p.b AS INT) ELSE 0 END) AS INT) AS sig
+        |  FROM ev e CROSS JOIN planes p GROUP BY e.vec_id, p.t),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM sigs q JOIN sigs c ON q.t = c.t AND q.sig = c.sig
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |scored AS (
+        |  SELECT cd.query_id, cd.neighbor_id,
+        |    round(list_cosine_similarity(q.v, n.v), 5) AS cos
+        |  FROM cand cd JOIN ev q ON q.vec_id = cd.query_id
+        |               JOIN ev n ON n.vec_id = cd.neighbor_id)
+        |SELECT query_id, rank, neighbor_id, cos FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
+
+    // IVF with the deterministic codebook (centroids = corpus vectors
+    // 0..7): cell assignment by squared distance re-derived in SQL (same
+    // fold order ⇒ bit-identical doubles ⇒ identical argmin / probe
+    // sets), nProbe=3 probing, exact cosine rerank.
+    "s3_ann_ivf" ->
+      """WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |codebook AS (SELECT vec_id AS cell, v AS c FROM ev WHERE vec_id < 8),
+        |cd AS (
+        |  SELECT e.vec_id, cb.cell,
+        |    list_reduce(list_transform(range(1, 65),
+        |      i -> (e.v[CAST(i AS INT)] - cb.c[CAST(i AS INT)]) *
+        |           (e.v[CAST(i AS INT)] - cb.c[CAST(i AS INT)])), (a, x) -> a + x) AS d
+        |  FROM ev e CROSS JOIN codebook cb),
+        |assign AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |  FROM cd) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |  FROM cd WHERE vec_id < 10) WHERE rn <= 3),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+        |  FROM probes p JOIN assign a ON a.cell = p.cell
+        |  WHERE a.vec_id <> p.query_id),
+        |scored AS (
+        |  SELECT cd2.query_id, cd2.neighbor_id,
+        |    round(list_cosine_similarity(q.v, n.v), 5) AS cos
+        |  FROM cand cd2 JOIN ev q ON q.vec_id = cd2.query_id
+        |                JOIN ev n ON n.vec_id = cd2.neighbor_id)
+        |SELECT query_id, rank, neighbor_id, cos FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin
   )
 }

@@ -52,16 +52,22 @@ object SimilarityOps {
   }
 
   /** Deterministic random hyperplanes: `tables` independent signatures of
-    * `bits` hyperplanes each, components from a seeded splitmix stream.
+    * `bits` hyperplanes each. Components derive from md5("seed:t:b:d") —
+    * the same engine-independent hash family the minhash oracle uses, so a
+    * SQL oracle (DuckDB `md5`) reproduces every plane bit-for-bit: the
+    * first 13 hex digits are an exact 52-bit integer, and /2^52*2-1 maps
+    * it to [-1, 1) with only exact power-of-two arithmetic.
     */
+  private[graft] def md5unit(key: String): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(7).map("%02x".format(_)).mkString // 14 hex chars; use 13
+    java.lang.Long.parseLong(hex.substring(0, 13), 16).toDouble /
+      (1L << 52).toDouble * 2.0 - 1.0
+  }
+
   private def hyperplanes(dim: Int, bits: Int, tables: Int, seed: Long): Array[Array[Array[Double]]] =
-    Array.tabulate(tables, bits, dim) { (t, b, d) =>
-      var z = seed + t * 1000003L + b * 7919L + d + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d4a9b4e851c4d9L
-      // uniform in [-1, 1)
-      ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 52).toDouble - 1.0
-    }
+    Array.tabulate(tables, bits, dim) { (t, b, d) => md5unit(s"$seed:$t:$b:$d") }
 
   /** Sign-bit signature for one table: int bucket from `bits` hyperplanes. */
   private def signature(vec: Column, planes: Array[Array[Double]]): Column =
@@ -109,13 +115,23 @@ object SimilarityOps {
     * the per-query candidate set is |corpus| × nProbe / nLists on average.
     * Deterministic for a fixed seed.
     */
+  /** `codebook`: use these centroids instead of training KMeans — the
+    * pretrained-quantizer deployment shape (at 100 TB the codebook is fit
+    * once on a sample, then reused by every ingest/query job), and what
+    * makes the operator exactly reproducible by a SQL oracle.
+    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              k: Int = 5, nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+              k: Int = 5, nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+              codebook: Option[Array[Array[Double]]] = None): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val train = corpus.select(array_to_vector(asD(col(vecCol))).as("features"))
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(20).fit(train)
-    val centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+    val centers: Array[Array[Double]] = codebook.getOrElse {
+      val train = corpus.select(array_to_vector(asD(col(vecCol))).as("features"))
+      new KMeans().setK(nLists).setSeed(seed).setMaxIter(20).fit(train)
+        .clusterCenters.map(_.toArray)
+    }
+    require(centers.length == nLists,
+      s"codebook size ${centers.length} != nLists $nLists")
 
     def sqDistTo(c: Array[Double], v: Column): Column =
       aggregate(zip_with(v, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),

@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
   * ReplayCli sql     <workDir> "SELECT … FROM $TABLE …"
   * ReplayCli changes <workDir> <fromVersion> <toVersion>
   * ReplayCli drain   <workDir>
+  * ReplayCli follow  <workDir> <derivedDir>
   * ReplayCli compact <workDir> [gc] [targetFileRows]
+  * ReplayCli rebucket <workDir> <newBuckets> [targetFileRows]
   * ReplayCli vacuum  <workDir> [keepLast] [graceMs]
   * }}}
   */
@@ -89,6 +91,42 @@ object ReplayCli {
       println(f"[compact] v${before.version}→v${after.version} " +
         f"rows ${before.totalRows}%,d→${after.totalRows}%,d " +
         f"($tombMsg) files ${before.totalFiles}→${after.totalFiles}")
+      spark.stop()
+
+    // rewrite the table under a new key-hash modulus (maintenance op for
+    // outgrown bucket counts); openers pick the new modulus up from the
+    // snapshot automatically
+    case "rebucket" :: workDir :: newN :: rest =>
+      val buckets = newN.toIntOption.filter(_ > 0).getOrElse {
+        System.err.println(s"usage: ReplayCli rebucket <workDir> <newBuckets> [targetFileRows]; got '$newN'")
+        sys.exit(2)
+      }
+      val targetRows = rest.headOption.map { a =>
+        a.toLongOption.filter(_ > 0).getOrElse {
+          System.err.println(s"rebucket: targetFileRows must be a positive integer, got '$a'")
+          sys.exit(2)
+        }
+      }
+      val spark = Sessions.local(sys.env.getOrElse("GRAFT_CORES", "8").toInt, "graft-rebucket")
+      val t0 = LakeTable.open(s"$workDir/table")
+      val before = t0.head()
+      val t1 = t0.rebucket(spark, buckets, targetFileRows = targetRows)
+      val after = t1.head()
+      println(f"[rebucket] v${before.version}→v${after.version} " +
+        f"buckets ${t0.numBuckets}→${t1.numBuckets} rows ${after.totalRows}%,d " +
+        f"files ${before.totalFiles}→${after.totalFiles}")
+      spark.stop()
+
+    // continuously-consumable change feed: drain the graft-cdf stream into
+    // a DERIVED lake table (replication), resumable via its checkpoint
+    case "follow" :: workDir :: derivedDir :: Nil =>
+      val spark = Sessions.local(sys.env.getOrElse("GRAFT_CORES", "8").toInt, "graft-follow")
+      val derived = LakeTable(s"$derivedDir/table",
+        LakeTable.open(s"$workDir/table").numBuckets)
+      Tailer.followInto(spark, s"$workDir/table", derived, s"$derivedDir/ckpt")
+      val rows = derived.read(spark).count()
+      println(f"[follow] derived $derivedDir/table rows=$rows%,d " +
+        f"v${derived.head().version} lastBatchId=${derived.head().lastBatchId}")
       spark.stop()
 
     case "vacuum" :: workDir :: rest =>
@@ -178,7 +216,7 @@ object ReplayCli {
 
     case _ =>
       System.err.println(
-        "usage: ReplayCli gen|replay|show|stats|sql|changes|drain|compact|vacuum ... (see scaladoc)")
+        "usage: ReplayCli gen|replay|show|stats|sql|changes|drain|follow|compact|rebucket|vacuum ... (see scaladoc)")
       sys.exit(2)
   }
 }
