@@ -89,6 +89,20 @@ class PlanSpec extends SparkSpec {
     assert(!q.contains("CartesianProduct") && !q.contains("BroadcastNestedLoopJoin"), q)
   }
 
+  test("ANN plans: LSH and IVF candidates come from broadcast equi-joins") {
+    // s2: corpus-side key is (table, signature) — the 100-TB shape is an
+    // equi-join against the broadcast query signatures, NEVER a product
+    val p2 = plan(Queries.sparkQueries("s2_ann_lsh")(spark, sf))
+    assert(!p2.contains("BroadcastNestedLoopJoin") && !p2.contains("CartesianProduct"),
+      s"LSH ANN must not plan a product join: $p2")
+    assert(p2.contains("BroadcastHashJoin"), s"query side should broadcast: $p2")
+    // s3: corpus-side key is the IVF cell id
+    val p3 = plan(Queries.sparkQueries("s3_ann_ivf")(spark, sf))
+    assert(!p3.contains("BroadcastNestedLoopJoin") && !p3.contains("CartesianProduct"),
+      s"IVF ANN must not plan a product join: $p3")
+    assert(p3.contains("BroadcastHashJoin"), s"probe side should broadcast: $p3")
+  }
+
   test("semi/anti joins plan as joins, not subquery re-scans") {
     val anti = optimized(Queries.sparkQueries("j11_anti")(spark, sf))
     assert(anti.contains("LeftAnti"), s"expected LeftAnti join:\n$anti")
