@@ -369,6 +369,50 @@ final class GraftSqlReadRule(session: SparkSession) extends Rule[LogicalPlan] {
   }
 }
 
+/** `graft_changes('<root>', from, to)` — the change-data-feed as a SQL
+  * table-valued function (completes the CDF surface: Dataset
+  * `changesBetween`, CLI `changes`, streaming `graft-cdf`, and SQL).
+  * Registered in the session's TABLE function registry, the same mechanism
+  * `range()` uses — the analyzer resolves it like any built-in TVF.
+  * Arguments must be literals: the feed window pins physical snapshots,
+  * which is a plan-time decision by design.
+  */
+object GraftChangesTvf {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  val ident: FunctionIdentifier = FunctionIdentifier("graft_changes")
+
+  val info = new ExpressionInfo(
+    GraftChangesTvf.getClass.getCanonicalName, null, "graft_changes",
+    "graft_changes(root, fromVersion, toVersion) - change-data-feed rows " +
+      "(op I/U/D + key + payload) of the graft lake table at `root` between " +
+      "two snapshot versions", "", "", "", "", "", "", "built-in")
+
+  def build(args: Seq[Expression]): LogicalPlan = {
+    def intLit(e: Expression): Option[Int] = e match {
+      case Literal(v: Int, IntegerType) => Some(v)
+      case Literal(v: Long, LongType) => Some(v.toInt)
+      case _ => None
+    }
+    args match {
+      case Seq(Literal(root: UTF8String, StringType), f, t) =>
+        (intLit(f), intLit(t)) match {
+          case (Some(from), Some(to)) =>
+            val session = org.apache.spark.sql.classic.SparkSession.active
+            org.apache.spark.sql.graftbridge.ColumnBridge.analyzed(
+              LakeTable.open(root.toString).changesBetween(session, from, to))
+          case _ => fail("fromVersion/toVersion must be integer literals")
+        }
+      case _ => fail("usage: graft_changes('<table root>', <fromVersion>, <toVersion>)")
+    }
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new UnsupportedOperationException(s"graft_changes: $msg")
+}
+
 /** `spark.sql.extensions` entry point. Order matters: the MERGE rule must
   * claim its target relation before the read rule expands relations.
   */
@@ -376,5 +420,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(_ => GraftSqlMergeRule)
     ext.injectResolutionRule(s => new GraftSqlReadRule(s))
+    ext.injectTableFunction((GraftChangesTvf.ident, GraftChangesTvf.info,
+      GraftChangesTvf.build _))
   }
 }

@@ -301,6 +301,34 @@ class SqlSpec extends SparkSpec {
     assert(e2.getMessage.contains("key column"), e2.getMessage)
   }
 
+  test("graft_changes TVF ≡ changesBetween (the CDF as a SQL table function)") {
+    val base = tmpDir("sqltvf")
+    val table = lake.LakeTable(s"$base/t", 4)
+    def put(seq: Long, p: String, op: String = "U"): Unit = table.merge(spark,
+      Seq(("r", p, op, seq, s"c$seq", "scala", if (op == "D") null else s"v$seq", Option(seq)))
+        .toDF("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes"),
+      seq)
+    put(1, "p1"); put(2, "p2"); put(3, "p1", "D")
+
+    val viaSql = spark.sql(
+      s"SELECT op, path, seq FROM graft_changes('$base/t', 1, 3) ORDER BY path")
+      .as[(String, String, Long)].collect().toSeq
+    val viaDs = table.changesBetween(spark, 1, 3)
+      .select("op", "path", "seq").orderBy("path")
+      .as[(String, String, Long)].collect().toSeq
+    assert(viaSql === viaDs)
+    assert(viaSql === Seq(("D", "p1", 1L), ("I", "p2", 2L)))
+    // composes with ordinary SQL (aggregate over the feed)
+    val n = spark.sql(
+      s"SELECT count(*) FROM graft_changes('$base/t', 0, 3) WHERE op = 'I'")
+      .as[Long].head()
+    assert(n === 1L) // p1 was inserted then deleted within the window; only p2 survives as I
+    // loud errors on bad args
+    val e = intercept[Exception](spark.sql(s"SELECT * FROM graft_changes('$base/t', 3, 1)"))
+    assert(e.getMessage.contains("fromVersion") || e.getMessage.contains("must be <"),
+      e.getMessage)
+  }
+
   test("lww aggregate callable from SQL via registered function") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lww", exprs => graft.cdc.LwwAgg(exprs(0), exprs(1)).toAggregateExpression(),
