@@ -80,6 +80,17 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     h()
   }
 
+  /** Jittered exponential backoff before a commit retry. Without it, N
+    * writers that lose a CAS all recompute in lockstep and can convoy one
+    * loser out of even 50 retries (observed in ConcurrencyStress);
+    * Iceberg's commit path backs off the same way.
+    */
+  private def commitBackoff(attemptsLeft: Int, retries: Int): Unit = {
+    val n = math.max(0, retries - attemptsLeft)
+    val cap = math.min(1600L, 25L << math.min(n, 6))
+    Thread.sleep(java.util.concurrent.ThreadLocalRandom.current.nextLong(cap / 2, cap + 1))
+  }
+
   /** The manifest a snapshot references for `bucket` (None = empty bucket). */
   private def refOf(s: Snapshot, bucket: Int): Option[ManifestRef] =
     s.manifests.find(_.bucket == bucket)
@@ -665,17 +676,19 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
         } catch { case e: ConcurrentCommitException =>
           if (attempts <= 0) throw e
           attempts -= 1
+          commitBackoff(attempts, retries)
           val h1 = head()
           if (batchId <= h1.lastBatchId) // our batch won through another writer
             return MergeStats(applied = false, h1.version, 0L, 0, h1.totalRows)
-          val conflict = touched.exists(b => refOf(base, b) != refOf(h1, b))
+          val conflict = touched.exists(b => refOf(base, b) != refOf(h1, b)) &&
+            !onlyCompactions(base.version, h1.version)
           // vanished: a concurrent vacuum(0) reclaimed our pending files
           // between data write and CAS — rebasing would commit dangling
           // references; recompute re-writes fresh files
           if (conflict || pendingVanished(newRefs))
             return merge(spark, batch, batchId, updateColumns, attempts,
               srcKeyUnique = true) // already validated on the first attempt
-          base = h1 // disjoint: pure manifest rebase
+          base = h1 // disjoint (or compaction-only): manifest rebase
         }
       }
       throw new IllegalStateException("unreachable")
@@ -733,6 +746,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
         } catch { case e: ConcurrentCommitException =>
           if (attempts <= 0) throw e
           attempts -= 1
+          commitBackoff(attempts, retries)
           val h1 = head()
           if (batchId <= h1.lastBatchId)
             return MergeStats(applied = false, h1.version, 0L, 0, h1.totalRows)
@@ -904,8 +918,10 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
         } catch { case e: ConcurrentCommitException =>
           if (attempts <= 0) throw e
           attempts -= 1
+          commitBackoff(attempts, retries)
           val h1 = head()
-          val conflict = touched.keySet.exists(b => refOf(base, b) != refOf(h1, b))
+          val conflict = touched.keySet.exists(b => refOf(base, b) != refOf(h1, b)) &&
+            !onlyCompactions(base.version, h1.version)
           if (conflict || pendingVanished(newRefs)) // stale target rows (or a
             // concurrent vacuum reclaimed our pending files) → recompute
             return mergeSql(spark, source, tAlias, sAlias, onSql, srcKeySql,
@@ -916,6 +932,25 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
       throw new IllegalStateException("unreachable")
     } finally src.unpersist()
   }
+
+  /** True when every commit in (fromV, toV] is a LIVE-STATE-PRESERVING
+    * layout rewrite (compaction — never a merge, truncate, or rebucket).
+    * Then a CAS loser's computed merge output is still valid even for its
+    * touched buckets (it was derived from rows a compaction only
+    * re-laid-out), so it may REBASE instead of recomputing — Iceberg's
+    * "rewrite commits don't conflict with data commits" rule. Without
+    * this, a cadence compactor forces every concurrent writer into a full
+    * recompute per tick and can starve them outright (observed in
+    * ConcurrencyStress before the fix). Tombstones a compaction GC'd may
+    * be re-introduced by the rebased output — sound, they only ever
+    * guard against older out-of-order events. A missing (expired)
+    * intermediate snapshot falls back to recompute.
+    */
+  private def onlyCompactions(fromV: Int, toV: Int): Boolean =
+    (fromV + 1 to toV).forall { v =>
+      val p = metaDir.resolve(s"v$v.json")
+      Files.exists(p) && readSnapshot(p).summary.contains("compaction")
+    }
 
   /** True when any of this writer's PENDING (not yet committed) manifest
     * or data files has disappeared — a concurrent vacuum with a zero/short
@@ -960,6 +995,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
       // compaction reads every bucket, so ANY interleaved commit conflicts:
       // recompute against the new head (ingest always wins over compaction)
       if (retries <= 0) throw e
+      commitBackoff(retries - 1, retries)
       compact(spark, gcTombstones, retries - 1, targetFileRows)
     }
   }
@@ -1036,6 +1072,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
       picked.size
     } catch { case e: ConcurrentCommitException =>
       if (retries <= 0) throw e
+      commitBackoff(retries - 1, retries)
       compactBuckets(spark, maxFilesPerBucket, gcTombstones, retries - 1,
         targetFileRows, minFileBytes)
     }
@@ -1076,6 +1113,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
       // any interleaved commit conflicts (rebucket reads every bucket):
       // recompute against the new head, ingest wins
       if (retries <= 0) throw e
+      commitBackoff(retries - 1, retries)
       return rebucket(spark, newBuckets, targetFileRows, retries - 1)
     }
     // sidecar refresh: a CACHE of the now-committed snapshot value (openers
@@ -1120,24 +1158,58 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
       .filterNot(_.startsWith("inline:")).toSet
     val refData = snaps.flatMap(s => filesOf(s).map(_.path)).toSet
     var deleted = 0
+    // Concurrent-writer tolerance (found by ConcurrencyStress, not theory):
+    //  - an in-flight Spark write stages under …/_temporary/… and renames
+    //    task attempts at commit — entries VANISH between a directory walk
+    //    listing them and vacuum touching them, so every filesystem op
+    //    here must absorb NoSuchFileException rather than crash the sweep;
+    //  - _temporary subtrees are NEVER eligible for deletion regardless of
+    //    age: they belong to a write that has not committed yet (a task
+    //    attempt can legitimately outlive the grace window), and the
+    //    committer removes them itself.
+    def walkSafe(dir: Path): List[Path] = {
+      val acc = scala.collection.mutable.ListBuffer[Path]()
+      Files.walkFileTree(dir, new java.nio.file.SimpleFileVisitor[Path] {
+        override def visitFile(p: Path, a: java.nio.file.attribute.BasicFileAttributes) = {
+          if (a.isRegularFile) acc += p
+          java.nio.file.FileVisitResult.CONTINUE
+        }
+        override def preVisitDirectory(p: Path, a: java.nio.file.attribute.BasicFileAttributes) =
+          if (p.getFileName != null && p.getFileName.toString == "_temporary")
+            java.nio.file.FileVisitResult.SKIP_SUBTREE
+          else java.nio.file.FileVisitResult.CONTINUE
+        override def visitFileFailed(p: Path, e: java.io.IOException) =
+          java.nio.file.FileVisitResult.CONTINUE // vanished mid-walk
+      })
+      acc.toList
+    }
     def sweep(dir: Path, isReferenced: String => Boolean): Unit = {
       if (Files.exists(dir)) {
-        val all = scala.util.Using.resource(Files.walk(dir)) { st =>
-          st.iterator.asScala.filter(Files.isRegularFile(_)).toList
-        }
-        all.foreach { p =>
+        walkSafe(dir).foreach { p =>
           val rel = Paths.get(root).relativize(p).toString
-          if (!isReferenced(rel) &&
-            Files.getLastModifiedTime(p).toMillis < cutoff) {
-            Files.delete(p); deleted += 1
-          }
+          try {
+            if (!isReferenced(rel) &&
+              Files.getLastModifiedTime(p).toMillis < cutoff &&
+              Files.deleteIfExists(p)) deleted += 1
+          } catch { case _: java.nio.file.NoSuchFileException => () }
         }
-        // drop now-empty directories bottom-up
-        scala.util.Using.resource(Files.walk(dir)) { st =>
-          st.iterator.asScala.toList.reverse.foreach { p =>
-            if (Files.isDirectory(p) && p != dir &&
-              scala.util.Using.resource(Files.list(p))(_.count() == 0L))
-              Files.delete(p)
+        // drop now-empty directories bottom-up (never _temporary subtrees)
+        val dirs = scala.collection.mutable.ListBuffer[Path]()
+        Files.walkFileTree(dir, new java.nio.file.SimpleFileVisitor[Path] {
+          override def preVisitDirectory(p: Path, a: java.nio.file.attribute.BasicFileAttributes) =
+            if (p.getFileName != null && p.getFileName.toString == "_temporary")
+              java.nio.file.FileVisitResult.SKIP_SUBTREE
+            else { if (p != dir) dirs += p; java.nio.file.FileVisitResult.CONTINUE }
+          override def visitFileFailed(p: Path, e: java.io.IOException) =
+            java.nio.file.FileVisitResult.CONTINUE
+        })
+        dirs.reverse.foreach { p =>
+          try {
+            val empty = scala.util.Using.resource(Files.list(p))(_.count() == 0L)
+            if (empty) Files.deleteIfExists(p)
+          } catch {
+            case _: java.nio.file.NoSuchFileException => ()
+            case _: java.nio.file.DirectoryNotEmptyException => () // raced a writer
           }
         }
       }

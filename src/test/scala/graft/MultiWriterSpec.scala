@@ -23,18 +23,52 @@ class MultiWriterSpec extends SparkSpec {
     (2 to 64).map(i => (s"r$i", s"p$i")).find { case (r, p) => t.bucketOf(r, p) != b1 }.get
   }
 
-  test("COW: compaction racing a merge → merge recomputes against the new head") {
+  test("COW: compaction racing a merge → REBASE (state-preserving, no recompute)") {
     val base = tmpDir("mw-recompute")
     val t1 = LakeTable(s"$base/t", 4)
     val t2 = new LakeTable(s"$base/t", 4)
     t1.merge(spark, rows(("r1", "p1", 1L, "v1"), ("r9", "p9", 2L, "w1")), 0L)
-    // t2 compacts (rewrites EVERY bucket manifest) just before t1's CAS
+    // t2 compacts (rewrites EVERY bucket manifest) just before t1's CAS.
+    // Compaction preserves live state, so the loser's computed output is
+    // still valid — Iceberg's rewrite-vs-data non-conflict rule: exactly
+    // ONE commit from t1 after t2's (a recompute would also converge, but
+    // would let a cadence compactor starve writers under contention).
     t1.preCommitHook = () => t2.compact(spark)
+    val vBefore = t1.head().version
     val stats = t1.merge(spark, rows(("r1", "p1", 10L, "v2")), 1L)
-    assert(stats.applied, "merge must win after recompute")
+    assert(stats.applied, "merge must win after rebase")
+    assert(t1.head().version === vBefore + 2, "compact + one rebased merge commit")
     val state = t1.read(spark).select("repo", "path", "seq", "content")
       .as[(String, String, Long, String)].collect().toSet
     assert(state === Set(("r1", "p1", 10L, "v2"), ("r9", "p9", 2L, "w1")))
+    assert(t1.head().lastBatchId === 1L)
+  }
+
+  test("COW: a real DATA commit on a touched bucket still forces recompute") {
+    val base = tmpDir("mw-data-conflict")
+    val t1 = LakeTable(s"$base/t", 4)
+    val t2 = new LakeTable(s"$base/t", 4)
+    t1.merge(spark, rows(("r1", "p1", 1L, "v1")), 0L)
+    // t2 commits a HIGHER-seq write to the SAME key just before t1's CAS:
+    // t1's computed output is stale (derived from seq=1) — rebasing it
+    // would clobber t2's seq=50 row; the merge must recompute and the seq
+    // guard must then keep t2's row.
+    t1.preCommitHook = () => {
+      val src = rows(("r1", "p1", 50L, "newer")).alias("s")
+      t2.mergeSql(spark, src, "t", "s",
+        "`t`.`repo` = `s`.`repo` AND `t`.`path` = `s`.`path`",
+        Map("repo" -> "`s`.`repo`", "path" -> "`s`.`path`"),
+        matched = Seq(LakeTable.SqlMergeClause("update",
+          Some("`s`.`seq` > `t`.`seq`"), Nil, star = true, starAlias = "s")),
+        notMatched = Seq(LakeTable.SqlMergeClause("insert", None, Nil,
+          star = true, starAlias = "s")))
+      ()
+    }
+    t1.merge(spark, rows(("r1", "p1", 10L, "stale-loser")), 1L)
+    val state = t1.read(spark).select("repo", "path", "seq", "content")
+      .as[(String, String, Long, String)].collect().toSet
+    assert(state === Set(("r1", "p1", 50L, "newer")),
+      "recompute + seq guard must preserve the interleaved higher-seq write")
     assert(t1.head().lastBatchId === 1L)
   }
 
