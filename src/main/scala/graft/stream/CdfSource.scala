@@ -28,6 +28,12 @@ import org.apache.spark.sql.types._
   * zero rows. The default `startVersion = 0` makes the FIRST batch the
   * table's full live state as I-rows (bootstrap + tail in one stream).
   *
+  * A LAGGING consumer catches up in ONE batch at endpoint-diff cost:
+  * `changesBetween` diffs the two SNAPSHOT states, so falling 1000
+  * versions behind costs the same as falling 1 behind for the same set of
+  * changed buckets — there is deliberately no per-version replay and no
+  * need for a rate limiter.
+  *
   * Exactly-once composes the same way as the WAL tailer: the source gives
   * replayable version-window batches; an idempotent sink (e.g.
   * [[Tailer.applyChanges]] into a derived LakeTable, fenced by batchId)

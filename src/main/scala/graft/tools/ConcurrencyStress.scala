@@ -23,14 +23,25 @@ import scala.jdk.CollectionConverters._
   *  3. every writer batch produced a commit (version count);
   *  4. a final full compact + expire + vacuum(0) leaves state unchanged.
   *
-  * Usage: ConcurrencyStress [writers] [batchesPerWriter] [rowsPerBatch]
+  * `mor` mode instead runs the PRODUCTION ingest shape under maintenance
+  * contention: one fenced Dataset-merge writer (a change stream applies
+  * batches in order — the Tailer's contract) racing the same compactor +
+  * vacuum threads; appends always rebase, and the fence must end exactly
+  * at the last batch.
+  *
+  * Usage: ConcurrencyStress [writers] [batchesPerWriter] [rowsPerBatch] [cow|mor]
   */
 object ConcurrencyStress {
   def main(args: Array[String]): Unit = {
     val writers = args.headOption.map(_.toInt).getOrElse(4)
     val batches = args.drop(1).headOption.map(_.toInt).getOrElse(12)
     val rowsPer = args.drop(2).headOption.map(_.toInt).getOrElse(200)
-    val mode = LakeTable.Cow // mergeSql targets COW tables
+    val mode = args.drop(3).headOption.getOrElse(LakeTable.Cow)
+    require(mode == LakeTable.Cow || mode == LakeTable.Mor, s"mode cow|mor, got $mode")
+    // COW: `writers` independent seq-guarded mergeSql writers.
+    // MOR: ONE fenced Dataset-merge writer (ordered stream), because the
+    // batchId fence models one change stream per table by design.
+    val nWriters = if (mode == LakeTable.Mor) 1 else writers
     val spark = Sessions.local(
       sys.env.getOrElse("GRAFT_CORES", "16").toInt, "graft-stress")
     import spark.implicits._
@@ -48,11 +59,11 @@ object ConcurrencyStress {
     // contract — ad-hoc seq-guarded upserts racing each other and the
     // maintenance threads.
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-    val done = new CountDownLatch(writers + 2)
+    val done = new CountDownLatch(nWriters + 2)
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val pool = Executors.newFixedThreadPool(writers + 2)
+    val pool = Executors.newFixedThreadPool(nWriters + 2)
 
-    for (w <- 0 until writers) pool.submit(new Runnable {
+    for (w <- 0 until nWriters) pool.submit(new Runnable {
       override def run(): Unit = try {
         val table = new LakeTable(root, 16)
         for (b <- 0 until batches) {
@@ -61,16 +72,23 @@ object ConcurrencyStress {
             (s"repo-$w-${k % 8}", s"path-$k", "U", seq,
               s"c$seq", "scala", s"w$w-b$b-k$k", Option(seq))
           }
-          val src = rows.toDF(cols: _*).drop("op").alias("s")
-          // retries absorb CAS storms from `writers` concurrent committers
-          table.mergeSql(spark, src, "t", "s",
-            "`t`.`repo` = `s`.`repo` AND `t`.`path` = `s`.`path`",
-            Map("repo" -> "`s`.`repo`", "path" -> "`s`.`path`"),
-            matched = Seq(LakeTable.SqlMergeClause("update",
-              Some("`s`.`seq` > `t`.`seq`"), Nil, star = true, starAlias = "s")),
-            notMatched = Seq(LakeTable.SqlMergeClause("insert", None, Nil,
-              star = true, starAlias = "s")),
-            retries = 50)
+          if (mode == LakeTable.Mor) {
+            // fenced ordered stream (the Tailer shape); appends rebase
+            // through any interleaved compaction/vacuum
+            table.merge(spark, rows.toDF(cols: _*), b.toLong,
+              updateColumns = None, retries = 50, srcKeyUnique = true)
+          } else {
+            val src = rows.toDF(cols: _*).drop("op").alias("s")
+            // retries absorb CAS storms from `writers` concurrent committers
+            table.mergeSql(spark, src, "t", "s",
+              "`t`.`repo` = `s`.`repo` AND `t`.`path` = `s`.`path`",
+              Map("repo" -> "`s`.`repo`", "path" -> "`s`.`path`"),
+              matched = Seq(LakeTable.SqlMergeClause("update",
+                Some("`s`.`seq` > `t`.`seq`"), Nil, star = true, starAlias = "s")),
+              notMatched = Seq(LakeTable.SqlMergeClause("insert", None, Nil,
+                star = true, starAlias = "s")),
+              retries = 50)
+          }
         }
       } catch { case t: Throwable => errors.add(t) } finally done.countDown()
     })
@@ -111,7 +129,7 @@ object ConcurrencyStress {
     val table = LakeTable.open(root)
     // invariant 1: exact LWW model parity
     val expect = (for {
-      w <- 0 until writers; k <- 0 until rowsPer
+      w <- 0 until nWriters; k <- 0 until rowsPer
     } yield {
       val b = batches - 1
       val seq = (b.toLong * rowsPer + k) * writers + w
@@ -128,9 +146,13 @@ object ConcurrencyStress {
     table.filesOf(h).foreach { f =>
       require(java.nio.file.Files.exists(java.nio.file.Paths.get(root, f.path)),
         s"head v${h.version} references missing ${f.path}") }
-    // every writer batch produced a commit (plus compactions)
-    require(h.version >= writers * batches,
-      s"only ${h.version} commits for ${writers * batches} writer batches")
+    // every writer batch produced a commit (plus compactions); in MOR the
+    // exactly-once fence must land exactly on the last batch
+    require(h.version >= nWriters * batches,
+      s"only ${h.version} commits for ${nWriters * batches} writer batches")
+    if (mode == LakeTable.Mor)
+      require(h.lastBatchId == batches - 1L,
+        s"fence ${h.lastBatchId} != last batch ${batches - 1}")
     // invariant 4: final maintenance converges
     val before = actual
     table.compact(spark, gcTombstones = true)
@@ -141,7 +163,7 @@ object ConcurrencyStress {
       .map { case (r, p, s) => (r, p) -> s }.toMap
     require(after == before, "final compact+vacuum changed state")
     val hf = table.head()
-    println(s"""{"metric":"concurrency_stress","mode":"$mode","writers":$writers,""" +
+    println(s"""{"metric":"concurrency_stress","mode":"$mode","writers":$nWriters,""" +
       s""""batches":$batches,"rowsPerBatch":$rowsPer,"commits":${hf.version},""" +
       s""""finalRows":${after.size},"filesFinal":${hf.totalFiles},"ok":true}""")
     spark.stop()
