@@ -575,18 +575,23 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
           s"(${dup.head.get(0)}, ${dup.head.get(1)}) — $hint")
   }
 
-  /** Multi-writer arbitration (optimistic): a lost HEAD CAS triggers
-    *  - '''manifest rebase''' when every writer that won in between left
-    *    OUR touched buckets alone (e.g. compaction is conflicting; merges
-    *    of disjoint key ranges are not): re-point the carried manifests at
-    *    the new head and re-commit — no data recompute;
-    *  - '''full recompute''' against the new head when a winner rewrote a
-    *    bucket we also touched (our merged rows were derived from stale
-    *    target data);
+  /** Multi-writer arbitration (optimistic, with jittered backoff between
+    * attempts): a lost HEAD CAS triggers
+    *  - '''manifest rebase''' when every interleaved commit either left OUR
+    *    touched buckets alone (disjoint-key merges) or was a
+    *    live-state-preserving compaction (Iceberg's rewrite-vs-data
+    *    non-conflict rule — our computed output is still valid): re-point
+    *    the carried manifests at the new head and re-commit, no data
+    *    recompute;
+    *  - '''full recompute''' against the new head when a winner committed
+    *    DATA into a bucket we also touched (our merged rows were derived
+    *    from stale target data), or a concurrent vacuum reclaimed our
+    *    pending files;
     *  - '''no-op''' if the new head already carries our batchId (another
     *    writer of the same stream applied it — exactly-once holds).
     * Losers' data/manifest files are unreferenced orphans (tokened paths,
-    * no collisions).
+    * no collisions). Exercised under real contention by
+    * [[graft.tools.ConcurrencyStress]].
     */
   def merge(spark: SparkSession, batch: DataFrame, batchId: Long,
             updateColumns: Option[Seq[String]], retries: Int,
