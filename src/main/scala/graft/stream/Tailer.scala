@@ -220,15 +220,32 @@ object Tailer {
     */
   def followInto(spark: SparkSession, primaryRoot: String, derived: LakeTable,
                  checkpointDir: String): Unit = {
-    val q = spark.readStream.format("graft-cdf")
+    val q = followStream(spark, primaryRoot, derived, checkpointDir,
+      Trigger.AvailableNow())
+    q.awaitTermination()
+  }
+
+  /** Continuous (tail-mode) replication: the same feed-apply loop on a
+    * processing-time trigger — the derived table converges to every new
+    * primary commit while the query runs. Caller stops the query; restart
+    * with the same checkpoint resumes from the last applied version.
+    */
+  def followContinuously(spark: SparkSession, primaryRoot: String,
+                         derived: LakeTable, checkpointDir: String,
+                         intervalMs: Long = 500L): StreamingQuery =
+    followStream(spark, primaryRoot, derived, checkpointDir,
+      Trigger.ProcessingTime(s"$intervalMs milliseconds"))
+
+  private def followStream(spark: SparkSession, primaryRoot: String,
+                           derived: LakeTable, checkpointDir: String,
+                           trigger: Trigger): StreamingQuery =
+    spark.readStream.format("graft-cdf")
       .option("path", primaryRoot)
       .load()
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((feed: DataFrame, batchId: Long) =>
         applyChanges(derived, feed, batchId))
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
-    q.awaitTermination()
-  }
 }

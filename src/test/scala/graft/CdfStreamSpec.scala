@@ -67,6 +67,38 @@ class CdfStreamSpec extends SparkSpec {
     assert(state(derived) === state(primary), "full re-feed is idempotent")
   }
 
+  test("continuous follow: derived table converges to live primary commits") {
+    val base = tmpDir("cdf-tail")
+    val primary = LakeTable(s"$base/p", 4)
+    val derived = LakeTable(s"$base/d", 4)
+    def mk(r: String, s: Long) = (r, "p", "U", s, s"c$s", "scala", s"v$s", Option(s))
+    primary.merge(spark, Seq(mk("r1", 1)).toDF(cols: _*), 0L)
+
+    val q = Tailer.followContinuously(spark, s"$base/p", derived, s"$base/ckpt",
+      intervalMs = 100L)
+    try {
+      def awaitRows(n: Long): Unit = {
+        val deadline = System.currentTimeMillis + 60000
+        while (derived.read(spark).count() < n) {
+          assert(System.currentTimeMillis < deadline, s"derived never reached $n rows")
+          Thread.sleep(200)
+        }
+      }
+      awaitRows(1)
+      // commits arriving WHILE the follower runs (binlog-tail shape)
+      primary.merge(spark, Seq(mk("r2", 2), mk("r3", 3)).toDF(cols: _*), 1L)
+      awaitRows(3)
+      primary.compact(spark) // layout-only: must not disturb the mirror
+      primary.merge(spark, Seq(mk("r4", 4)).toDF(cols: _*), 2L)
+      awaitRows(4)
+      // let the follower drain fully, then assert exact parity
+      val deadline = System.currentTimeMillis + 60000
+      while (state(derived) != state(primary) &&
+             System.currentTimeMillis < deadline) Thread.sleep(200)
+      assert(state(derived) === state(primary), "tail-mode mirror parity")
+    } finally q.stop()
+  }
+
   test("graft-cdf source: startVersion skips history; missing path fails loudly") {
     val base = tmpDir("cdf-opts")
     val primary = LakeTable(s"$base/t", 4)
