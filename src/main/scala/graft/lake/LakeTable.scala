@@ -454,6 +454,12 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     }))
   }
 
+  /** Snapshot metadata of a RETAINED version (history/metadata surface —
+    * the snapshot JSON only, no data IO).
+    */
+  def snapshotAt(version: Int): Snapshot =
+    readSnapshot(metaDir.resolve(s"v$version.json"))
+
   /** All snapshot versions present in meta/ (ascending). */
   def versions(): Seq[Int] =
     scala.util.Using.resource(Files.list(metaDir)) { stream =>

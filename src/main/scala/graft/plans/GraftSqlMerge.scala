@@ -413,6 +413,78 @@ object GraftChangesTvf {
     throw new UnsupportedOperationException(s"graft_changes: $msg")
 }
 
+/** Metadata table functions (Iceberg's `history` / `files` metadata-table
+  * analogs, reachable from plain SQL):
+  *
+  *  - `graft_history('<root>')` — one row per RETAINED snapshot: version,
+  *    parent, committed_at, operation, mode, last_batch_id, total_rows,
+  *    total_files. Reads only snapshot JSONs — never data files.
+  *  - `graft_files('<root>')` — one row per data file of HEAD: bucket,
+  *    file path, row count, bytes, sorted flag, and the min/max key
+  *    bounds that drive file skipping. Reads manifests only.
+  *
+  * Both are driver-side metadata enumerations materialized as local
+  * relations — the row counts are O(snapshots) and O(files), metadata
+  * scale by construction.
+  */
+object GraftMetaTvf {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.types.StringType
+  import org.apache.spark.unsafe.types.UTF8String
+
+  val historyIdent: FunctionIdentifier = FunctionIdentifier("graft_history")
+  val historyInfo = new ExpressionInfo(GraftMetaTvf.getClass.getCanonicalName,
+    null, "graft_history", "graft_history(root) - retained snapshots of the " +
+      "graft lake table at `root` (version, committed_at, operation, ...)",
+    "", "", "", "", "", "", "built-in")
+  val filesIdent: FunctionIdentifier = FunctionIdentifier("graft_files")
+  val filesInfo = new ExpressionInfo(GraftMetaTvf.getClass.getCanonicalName,
+    null, "graft_files", "graft_files(root) - data files of the table HEAD " +
+      "(bucket, path, rows, bytes, sorted, key bounds)",
+    "", "", "", "", "", "", "built-in")
+
+  private def rootArg(args: Seq[Expression], fn: String): String = args match {
+    case Seq(Literal(root: UTF8String, StringType)) => root.toString
+    case _ => throw new UnsupportedOperationException(
+      s"$fn: usage $fn('<table root>')")
+  }
+
+  def buildHistory(args: Seq[Expression]): LogicalPlan = {
+    val table = LakeTable.open(rootArg(args, "graft_history"))
+    val session = org.apache.spark.sql.classic.SparkSession.active
+    import session.implicits._
+    val rows = table.versions().map { v =>
+      val s = table.snapshotAt(v)
+      val op =
+        if (s.summary.contains("compaction")) "compact"
+        else if (s.summary.contains("rebucket")) "rebucket"
+        else if (s.summary.contains("truncate")) "truncate"
+        else if (s.summary.contains("sqlMerge")) "sql-merge"
+        else if (s.summary.contains("batchId")) "merge"
+        else "create"
+      (s.version, s.parent, new java.sql.Timestamp(s.committedAtMs), op,
+        s.mode, s.lastBatchId, s.totalRows, s.totalFiles)
+    }
+    org.apache.spark.sql.graftbridge.ColumnBridge.analyzed(
+      rows.toDF("version", "parent", "committed_at", "operation", "mode",
+        "last_batch_id", "total_rows", "total_files"))
+  }
+
+  def buildFiles(args: Seq[Expression]): LogicalPlan = {
+    val table = LakeTable.open(rootArg(args, "graft_files"))
+    val session = org.apache.spark.sql.classic.SparkSession.active
+    import session.implicits._
+    val h = table.head()
+    val rows = table.filesOf(h).map { f =>
+      (f.bucket, f.path, f.rowCount, f.sizeBytes, f.sorted,
+        f.minRepo.orNull, f.maxRepo.orNull, f.minPath.orNull, f.maxPath.orNull)
+    }
+    org.apache.spark.sql.graftbridge.ColumnBridge.analyzed(
+      rows.toDF("bucket", "file", "row_count", "size_bytes", "sorted",
+        "min_repo", "max_repo", "min_path", "max_path"))
+  }
+}
+
 /** `spark.sql.extensions` entry point. Order matters: the MERGE rule must
   * claim its target relation before the read rule expands relations.
   */
@@ -422,5 +494,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(s => new GraftSqlReadRule(s))
     ext.injectTableFunction((GraftChangesTvf.ident, GraftChangesTvf.info,
       GraftChangesTvf.build _))
+    ext.injectTableFunction((GraftMetaTvf.historyIdent, GraftMetaTvf.historyInfo,
+      GraftMetaTvf.buildHistory _))
+    ext.injectTableFunction((GraftMetaTvf.filesIdent, GraftMetaTvf.filesInfo,
+      GraftMetaTvf.buildFiles _))
   }
 }

@@ -329,6 +329,40 @@ class SqlSpec extends SparkSpec {
       e.getMessage)
   }
 
+  test("graft_history / graft_files metadata TVFs mirror the table state") {
+    val base = tmpDir("sqlmeta")
+    val table = lake.LakeTable(s"$base/t", 4)
+    def put(seq: Long): Unit = table.merge(spark,
+      Seq(("r", s"p$seq", "I", seq, s"c$seq", "scala", s"v$seq", Option(seq)))
+        .toDF("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes"),
+      seq)
+    put(1); put(2)
+    table.compact(spark, targetFileRows = Some(1L))
+
+    val hist = spark.sql(
+      s"SELECT version, operation, last_batch_id, total_rows FROM graft_history('$base/t') ORDER BY version")
+      .as[(Int, String, Long, Long)].collect().toSeq
+    assert(hist.map(_._2) === Seq("create", "merge", "merge", "compact"), hist.toString)
+    assert(hist.last === ((3, "compact", 2L, 2L)), hist.toString)
+    // committed_at is monotone over versions
+    val ts = spark.sql(s"SELECT committed_at FROM graft_history('$base/t') ORDER BY version")
+      .as[java.sql.Timestamp].collect().toSeq
+    assert(ts === ts.sorted, "commit timestamps must be monotone")
+
+    val files = spark.sql(
+      s"SELECT bucket, row_count, sorted, min_repo FROM graft_files('$base/t')")
+      .as[(Int, Long, Boolean, String)].collect().toSeq
+    assert(files.map(_._2).sum === 2L, files.toString)
+    assert(files.forall(_._3), "compacted files are flagged sorted")
+    assert(files.forall(_._4 == "r"), "key bounds harvested")
+    // metadata only — composes with SQL (join history to files count)
+    val n = spark.sql(
+      s"""SELECT h.total_files, count(f.file) FROM graft_history('$base/t') h
+         |JOIN graft_files('$base/t') f ON true
+         |WHERE h.version = 3 GROUP BY h.total_files""".stripMargin).collect()
+    assert(n.head.getLong(0) === n.head.getLong(1), n.mkString)
+  }
+
   test("lww aggregate callable from SQL via registered function") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lww", exprs => graft.cdc.LwwAgg(exprs(0), exprs(1)).toAggregateExpression(),
