@@ -203,7 +203,8 @@ object Tailer {
     * itself exceeded the before-image seq — so seq' >= before+2 always
     * outranks the bumped tombstone, and no other writer feeds the mirror.
     */
-  def applyChanges(derived: LakeTable, feed: DataFrame, batchId: Long): Unit = {
+  def applyChanges(derived: LakeTable, feed: DataFrame, batchId: Long,
+                   lineageDir: Option[String] = None): Unit = {
     if (feed.isEmpty) return
     val batch = feed.select(
       col("repo"), col("path"), col("op"),
@@ -211,6 +212,22 @@ object Tailer {
       col("commit"), col("language"), col("content"), col("size_bytes"))
     derived.merge(feed.sparkSession, batch, batchId, updateColumns = None,
       retries = 3, srcKeyUnique = true)
+    // same per-partition lineage contract as the WAL tailer (north rule):
+    // offsets are the feed's seq range, bytes are the change payload size.
+    // Written AFTER the merge commit — a crash in between re-delivers the
+    // batch, the fence no-ops it, and lineage readers dedupe by
+    // (batchId, partitionId), identical to applyBatch's contract.
+    lineageDir.foreach { dir =>
+      feed.groupBy(spark_partition_id().as("partitionId"))
+        .agg(
+          min("seq").as("firstOffset"),
+          max("seq").as("lastOffset"),
+          count(lit(1)).as("rowsApplied"),
+          sum(coalesce(length(col("content")).cast("long"), lit(0L))).as("bytesIn"))
+        .select(lit(batchId).as("batchId"), col("partitionId"),
+          col("firstOffset"), col("lastOffset"), col("rowsApplied"), col("bytesIn"))
+        .write.mode(SaveMode.Append).parquet(dir)
+    }
   }
 
   /** Follow a primary table's change feed into a derived table until the
@@ -219,9 +236,9 @@ object Tailer {
     * the derived table's batch fence. Returns after parity.
     */
   def followInto(spark: SparkSession, primaryRoot: String, derived: LakeTable,
-                 checkpointDir: String): Unit = {
+                 checkpointDir: String, lineageDir: Option[String] = None): Unit = {
     val q = followStream(spark, primaryRoot, derived, checkpointDir,
-      Trigger.AvailableNow())
+      Trigger.AvailableNow(), lineageDir)
     q.awaitTermination()
   }
 
@@ -232,20 +249,22 @@ object Tailer {
     */
   def followContinuously(spark: SparkSession, primaryRoot: String,
                          derived: LakeTable, checkpointDir: String,
-                         intervalMs: Long = 500L): StreamingQuery =
+                         intervalMs: Long = 500L,
+                         lineageDir: Option[String] = None): StreamingQuery =
     followStream(spark, primaryRoot, derived, checkpointDir,
-      Trigger.ProcessingTime(s"$intervalMs milliseconds"))
+      Trigger.ProcessingTime(s"$intervalMs milliseconds"), lineageDir)
 
   private def followStream(spark: SparkSession, primaryRoot: String,
                            derived: LakeTable, checkpointDir: String,
-                           trigger: Trigger): StreamingQuery =
+                           trigger: Trigger,
+                           lineageDir: Option[String] = None): StreamingQuery =
     spark.readStream.format("graft-cdf")
       .option("path", primaryRoot)
       .load()
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((feed: DataFrame, batchId: Long) =>
-        applyChanges(derived, feed, batchId))
+        applyChanges(derived, feed, batchId, lineageDir))
       .trigger(trigger)
       .start()
 }

@@ -34,10 +34,16 @@ class CdfStreamSpec extends SparkSpec {
       primary.merge(spark, rows.toSeq.toDF(cols: _*), batchId); batchId += 1
     }
 
-    // cycle 1: inserts, then follow
+    // cycle 1: inserts, then follow (with lineage emission)
     mergeP(mk("r1", "p1", 1), mk("r2", "p2", 2), mk("r3", "p3", 3))
-    Tailer.followInto(spark, s"$base/primary", derived, ckpt)
+    Tailer.followInto(spark, s"$base/primary", derived, ckpt,
+      lineageDir = Some(s"$base/lineage"))
     assert(state(derived) === state(primary), "cycle 1 parity")
+    val lin = spark.read.parquet(s"$base/lineage")
+    assert(lin.agg(sum("rowsApplied")).head.getLong(0) === 3L,
+      "follow lineage covers the applied feed rows")
+    assert(lin.columns.toSet === Set("batchId", "partitionId", "firstOffset",
+      "lastOffset", "rowsApplied", "bytesIn"))
 
     // cycle 2: update + delete + insert, a compaction in between (must diff
     // to zero extra rows), then follow again from the SAME checkpoint
