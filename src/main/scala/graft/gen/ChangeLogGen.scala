@@ -148,10 +148,14 @@ object ChangeLogGen {
     }
   }
 
-  /** Distributed generation: one narrow pass + one keyed agg for
-    * first-occurrence (I vs U/D). Deterministic at any parallelism.
+  /** Pre-payload skeletons with the isFirst flag: one narrow pass + one
+    * keyed agg for first-occurrence (I vs U/D). Deterministic at any
+    * parallelism. Payload generation is deliberately NOT here — every
+    * downstream shuffle should move these ~60-byte rows, never the
+    * 100-2048-byte payloads (at 128M events the payload-bearing shuffle
+    * was a ~20× larger spill and OOM-killed the 48g generator JVM).
     */
-  def events(spark: SparkSession, cfg: GenConfig): Dataset[ChangeEvent] = {
+  private def skeletons(spark: SparkSession, cfg: GenConfig): Dataset[(Long, String, String, Int, Int, Boolean)] = {
     import spark.implicits._
     val cdf = spark.sparkContext.broadcast(zipfCdf(cfg.repos, cfg.zipfS))
     val cfgB = spark.sparkContext.broadcast(cfg)
@@ -166,19 +170,32 @@ object ChangeLogGen {
       .select($"seq", $"repo", $"path", $"delRoll", $"schema_id",
         ($"seq" === $"first_seq").as("isFirst"))
       .as[(Long, String, String, Int, Int, Boolean)]
-      .map { case (seq, repo, path, delRoll, sid, isFirst) =>
-        eventFor(cfgB.value, Skeleton(seq, repo, path, delRoll, sid), isFirst)
-      }
   }
+
+  private def toEvents(spark: SparkSession, cfg: GenConfig,
+                       sks: Dataset[(Long, String, String, Int, Int, Boolean)]): Dataset[ChangeEvent] = {
+    import spark.implicits._
+    val cfgB = spark.sparkContext.broadcast(cfg)
+    sks.map { case (seq, repo, path, delRoll, sid, isFirst) =>
+      eventFor(cfgB.value, Skeleton(seq, repo, path, delRoll, sid), isFirst)
+    }
+  }
+
+  /** Distributed generation, deterministic at any parallelism. */
+  def events(spark: SparkSession, cfg: GenConfig): Dataset[ChangeEvent] =
+    toEvents(spark, cfg, skeletons(spark, cfg))
 
   /** Write the log as seq-range-partitioned parquet chunks (the WAL files
     * the tailer streams; reference analog: GAF/TSV dump files,
-    * GO_IBA_Pipeline.java:118-168).
+    * GO_IBA_Pipeline.java:118-168). The range partition moves SKELETONS;
+    * payloads are generated post-shuffle in the narrow map feeding the
+    * writer (same rows, ~20× less shuffle).
     */
   def write(spark: SparkSession, cfg: GenConfig, dir: String): Unit = {
-    events(spark, cfg)
-      .repartitionByRange(cfg.nFiles, col("seq"))
-      .sortWithinPartitions("seq")
+    toEvents(spark, cfg,
+      skeletons(spark, cfg)
+        .repartitionByRange(cfg.nFiles, col("seq"))
+        .sortWithinPartitions("seq"))
       .write.mode(SaveMode.Overwrite).parquet(dir)
   }
 
