@@ -156,7 +156,9 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
       throw new IllegalArgumentException(
         s"no snapshot committed at or before ${java.time.Instant.ofEpochMilli(tsMillis)} " +
           s"(oldest retained: v${versions().headOption.getOrElse(-1)})")
-    at.maxBy(_._2)._1
+    // ties (same-millisecond commits) resolve to the NEWEST version —
+    // "state as of ts" must include every commit stamped at ts
+    at.maxBy { case (v, ts) => (ts, v) }._1
   }
 
   private def readSnapshot(p: Path): Snapshot = {
