@@ -20,14 +20,28 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** dot(a, b) via zip_with + aggregate (double accumulator). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** dot(a, b) — native codegen kernel ([[VecExpr.dot]]); same
+    * left-to-right fold as the `aggregate(zip_with)` HOF formulation it
+    * replaced (which is CodegenFallback — it interpreted two lambdas per
+    * element), so values are bit-identical and the DuckDB oracles hold.
+    */
+  def dot(a: Column, b: Column): Column = VecExpr.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Per-pair cosine. The top-k/near-dup paths below do NOT call this in
+    * their hot loops — they precompute each side's norm once per VECTOR
+    * (`withNorm`) and divide the pair dot by the product, which is the
+    * same arithmetic (identical doubles) at 1/3 the kernel work.
+    */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
+
+  /** cos from a pair dot and two precomputed norms — value-identical to
+    * [[cosine]] (norm(a) and norm(b) are the same doubles wherever they
+    * are computed; the multiply/divide order is unchanged).
+    */
+  private def cosFrom(d: Column, na: Column, nb: Column): Column = d / (na * nb)
 
   /** Exact top-k neighbors for each query row. `queries` must be small
     * enough to broadcast (the typical ANN-batch shape).
@@ -42,9 +56,12 @@ object SimilarityOps {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int = 5): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), asD(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), asD(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 5))
+      .withColumn("cos",
+        round(cosFrom(dot(col("qv"), col("cv")), col("qn"), col("cn")), 5))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -72,9 +89,7 @@ object SimilarityOps {
   /** Sign-bit signature for one table: int bucket from `bits` hyperplanes. */
   private def signature(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val d = aggregate(
-        zip_with(vec, array(p.map(lit): _*), (x, y) => x * y),
-        lit(0.0), (acc, v) => acc + v)
+      val d = dot(vec, array(p.map(lit): _*))
       when(d > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce((a, b) => a.bitwiseOR(b))
 
@@ -91,17 +106,22 @@ object SimilarityOps {
               k: Int = 5, bits: Int = 12, tables: Int = 6, seed: Long = 42L): DataFrame = {
     val dim = dimOf(corpus, vecCol)
     val hp = hyperplanes(dim, bits, tables, seed)
-    def withSigs(df: DataFrame, id: String, vec: String) =
-      df.select(col(idCol).as(id), asD(col(vecCol)).as(vec), explode(array(
-        (0 until tables).map(t => struct(lit(t).as("t"),
-          signature(col(vecCol), hp(t)).as("sig"))): _*)).as("s"))
-        .select(col(id), col(vec), col("s.t"), col("s.sig"))
-    val cSig = withSigs(corpus, "neighbor_id", "cv")
-    val qSig = withSigs(queries, "query_id", "qv")
+    def withSigs(df: DataFrame, id: String, vec: String, n: String) =
+      // norm sits in the SAME projection as the generator, so it is
+      // evaluated once per input vector, not once per exploded (vector,
+      // table) row
+      df.select(col(idCol).as(id), asD(col(vecCol)).as(vec),
+        norm(asD(col(vecCol))).as(n), explode(array(
+          (0 until tables).map(t => struct(lit(t).as("t"),
+            signature(col(vecCol), hp(t)).as("sig"))): _*)).as("s"))
+        .select(col(id), col(vec), col(n), col("s.t"), col("s.sig"))
+    val cSig = withSigs(corpus, "neighbor_id", "cv", "cn")
+    val qSig = withSigs(queries, "query_id", "qv", "qn")
     val cand = cSig.join(broadcast(qSig), Seq("t", "sig"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "qv", "neighbor_id", "cv").distinct()
-    val scored = cand.withColumn("cos", round(cosine(col("qv"), col("cv")), 5))
+      .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn").distinct()
+    val scored = cand.withColumn("cos",
+      round(cosFrom(dot(col("qv"), col("cv")), col("qn"), col("cn")), 5))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -134,8 +154,7 @@ object SimilarityOps {
       s"codebook size ${centers.length} != nLists $nLists")
 
     def sqDistTo(c: Array[Double], v: Column): Column =
-      aggregate(zip_with(v, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, d) => acc + d)
+      VecExpr.sqDist(v, array(c.map(lit): _*))
 
     // corpus side: nearest cell only (min squared distance)
     val cellOf = {
@@ -158,7 +177,9 @@ object SimilarityOps {
     val cand = c.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "qv", "neighbor_id", "cv").distinct()
-    val scored = cand.withColumn("cos", round(cosine(col("qv"), col("cv")), 5))
+      .withColumn("qn", norm(col("qv"))).withColumn("cn", norm(col("cv")))
+    val scored = cand.withColumn("cos",
+      round(cosFrom(dot(col("qv"), col("cv")), col("qn"), col("cn")), 5))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -184,20 +205,23 @@ object SimilarityOps {
                          threshold: Double = 0.95, exact: Boolean = false,
                          bits: Int = 8, tables: Int = 12, seed: Long = 42L): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), asD(col(vecCol)).as("va"))
+      .withColumn("na", norm(col("va")))
     val b = df.select(col(idCol).as("id_b"), asD(col(vecCol)).as("vb"))
+      .withColumn("nb", norm(col("vb")))
     val pairs =
       if (exact) a.join(broadcast(b), col("id_a") < col("id_b"))
       else {
         val hp = hyperplanes(dimOf(df, vecCol), bits, tables, seed)
-        def sigd(d: DataFrame, id: String, v: String) =
-          d.select(col(id), col(v), explode(array((0 until tables).map(t =>
+        def sigd(d: DataFrame, id: String, v: String, n: String) =
+          d.select(col(id), col(v), col(n), explode(array((0 until tables).map(t =>
             struct(lit(t).as("t"), signature(col(v), hp(t)).as("sig"))): _*)).as("s"))
-            .select(col(id), col(v), col("s.t"), col("s.sig"))
-        sigd(a, "id_a", "va").join(sigd(b, "id_b", "vb"), Seq("t", "sig"))
+            .select(col(id), col(v), col(n), col("s.t"), col("s.sig"))
+        sigd(a, "id_a", "va", "na").join(sigd(b, "id_b", "vb", "nb"), Seq("t", "sig"))
           .filter(col("id_a") < col("id_b"))
-          .select("id_a", "va", "id_b", "vb").distinct()
+          .select("id_a", "va", "na", "id_b", "vb", "nb").distinct()
       }
-    pairs.withColumn("cos", round(cosine(col("va"), col("vb")), 5))
+    pairs.withColumn("cos",
+        round(cosFrom(dot(col("va"), col("vb")), col("na"), col("nb")), 5))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
