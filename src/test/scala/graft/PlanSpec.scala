@@ -101,6 +101,20 @@ class PlanSpec extends SparkSpec {
     assert(!p3.contains("BroadcastNestedLoopJoin") && !p3.contains("CartesianProduct"),
       s"IVF ANN must not plan a product join: $p3")
     assert(p3.contains("BroadcastHashJoin"), s"probe side should broadcast: $p3")
+    // the vector kernels are native codegen expressions — the HOF
+    // formulation they replaced was CodegenFallback (interpreted lambdas).
+    // (The executed plans are AQE-wrapped pre-execution, so assert on the
+    // analyzed plans + the class property instead of codegen markers.)
+    val a1 = Queries.sparkQueries("s1_ann_bruteforce")(spark, sf)
+      .queryExecution.analyzed.toString
+    assert(a1.contains("vec_dot"), s"expected the native dot kernel: $a1")
+    val a3 = Queries.sparkQueries("s3_ann_ivf")(spark, sf)
+      .queryExecution.analyzed.toString
+    assert(a3.contains("vec_sqdist"), s"expected the native sqdist kernel: $a3")
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    assert(!classOf[CodegenFallback].isAssignableFrom(classOf[graft.ops.DotProduct]) &&
+      !classOf[CodegenFallback].isAssignableFrom(classOf[graft.ops.SquaredDistance]),
+      "vector kernels must implement doGenCode, not fall back to interpretation")
   }
 
   test("semi/anti joins plan as joins, not subquery re-scans") {
