@@ -147,21 +147,57 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
 
   /** Newest snapshot committed at or before `tsMillis` (TIMESTAMP AS OF).
     * Legacy snapshots without a recorded commit time never match.
+    *
+    * Commit timestamps are monotone non-decreasing across versions (clamped
+    * at [[commitSnapshot]]), so this is a BINARY SEARCH for the rightmost
+    * eligible version — O(log n) snapshot-JSON reads on a table with many
+    * retained snapshots, not one per version (and cached reads cost
+    * nothing). Legacy unstamped snapshots (ts = -1) predate the field and
+    * sort before every stamped one; landing on one means no stamped
+    * snapshot qualifies.
     */
   def versionAt(tsMillis: Long): Int = {
-    val at = versions()
-      .map(v => v -> readSnapshot(metaDir.resolve(s"v$v.json")).committedAtMs)
-      .filter { case (_, ts) => ts >= 0 && ts <= tsMillis }
-    if (at.isEmpty)
+    val vs = versions()
+    def tsOf(v: Int): Long =
+      Option(commitTsCache.get(v)).map(_.longValue)
+        .getOrElse(readSnapshot(metaDir.resolve(s"v$v.json")).committedAtMs)
+    var lo = 0; var hi = vs.length - 1; var ans = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val ts = tsOf(vs(mid))
+      // ts < 0 (legacy) sorts below every stamped value → eligible-by-order
+      if (ts <= tsMillis) { ans = mid; lo = mid + 1 } else hi = mid - 1
+    }
+    if (ans < 0 || tsOf(vs(ans)) < 0)
       throw new IllegalArgumentException(
         s"no snapshot committed at or before ${java.time.Instant.ofEpochMilli(tsMillis)} " +
-          s"(oldest retained: v${versions().headOption.getOrElse(-1)})")
-    // ties (same-millisecond commits) resolve to the NEWEST version —
-    // "state as of ts" must include every commit stamped at ts
-    at.maxBy { case (v, ts) => (ts, v) }._1
+          s"(oldest retained: v${vs.headOption.getOrElse(-1)})")
+    // same-millisecond ties resolve to the NEWEST version by construction:
+    // the rightmost eligible index IS the max version with ts <= tsMillis
+    vs(ans)
   }
 
+  /** HEAD version WITHOUT reading the snapshot JSON — the pointer file's
+    * one line is `v<N>.json`, so a follower's poll tick (has the table
+    * moved?) costs exactly ONE small file read. [[CdfMicroBatchStream]]
+    * polls this; it reads the snapshot bodies only when planning a batch.
+    */
+  def headVersion(): Int =
+    Files.readString(headFile).trim.stripPrefix("v").stripSuffix(".json").toInt
+
+  /** Snapshot-JSON reads performed by this handle (test seam: IO-count
+    * assertions for the versionAt binary search / headVersion fast path).
+    */
+  private[graft] val snapshotReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Commit wall-clock per version — snapshots are immutable, so the cache
+    * is always valid; populated by every snapshot read and by commits.
+    */
+  private val commitTsCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, java.lang.Long]()
+
   private def readSnapshot(p: Path): Snapshot = {
+    snapshotReads.incrementAndGet()
     val n = mapper.readTree(Files.readString(p))
     val version = n.get("version").asInt
     // current format: per-bucket manifest refs; legacy format (round-1
@@ -184,7 +220,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
           ManifestRef(b, key, fs.map(_.rowCount).sum, fs.size)
         }
       }
-    Snapshot(
+    val snap = Snapshot(
       version = version,
       parent = n.get("parent").asInt,
       lastBatchId = n.get("lastBatchId").asLong,
@@ -193,6 +229,8 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
       summary = n.get("summary").fields.asScala.map(e => e.getKey -> e.getValue.asText).toMap,
       mode = Option(n.get("mode")).map(_.asText).getOrElse(Cow),
       numBuckets = Option(n.get("numBuckets")).map(_.asInt).getOrElse(-1))
+    commitTsCache.put(snap.version, snap.committedAtMs)
+    snap
   }
 
   // --- per-bucket manifests ------------------------------------------------
@@ -302,8 +340,24 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     }
     val sum = node.putObject("summary")
     s.summary.foreach { case (k, v) => sum.put(k, v) }
-    if (!s.summary.contains("committedAtMs"))
-      sum.put("committedAtMs", System.currentTimeMillis.toString)
+    var stampedTs = -1L // cached only AFTER the CAS wins (a loser's stamp
+                        // must never shadow the winner's committed value)
+    if (!s.summary.contains("committedAtMs")) {
+      // clamp monotone across the snapshot chain (Delta/Iceberg do the
+      // same): with clock regression between writers, an unclamped stamp
+      // would let TIMESTAMP AS OF resolve to an older version than a newer
+      // eligible one — and the versionAt binary search relies on
+      // non-decreasing commit times
+      val parentTs =
+        if (s.parent < 0) -1L
+        else Option(commitTsCache.get(s.parent)).map(_.longValue).getOrElse {
+          val pp = metaDir.resolve(s"v${s.parent}.json")
+          if (Files.exists(pp)) readSnapshot(pp).committedAtMs else -1L
+        }
+      val ts = math.max(System.currentTimeMillis, parentTs + 1)
+      sum.put("committedAtMs", ts.toString)
+      stampedTs = ts
+    }
     val snapPath = metaDir.resolve(s"v${s.version}.json")
     // tmp names are TOKENED: two same-version racers must never share a
     // temp path, or the winner could move the loser's content into place
@@ -335,6 +389,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     val headTmp = metaDir.resolve(s".HEAD.$tok.tmp")
     Files.writeString(headTmp, s"v${s.version}.json")
     Files.move(headTmp, headFile, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    if (stampedTs >= 0) commitTsCache.put(s.version, stampedTs)
   }
 
   // --- reads --------------------------------------------------------------
@@ -843,12 +898,15 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
         .groupBy("_b").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       // WHEN NOT MATCHED BY SOURCE acts on target rows whose key the source
       // does NOT carry — those can live in ANY bucket, so bucket pruning is
-      // unsound and every non-empty bucket becomes part of the rewrite.
-      // (Iceberg's MERGE does the same: such statements scan the table.)
+      // unsound and EVERY bucket id becomes part of the rewrite — including
+      // buckets empty at h0: a concurrent writer may insert a key into one,
+      // and the rebase conflict check (refOf over touched buckets) must see
+      // that commit, or the rebase would keep a row this statement's BY
+      // SOURCE clause should have deleted (write skew). (Iceberg's MERGE
+      // does the same: such statements scan — and conflict on — the table.)
       val touched =
         if (notBySource.isEmpty) srcTouched
-        else srcTouched ++ h0.manifests.map(r =>
-          r.bucket -> srcTouched.getOrElse(r.bucket, 0L))
+        else (0 until numBuckets).map(b => b -> srcTouched.getOrElse(b, 0L)).toMap
       val srcRows = srcTouched.values.sum
       val (touchedRefs, carried) = h0.manifests.partition(r => touched.contains(r.bucket))
       val tgt = readFiles(spark, touchedRefs.flatMap(loadManifest))
@@ -988,28 +1046,35 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     */
   def compact(spark: SparkSession, gcTombstones: Boolean = false,
               retries: Int = 3, targetFileRows: Option[Long] = None): Unit = {
-    val h0 = checkedHead()
-    // mode-aware: MOR resolves LWW duplicates before the rewrite, so the
-    // compacted snapshot is unique-per-key in both modes
-    val resolved = if (h0.mode == Mor) resolve(readFiles(spark, filesOf(h0)))
-                   else readFiles(spark, filesOf(h0))
-    val live = if (gcTombstones) resolved.filter(!col("deleted")) else resolved
-    val token = newToken()
-    val newRefs = writeManifests(token, writeSnapshotFiles(live, token, sorted = true, maxRowsPerFile = targetFileRows))
-    firePreCommitHook()
-    try
-      commitSnapshot(Snapshot(h0.version + 1, h0.version, h0.lastBatchId,
-        h0.schemaIds, newRefs,
-        Map("compaction" -> "true",
-          "totalRows" -> newRefs.map(_.rowCount).sum.toString),
-        mode = h0.mode),
-        expectedParent = h0.version)
-    catch { case e: ConcurrentCommitException =>
-      // compaction reads every bucket, so ANY interleaved commit conflicts:
-      // recompute against the new head (ingest always wins over compaction)
-      if (retries <= 0) throw e
-      commitBackoff(retries - 1, retries)
-      compact(spark, gcTombstones, retries - 1, targetFileRows)
+    // retry LOOP, not recursion with a shrunk budget: commitBackoff must
+    // see the TRUE attempt number so the jittered cap escalates toward
+    // 1600ms under sustained contention instead of replaying the first step
+    var attemptsLeft = retries
+    while (true) {
+      val h0 = checkedHead()
+      // mode-aware: MOR resolves LWW duplicates before the rewrite, so the
+      // compacted snapshot is unique-per-key in both modes
+      val resolved = if (h0.mode == Mor) resolve(readFiles(spark, filesOf(h0)))
+                     else readFiles(spark, filesOf(h0))
+      val live = if (gcTombstones) resolved.filter(!col("deleted")) else resolved
+      val token = newToken()
+      val newRefs = writeManifests(token, writeSnapshotFiles(live, token, sorted = true, maxRowsPerFile = targetFileRows))
+      firePreCommitHook()
+      try {
+        commitSnapshot(Snapshot(h0.version + 1, h0.version, h0.lastBatchId,
+          h0.schemaIds, newRefs,
+          Map("compaction" -> "true",
+            "totalRows" -> newRefs.map(_.rowCount).sum.toString),
+          mode = h0.mode),
+          expectedParent = h0.version)
+        return
+      } catch { case e: ConcurrentCommitException =>
+        // compaction reads every bucket, so ANY interleaved commit conflicts:
+        // recompute against the new head (ingest always wins over compaction)
+        if (attemptsLeft <= 0) throw e
+        attemptsLeft -= 1
+        commitBackoff(attemptsLeft, retries)
+      }
     }
   }
 
@@ -1027,6 +1092,9 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
                      gcTombstones: Boolean = false, retries: Int = 3,
                      targetFileRows: Option[Long] = None,
                      minFileBytes: Option[Long] = None): Int = {
+    // loop (see compact): backoff must escalate with the true attempt count
+    var attemptsLeft = retries
+    while (true) {
     val h0 = checkedHead()
     // Two Iceberg-style triggers. Both are evaluated against the file
     // count the rewrite itself would PRODUCE (ceil(rows/targetFileRows))
@@ -1082,13 +1150,14 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
           "totalRows" -> (carried.map(_.rowCount).sum + newRefs.map(_.rowCount).sum).toString),
         mode = h0.mode),
         expectedParent = h0.version)
-      picked.size
+      return picked.size
     } catch { case e: ConcurrentCommitException =>
-      if (retries <= 0) throw e
-      commitBackoff(retries - 1, retries)
-      compactBuckets(spark, maxFilesPerBucket, gcTombstones, retries - 1,
-        targetFileRows, minFileBytes)
+      if (attemptsLeft <= 0) throw e
+      attemptsLeft -= 1
+      commitBackoff(attemptsLeft, retries)
     }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Rewrite every row under a NEW key-hash modulus (the maintenance op for
@@ -1106,28 +1175,34 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
   def rebucket(spark: SparkSession, newBuckets: Int,
                targetFileRows: Option[Long] = None, retries: Int = 3): LakeTable = {
     require(newBuckets > 0, s"rebucket: bucket count must be positive, got $newBuckets")
-    val h0 = checkedHead()
-    val physical = readFiles(spark, filesOf(h0))
-    // MOR duplicate versions fold here (same as compact) — the rebucketed
-    // table starts at one row per key either way; tombstones are retained
-    val resolved = if (h0.mode == Mor) resolve(physical) else physical
-    val token = newToken()
-    val newRefs = writeManifests(token, writeSnapshotFiles(resolved, token,
-      sorted = true, maxRowsPerFile = targetFileRows, buckets = newBuckets))
-    firePreCommitHook()
-    try
-      commitSnapshot(Snapshot(h0.version + 1, h0.version, h0.lastBatchId,
-        h0.schemaIds, newRefs,
-        Map("rebucket" -> s"$numBuckets->$newBuckets",
-          "totalRows" -> newRefs.map(_.rowCount).sum.toString),
-        mode = h0.mode, numBuckets = newBuckets),
-        expectedParent = h0.version)
-    catch { case e: ConcurrentCommitException =>
-      // any interleaved commit conflicts (rebucket reads every bucket):
-      // recompute against the new head, ingest wins
-      if (retries <= 0) throw e
-      commitBackoff(retries - 1, retries)
-      return rebucket(spark, newBuckets, targetFileRows, retries - 1)
+    // loop (see compact): backoff must escalate with the true attempt count
+    var attemptsLeft = retries
+    var committed = false
+    while (!committed) {
+      val h0 = checkedHead()
+      val physical = readFiles(spark, filesOf(h0))
+      // MOR duplicate versions fold here (same as compact) — the rebucketed
+      // table starts at one row per key either way; tombstones are retained
+      val resolved = if (h0.mode == Mor) resolve(physical) else physical
+      val token = newToken()
+      val newRefs = writeManifests(token, writeSnapshotFiles(resolved, token,
+        sorted = true, maxRowsPerFile = targetFileRows, buckets = newBuckets))
+      firePreCommitHook()
+      try {
+        commitSnapshot(Snapshot(h0.version + 1, h0.version, h0.lastBatchId,
+          h0.schemaIds, newRefs,
+          Map("rebucket" -> s"$numBuckets->$newBuckets",
+            "totalRows" -> newRefs.map(_.rowCount).sum.toString),
+          mode = h0.mode, numBuckets = newBuckets),
+          expectedParent = h0.version)
+        committed = true
+      } catch { case e: ConcurrentCommitException =>
+        // any interleaved commit conflicts (rebucket reads every bucket):
+        // recompute against the new head, ingest wins
+        if (attemptsLeft <= 0) throw e
+        attemptsLeft -= 1
+        commitBackoff(attemptsLeft, retries)
+      }
     }
     // sidecar refresh: a CACHE of the now-committed snapshot value (openers
     // prefer the snapshot; the sidecar only serves pre-rebucket readers of
@@ -1193,6 +1268,11 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
           else java.nio.file.FileVisitResult.CONTINUE
         override def visitFileFailed(p: Path, e: java.io.IOException) =
           java.nio.file.FileVisitResult.CONTINUE // vanished mid-walk
+        // default postVisitDirectory RETHROWS a failed directory iteration —
+        // exactly the racing-writer case (dir vanishes mid-walk) this sweep
+        // must absorb, so swallow and continue instead of crashing the walk
+        override def postVisitDirectory(p: Path, e: java.io.IOException) =
+          java.nio.file.FileVisitResult.CONTINUE
       })
       acc.toList
     }
@@ -1215,6 +1295,8 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
             else { if (p != dir) dirs += p; java.nio.file.FileVisitResult.CONTINUE }
           override def visitFileFailed(p: Path, e: java.io.IOException) =
             java.nio.file.FileVisitResult.CONTINUE
+          override def postVisitDirectory(p: Path, e: java.io.IOException) =
+            java.nio.file.FileVisitResult.CONTINUE // vanished mid-walk
         })
         dirs.reverse.foreach { p =>
           try {

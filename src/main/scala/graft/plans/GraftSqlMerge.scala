@@ -88,13 +88,19 @@ object GraftSqlMergeRule extends Rule[LogicalPlan] {
     // may reference only the target side (source columns are all null on
     // those join rows, which would silently null whatever touches them).
     val notBySource = m.notMatchedBySourceActions.map(clause(_, sAlias))
-    notBySource.foreach { c =>
+    notBySource.zip(m.notMatchedBySourceActions).foreach { case (c, raw) =>
       if (c.kind == "insert" || c.star)
         fail("WHEN NOT MATCHED BY SOURCE supports UPDATE SET <col>=<expr> and DELETE only")
-      val sRef = (c.condSql.toSeq ++ c.assigns.map(_._2))
-        .find(canonHasAlias(_, sAlias))
-      sRef.foreach(sql => fail(
-        s"WHEN NOT MATCHED BY SOURCE may only reference the target: $sql uses $sAlias"))
+      // source-alias check on the EXPRESSION TREE, not the serialized SQL:
+      // a textual scan would false-positive on a string literal that merely
+      // contains "<alias>." (e.g. ... AND t.path LIKE 's.%')
+      val exprs: Seq[Expression] = raw match {
+        case DeleteAction(cond) => cond.toSeq
+        case UpdateAction(cond, assigns, _) => cond.toSeq ++ assigns.map(_.value)
+        case _ => Nil // insert/star already rejected above
+      }
+      exprs.find(refsAlias(_, sAlias)).foreach(e => fail(
+        s"WHEN NOT MATCHED BY SOURCE may only reference the target: ${e.sql} uses $sAlias"))
       c.assigns.find(a => KeyCols.contains(a._1)).foreach { case (k, _) =>
         fail(s"WHEN NOT MATCHED BY SOURCE must not reassign key column '$k'")
       }
@@ -125,16 +131,17 @@ object GraftSqlMergeRule extends Rule[LogicalPlan] {
       matched, notMatched, notBySource, m.sourceTable)
   }
 
-  /** Does a serialized SQL fragment reference `alias` as a qualifier
-    * (`alias.` preceded by a non-identifier char)? Conservative textual
-    * check over the canonical fragment — expressions are serialized with
-    * explicit qualifiers, so a source reference always prints as alias.col.
+  /** Does the (unresolved) expression tree reference `alias` as a column
+    * qualifier? The rule runs at resolution, so column references are
+    * [[UnresolvedAttribute]]s carrying their qualifier name parts — string
+    * literals can never false-positive here.
     */
-  private def canonHasAlias(sql: String, alias: String): Boolean = {
-    val canon = sql.replace("`", "").toLowerCase
-    val a = java.util.regex.Pattern.quote(alias.toLowerCase)
-    java.util.regex.Pattern.compile(s"(?<![a-z0-9_])$a\\.").matcher(canon).find()
-  }
+  private def refsAlias(e: Expression, alias: String): Boolean =
+    e.exists {
+      case a: UnresolvedAttribute =>
+        a.nameParts.length >= 2 && a.nameParts.head.equalsIgnoreCase(alias)
+      case _ => false
+    }
 
   private def keyOf(e: Expression, tAlias: String): Option[String] = e match {
     case a: UnresolvedAttribute if a.nameParts.length == 2 &&

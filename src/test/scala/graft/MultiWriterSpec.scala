@@ -237,6 +237,33 @@ class MultiWriterSpec extends SparkSpec {
     assert(m1.read(spark).filter($"repo" === "r1").select("content").as[String].head() === "v2")
   }
 
+  test("BY SOURCE full-sync racing an insert into an EMPTY bucket → recompute (no write skew)") {
+    val base = tmpDir("mw-skew")
+    val t1 = LakeTable(s"$base/t", 8)
+    val t2 = new LakeTable(s"$base/t", 8)
+    t1.merge(spark, rows(("r1", "p1", 1L, "v1")), 0L)
+    // a key whose bucket is EMPTY at h0 (and distinct from the source's):
+    // the BY SOURCE conflict check must still cover it, else a racer's
+    // insert there escapes both the rebase conflict test and the DELETE arm
+    val nonEmpty = t1.head().manifests.map(_.bucket).toSet
+    val (er, ep) = (2 to 400).map(i => (s"x$i", s"y$i"))
+      .find { case (r, p) => !nonEmpty.contains(t1.bucketOf(r, p)) }.get
+    t1.preCommitHook = () => { t2.merge(spark, rows((er, ep, 5L, "interloper")), 1L); () }
+    // full sync to exactly {(r1,p1)}: every other live key must be deleted
+    val src = rows(("r1", "p1", 10L, "v2")).alias("s")
+    t1.mergeSql(spark, src, "t", "s",
+      "`t`.`repo` = `s`.`repo` AND `t`.`path` = `s`.`path`",
+      Map("repo" -> "`s`.`repo`", "path" -> "`s`.`path`"),
+      matched = Seq(LakeTable.SqlMergeClause("update", None, Nil,
+        star = true, starAlias = "s")),
+      notMatched = Seq(LakeTable.SqlMergeClause("insert", None, Nil,
+        star = true, starAlias = "s")),
+      notBySource = Seq(LakeTable.SqlMergeClause("delete", None, Nil)))
+    val keys = t1.read(spark).select("repo", "path").as[(String, String)].collect().toSet
+    assert(keys === Set(("r1", "p1")),
+      s"full-sync DELETE must also remove the racer's row in the h0-empty bucket: $keys")
+  }
+
   test("vacuum with full history keeps every time-travel version readable") {
     val base = tmpDir("mw-vacuum2")
     val t1 = LakeTable(s"$base/t", 4)

@@ -301,6 +301,55 @@ class SqlSpec extends SparkSpec {
     assert(e2.getMessage.contains("key column"), e2.getMessage)
   }
 
+  test("BY SOURCE condition with a string literal containing 's.' is accepted") {
+    val base = tmpDir("sqlnmbs-lit")
+    val table = lake.LakeTable(s"$base/t", 4)
+    table.merge(spark, Seq(
+      ("r1", "s.cfg", "I", 1L, Option("c1"), Option("ini"), Option("a"), Option(1L)),
+      ("r2", "zz", "I", 2L, Option("c2"), Option("go"), Option("b"), Option(2L)))
+      .toDF("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes"), 0L)
+    Seq(("r9", "p9", 9L, "new")).toDF("repo", "path", "seq", "content")
+      .createOrReplaceTempView("lit_src")
+    // the literal 's.%' must NOT be mistaken for a reference to source
+    // alias s (the old textual check rejected exactly this statement)
+    spark.sql(
+      s"""MERGE INTO graft_lake.`$base/t` AS t
+         |USING lit_src AS s
+         |ON t.repo = s.repo AND t.path = s.path
+         |WHEN NOT MATCHED THEN INSERT (repo, path, seq, content) VALUES (s.repo, s.path, s.seq, s.content)
+         |WHEN NOT MATCHED BY SOURCE AND t.path LIKE 's.%' THEN DELETE""".stripMargin)
+    val keys = table.read(spark).select("repo", "path").as[(String, String)].collect().toSet
+    assert(keys === Set(("r2", "zz"), ("r9", "p9")),
+      s"only the path matching the LIKE literal is deleted: $keys")
+    // a REAL source reference must still be rejected
+    val e = intercept[Exception](spark.sql(
+      s"""MERGE INTO graft_lake.`$base/t` AS t USING lit_src AS s
+         |ON t.repo = s.repo AND t.path = s.path
+         |WHEN NOT MATCHED BY SOURCE AND s.seq > 1 THEN DELETE""".stripMargin))
+    assert(e.getMessage.contains("may only reference the target"), e.getMessage)
+  }
+
+  test("versionAt: binary search (O(log n) snapshot reads) + monotone commit stamps") {
+    val base = tmpDir("sqlvat")
+    val t = lake.LakeTable(s"$base/t", 4)
+    (1 to 60).foreach(_ => t.truncate()) // 61 cheap snapshots v0..v60
+    // commit wall-clocks are STRICTLY increasing even for same-millisecond
+    // commits (clamped max(now, parent+1)) — what makes the search sound
+    val tss = t.versions().map(v => t.snapshotAt(v).committedAtMs)
+    assert(tss === tss.sorted && tss.distinct.size === tss.size,
+      s"commit timestamps must strictly increase: $tss")
+    val target = t.snapshotAt(30).committedAtMs
+    val fresh = lake.LakeTable.open(s"$base/t") // cold cache
+    val before = fresh.snapshotReads.get()
+    assert(fresh.versionAt(target) === 30)
+    val reads = fresh.snapshotReads.get() - before
+    assert(reads <= 8, s"binary search over 61 versions should read ~log2(61)=6 snapshots, read $reads")
+    // headVersion: a follower poll tick reads ONLY the pointer file
+    val b2 = fresh.snapshotReads.get()
+    assert(fresh.headVersion() === 60)
+    assert(fresh.snapshotReads.get() === b2, "headVersion must not read any snapshot JSON")
+  }
+
   test("graft_changes TVF ≡ changesBetween (the CDF as a SQL table function)") {
     val base = tmpDir("sqltvf")
     val table = lake.LakeTable(s"$base/t", 4)
