@@ -460,11 +460,18 @@ object Queries {
         round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
         round(expr("percentile(l_quantity, 0.95)"), 4).as("p95"))),
 
-    // approx sketch (HLL) — rows-only; OpsSpec asserts ≤5% error vs exact
+    // approx sketch (HLL) — DRIVER-CHECKED via an error-bound row: the
+    // estimate itself is not SQL-reproducible, but |approx − exact| ≤
+    // 3·rsd·exact is a deterministic TRUE the DuckDB oracle asserts
+    // cell-exactly (exact distinct + literal TRUE). OpsSpec still checks
+    // the ≤5% error directly.
     "h1_approx_distinct" -> ((s, d) =>
       t(s, d, "lineitem").groupBy("l_returnflag").agg(
-        approx_count_distinct("l_orderkey").as("approx_orders"),
-        countDistinct("l_orderkey").as("exact_orders"))),
+        approx_count_distinct(col("l_orderkey"), 0.05).as("_approx"),
+        countDistinct("l_orderkey").as("exact_orders"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("_approx") - col("exact_orders")) <=
+            col("exact_orders") * lit(0.15)).as("within_rsd"))),
 
     // KMV distinct sketch (custom TypedImperativeAggregate): deterministic
     // estimate = (k-1)·2^60 / kth-min of the md5-derived hashes, so the
@@ -553,16 +560,46 @@ object Queries {
     // CDC engine end-to-end as a query (generate → replay → final state)
     // =======================================================================
 
-    "cdc_replay_mini" -> ((s, _) => {
+    // The flagship, DRIVER-ORACLED cell-exactly: the change log is derived
+    // DETERMINISTICALLY from the `events` sf table (seq = event_id, op from
+    // event_type, key from modular hashes, payloads across all THREE schema
+    // epochs), written as a real WAL, replayed through the full engine path
+    // (Structured Streaming tailer → LWW dedupe → epoch normalize → fenced
+    // COW MERGE), and the final table state is compared against a pure-SQL
+    // LWW fold + tombstone filter + sha256 the DuckDB oracle computes from
+    // the same derivation (reference semantics: last staged doc per key
+    // wins, PantherLocalWrapper.java:211-225; delete propagation :385-391).
+    "cdc_replay_mini" -> ((s, _d) => {
       val base = java.nio.file.Files.createTempDirectory("cdcq").toString
-      val cfg = graft.gen.ChangeLogGen.GenConfig(seed = 7L, nEvents = 5000L, nFiles = 4)
-      graft.gen.ChangeLogGen.write(s, cfg, s"$base/log")
+      def str(c: org.apache.spark.sql.Column) = c.cast("string")
+      val contentC = concat(lit("content-"), str(col("event_id")), lit("-"), col("event_type"))
+      val sid = pmod(col("event_id"), lit(3))
+      // epoch 0: {commit, lang, content}; epoch 1: + size_bytes (int);
+      // epoch 2: language (renamed, same field id) + size_bytes (long)
+      val payload = concat(
+        lit("{\"commit\":\"c"), str(col("event_id")), lit("\",\""),
+        when(sid === 2, lit("language")).otherwise(lit("lang")),
+        lit("\":\""), col("event_type"),
+        lit("\",\"content\":\""), contentC, lit("\""),
+        when(sid === 0, lit("}"))
+          .otherwise(concat(lit(",\"size_bytes\":"), str(length(contentC)), lit("}"))))
+      val isDel = col("event_type") === "error"
+      t(s, _d, "events").select(
+        col("event_id").cast("long").as("seq"),
+        when(isDel, lit("D")).otherwise(lit("U")).as("op"),
+        concat(lit("r"), str(pmod(col("user_id"), lit(7)))).as("repo"),
+        concat(lit("p"), str(pmod(col("event_id"), lit(211)))).as("path"),
+        sid.cast("int").as("schema_id"),
+        col("ts").cast("timestamp").as("ts"),
+        when(isDel, lit(null).cast("string")).otherwise(payload).as("payload"))
+        .write.parquet(s"$base/log")
       graft.stream.Tailer.replay(s, graft.stream.Tailer.TailerConfig(
         logDir = s"$base/log", tableRoot = s"$base/table",
         checkpointDir = s"$base/ckpt", lineageDir = s"$base/lineage",
         metricsDir = s"$base/metrics", numBuckets = 8, saltBuckets = 4))
       graft.lake.LakeTable(s"$base/table", 8).read(s)
-        .select(col("repo"), col("path"), col("seq"), sha2(col("content"), 256).as("sha"))
+        .select(col("repo"), col("path"), col("seq"), col("commit"),
+          col("language"), col("size_bytes"), sha2(col("content"), 256).as("sha"))
     })
   )
 
@@ -924,6 +961,36 @@ object Queries {
       """SELECT event_type, user_id, count(*) AS n,
         |CAST(GROUPING(event_type) * 2 + GROUPING(user_id) AS BIGINT) AS gid
         |FROM events GROUP BY CUBE(event_type, user_id)""".stripMargin,
+
+    // HLL error-bound oracle: exact distinct + the bound assertion as a
+    // literal TRUE — the Spark side computes within_rsd from its own
+    // estimate, so a drifting sketch fails the hash compare
+    "h1_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
+        |TRUE AS within_rsd FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // Flagship CDC replay: the SAME deterministic change-log derivation as
+    // the Spark side, folded by pure-SQL last-writer-wins (row_number over
+    // seq DESC) + delete filter + sha256 — reference A4 semantics
+    // (PantherLocalWrapper.java:211-225, delete propagation :385-391).
+    // size_bytes is NULL for epoch-0 payloads (field added in epoch 1).
+    "cdc_replay_mini" ->
+      """WITH ev AS (
+        |  SELECT event_id AS seq,
+        |    CASE WHEN event_type='error' THEN 'D' ELSE 'U' END AS op,
+        |    'r' || (user_id % 7) AS repo,
+        |    'p' || (event_id % 211) AS path,
+        |    event_id % 3 AS sid,
+        |    'c' || event_id AS commit,
+        |    event_type AS language,
+        |    'content-' || event_id || '-' || event_type AS content
+        |  FROM events),
+        |w AS (SELECT * FROM ev
+        |      QUALIFY row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) = 1)
+        |SELECT repo, path, seq, commit, language,
+        |  CASE WHEN sid = 0 THEN NULL ELSE CAST(length(content) AS BIGINT) END AS size_bytes,
+        |  sha256(content) AS sha
+        |FROM w WHERE op <> 'D'""".stripMargin,
 
     "h3_kmv_distinct" ->
       """WITH dh AS (
