@@ -17,16 +17,4 @@ object ColumnBridge {
     Dataset.ofRows(spark, plan)
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[Dataset[org.apache.spark.sql.Row]].queryExecution.analyzed
-
-  /** Streaming-tagged DataFrame from a computed batch (the DSv1 streaming
-    * Source contract: getBatch must return isStreaming=true, which only
-    * `internalCreateDataFrame` can produce). The RDD is the batch plan's
-    * executed form, so laziness is preserved — nothing runs until the
-    * micro-batch sink does.
-    */
-  def streamingFrame(spark: SparkSession, df: DataFrame,
-                     schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.internalCreateDataFrame(
-      df.asInstanceOf[Dataset[org.apache.spark.sql.Row]].queryExecution.toRdd,
-      schema, isStreaming = true)
 }

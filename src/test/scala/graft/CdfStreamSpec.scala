@@ -105,6 +105,60 @@ class CdfStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxVersionsPerBatch: a 100-version backlog drains in bounded batches") {
+    val base = tmpDir("cdf-bounded")
+    val primary = LakeTable(s"$base/t", 2)
+    def mk(i: Long) = ("r", s"p${i % 10}", "U", i, s"c$i", "scala", s"v$i", Option(i))
+    (1L to 100L).foreach(i =>
+      primary.merge(spark, Seq(mk(i)).toDF(cols: _*), i - 1))
+    assert(primary.headVersion() === 100)
+
+    // AvailableNow + cap 10: the drain must proceed in version windows of
+    // ≤10 (≥10 non-empty batches), and LWW-applying the batches IN ORDER
+    // must reconstruct the primary's live state exactly
+    var batches = 0
+    val mirror = scala.collection.mutable.Map[(String, String), (Long, String)]()
+    val q = spark.readStream.format("graft-cdf")
+      .option("path", s"$base/t").option("maxVersionsPerBatch", "10")
+      .load()
+      .writeStream.option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (feed: DataFrame, _: Long) =>
+        val rows = feed.select("op", "repo", "path", "seq", "content")
+          .as[(String, String, String, Long, String)].collect()
+        if (rows.nonEmpty) batches += 1
+        rows.foreach {
+          case ("D", r, p, _, _) => mirror.remove((r, p))
+          case (_, r, p, s, c) => mirror((r, p)) = (s, c)
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(batches >= 10, s"100 versions at cap 10 → at least 10 batches, got $batches")
+    val want = primary.read(spark).select("repo", "path", "seq", "content")
+      .as[(String, String, Long, String)].collect()
+      .map { case (r, p, s, c) => (r, p) -> (s, c) }.toMap
+    assert(mirror.toMap === want, "windowed drain must reconstruct the live state")
+  }
+
+  test("a follower poll tick costs one HEAD read — no snapshot JSON IO") {
+    val base = tmpDir("cdf-poll")
+    val primary = LakeTable(s"$base/t", 4)
+    def mk(s: Long) = ("r", s"p$s", "I", s, s"c$s", "scala", s"v$s", Option(s))
+    primary.merge(spark, Seq(mk(1)).toDF(cols: _*), 0L)
+    primary.merge(spark, Seq(mk(2)).toDF(cols: _*), 1L)
+
+    val stream = new graft.stream.CdfMicroBatchStream(s"$base/t", 0, 0)
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val head = stream.latestOffset(graft.stream.CdfOffset(0), ReadLimit.allAvailable())
+    assert(head.json.toInt === primary.headVersion())
+    val before = stream.table.snapshotReads.get()
+    (1 to 5).foreach(_ => stream.latestOffset(head, ReadLimit.allAvailable()))
+    assert(stream.table.snapshotReads.get() === before,
+      "idle poll ticks must read only the HEAD pointer, never snapshot bodies")
+  }
+
   test("graft-cdf source: startVersion skips history; missing path fails loudly") {
     val base = tmpDir("cdf-opts")
     val primary = LakeTable(s"$base/t", 4)
