@@ -1004,6 +1004,95 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     } finally src.unpersist()
   }
 
+  /** Strict SQL-style INSERT (the `INSERT INTO graft_lake.` surface):
+    * append rows whose keys are NOT live in the table; ANY key collision
+    * fails the whole statement — ANSI primary-key INSERT semantics, and the
+    * error echoes the exact MERGE INTO statement that expresses upsert
+    * intent (the reflex of users arriving from Delta/Iceberg). Same COW
+    * commit protocol as [[mergeSql]]: only the key-hash buckets the source
+    * touches are rewritten; the exactly-once fence does not advance (user
+    * action, not a replayable micro-batch); a CDC tombstone on an inserted
+    * key is superseded (the insert re-creates the key). A lost CAS always
+    * RECOMPUTES — an interleaved commit could have inserted one of our
+    * keys, so the duplicate check must re-run against the new head.
+    *
+    * `source` carries any subset of the data columns that includes the key;
+    * missing columns insert as null (`seq` as 0 — any later CDC event
+    * outranks it).
+    */
+  def insertStrict(spark: SparkSession, source: DataFrame,
+                   retries: Int = 3): MergeStats = {
+    require(checkedHead().mode == Cow,
+      "SQL INSERT INTO targets copy-on-write tables")
+    val dataCols = schema.fieldNames.filterNot(_ == "deleted").toSeq
+    val byLower = source.columns.map(c => c.toLowerCase -> c).toMap
+    val unknown = source.columns.filterNot(c => dataCols.contains(c.toLowerCase))
+    require(unknown.isEmpty,
+      s"INSERT columns not in the table schema: ${unknown.mkString(", ")} " +
+        s"(table columns: ${dataCols.mkString(", ")})")
+    Seq("repo", "path").foreach(k => require(byLower.contains(k),
+      s"INSERT must provide key column '$k'"))
+    val aligned = source.select(dataCols.map { c =>
+      byLower.get(c) match {
+        case Some(s) => col(s).cast(schema(c).dataType).as(c)
+        case None if c == "seq" => lit(0L).as("seq")
+        case None => lit(null).cast(schema(c).dataType).as(c)
+      }
+    }: _*)
+    val src = aligned.withColumn("_b", bucketExpr).persist()
+    try {
+      requireUniqueKeys(src, col("repo"), col("path"),
+        "an INSERT source must carry each key at most once")
+      var attemptsLeft = retries
+      while (true) {
+        val h0 = checkedHead()
+        val bucketCounts = src.groupBy("_b").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val touched = bucketCounts.keySet
+        val touchedRefs = h0.manifests.filter(r => touched.contains(r.bucket))
+        val tgt = readFiles(spark, touchedRefs.flatMap(loadManifest))
+        val dup = tgt.filter(!col("deleted"))
+          .join(src, Seq("repo", "path"), "left_semi")
+          .select("repo", "path").limit(1).collect()
+        if (dup.nonEmpty)
+          throw new IllegalArgumentException(
+            s"INSERT INTO graft_lake.`$root`: key (${dup.head.getString(0)}, " +
+              s"${dup.head.getString(1)}) already exists — INSERT is " +
+              "append-only on the (repo, path) key. For upsert semantics run:\n" +
+              s"  MERGE INTO graft_lake.`$root` AS t USING <source> AS s\n" +
+              "  ON t.repo = s.repo AND t.path = s.path\n" +
+              "  WHEN MATCHED THEN UPDATE SET *\n" +
+              "  WHEN NOT MATCHED THEN INSERT *")
+        val tombsKept = tgt.filter(col("deleted"))
+          .join(src.select("repo", "path"), Seq("repo", "path"), "left_anti")
+        val merged = tgt.filter(!col("deleted"))
+          .unionByName(src.drop("_b").withColumn("deleted", lit(false)))
+          .unionByName(tombsKept)
+        val token = newToken()
+        val newRefs = writeManifests(token, writeSnapshotFiles(merged, token))
+        firePreCommitHook()
+        try {
+          val keep = h0.manifests.filterNot(r => touched.contains(r.bucket))
+          val snap = Snapshot(h0.version + 1, h0.version, h0.lastBatchId,
+            h0.schemaIds, keep ++ newRefs,
+            Map("sqlInsert" -> "true",
+              "srcRows" -> bucketCounts.values.sum.toString,
+              "touchedBuckets" -> touched.size.toString,
+              "totalRows" -> (keep.map(_.rowCount).sum + newRefs.map(_.rowCount).sum).toString),
+            mode = h0.mode)
+          commitSnapshot(snap, expectedParent = h0.version)
+          return MergeStats(applied = true, snap.version, bucketCounts.values.sum,
+            touched.size, snap.totalRows)
+        } catch { case e: ConcurrentCommitException =>
+          if (attemptsLeft <= 0) throw e
+          attemptsLeft -= 1
+          commitBackoff(attemptsLeft, retries)
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    } finally src.unpersist()
+  }
+
   /** True when every commit in (fromV, toV] is a LIVE-STATE-PRESERVING
     * layout rewrite (compaction — never a merge, truncate, or rebucket).
     * Then a CAS loser's computed merge output is still valid even for its

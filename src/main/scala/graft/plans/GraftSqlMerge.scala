@@ -209,6 +209,43 @@ final case class GraftMergeCommand(
   }
 }
 
+/** `INSERT INTO graft_lake.`…`` executor: aligns the query output to the
+  * table schema — an explicit column list maps positionally to those
+  * columns; otherwise the query's column NAMES must match (a bare
+  * `VALUES (…)` with auto-named colN columns maps positionally when its
+  * arity equals the full table width) — then delegates to
+  * [[LakeTable.insertStrict]] (append-only on the key; collisions fail
+  * with the equivalent-MERGE guidance).
+  */
+final case class GraftInsertCommand(root: String, userCols: Seq[String],
+                                    query: LogicalPlan) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("src_rows", LongType, nullable = false)(),
+    AttributeReference("touched_buckets", IntegerType, nullable = false)(),
+    AttributeReference("rows_after", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val table = LakeTable.open(root)
+    val dataCols = table.schema.fieldNames.filterNot(_ == "deleted").toSeq
+    var src = org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(cs, query)
+    if (userCols.nonEmpty) {
+      require(userCols.length == src.columns.length,
+        s"INSERT column list has ${userCols.length} columns but the query " +
+          s"produces ${src.columns.length}")
+      src = src.toDF(userCols: _*)
+    } else if (src.columns.length == dataCols.length &&
+               !src.columns.exists(c => dataCols.contains(c.toLowerCase))) {
+      // bare VALUES (col1, col2, …): positional against the full schema
+      src = src.toDF(dataCols: _*)
+    }
+    val stats = table.insertStrict(cs, src)
+    Seq(Row(stats.version, stats.srcRows, stats.touchedBuckets, stats.rowsAfter))
+  }
+}
+
 /** SQL READ surface for graft lake tables — completes the `graft_lake.`
   * namespace (MERGE writes above, SELECT reads here):
   *
@@ -313,9 +350,14 @@ final class GraftSqlReadRule(session: SparkSession) extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
+    // INSERT INTO → strict append (error on key collision, echoing the
+    // MERGE to run for upsert intent) — the append-shaped statement a user
+    // coming from Delta/Iceberg tries first
     case i: InsertIntoStatement if relation(i.table).isDefined =>
-      throw new UnsupportedOperationException(
-        "graft lake tables are written with MERGE INTO graft_lake.`<path>`, not INSERT")
+      if (i.overwrite) throw new UnsupportedOperationException(
+        "graft INSERT OVERWRITE is not supported — full replacement is " +
+          "MERGE INTO … WHEN NOT MATCHED BY SOURCE THEN DELETE (full sync)")
+      GraftInsertCommand(relation(i.table).get._1, i.userSpecifiedCols, i.query)
 
     // time travel: SELECT … FROM graft_lake.`x` VERSION AS OF <n>
     case tt: RelationTimeTravel if relation(tt.relation).isDefined =>
@@ -467,6 +509,7 @@ object GraftMetaTvf {
         else if (s.summary.contains("rebucket")) "rebucket"
         else if (s.summary.contains("truncate")) "truncate"
         else if (s.summary.contains("sqlMerge")) "sql-merge"
+        else if (s.summary.contains("sqlInsert")) "sql-insert"
         else if (s.summary.contains("batchId")) "merge"
         else "create"
       (s.version, s.parent, new java.sql.Timestamp(s.committedAtMs), op,

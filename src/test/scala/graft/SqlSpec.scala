@@ -132,11 +132,12 @@ class SqlSpec extends SparkSpec {
     val full = spark.sql(s"SELECT content FROM graft_lake.`$base/t`")
     assert(scannedFiles(point) < scannedFiles(full),
       s"point read must enumerate fewer files (${scannedFiles(point)} vs ${scannedFiles(full)})")
-    // INSERT INTO is rejected with guidance
+    // a shapeless INSERT (bare VALUES that neither names columns nor spans
+    // the schema) fails with the table's column list as guidance
     val e = intercept[Exception] {
       spark.sql(s"INSERT INTO graft_lake.`$base/t` VALUES ('r','p')")
     }
-    assert(e.getMessage.contains("MERGE INTO"), e.getMessage)
+    assert(e.getMessage.contains("table columns: repo, path"), e.getMessage)
     // correlated conjuncts naming an OUTER alias must NOT trigger pruning:
     // o.repo/o.path constrain events, so for every event row the EXISTS
     // subquery is over the FULL lake table (non-empty) — all rows survive
@@ -299,6 +300,57 @@ class SqlSpec extends SparkSpec {
          |ON t.repo = s.repo AND t.path = s.path
          |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET repo = 'moved'""".stripMargin))
     assert(e2.getMessage.contains("key column"), e2.getMessage)
+  }
+
+  test("INSERT INTO graft_lake: strict append, key collision echoes the MERGE to run") {
+    val base = tmpDir("sqlins")
+    val table = lake.LakeTable(s"$base/t", 4)
+    // column-list form (missing columns null, seq defaults 0)
+    spark.sql(s"INSERT INTO graft_lake.`$base/t` (repo, path, content, seq) " +
+      "VALUES ('r1', 'p1', 'a', 1)")
+    // bare-VALUES form: positional against the full schema
+    spark.sql(s"INSERT INTO graft_lake.`$base/t` " +
+      "VALUES ('r2', 'p2', 'c2', 'scala', 'b', 5, 2)")
+    // INSERT … SELECT
+    Seq(("r3", "p3", "c", 3L)).toDF("repo", "path", "content", "seq")
+      .createOrReplaceTempView("ins_src")
+    spark.sql(s"INSERT INTO graft_lake.`$base/t` (repo, path, content, seq) " +
+      "SELECT repo, path, content, seq FROM ins_src")
+    val got = table.read(spark).select("repo", "path", "seq", "content", "language")
+      .as[(String, String, Long, String, Option[String])].collect().toSet
+    assert(got === Set(
+      ("r1", "p1", 1L, "a", None),
+      ("r2", "p2", 2L, "b", Some("scala")),
+      ("r3", "p3", 3L, "c", None)))
+
+    // duplicate key → the whole statement fails with runnable MERGE guidance
+    val e = intercept[Exception](spark.sql(
+      s"INSERT INTO graft_lake.`$base/t` (repo, path, content) VALUES ('r1', 'p1', 'dup')"))
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
+    assert(msgs(e).contains("already exists") && msgs(e).contains("MERGE INTO"), msgs(e))
+    assert(table.read(spark).count() === 3L, "failed INSERT must not commit anything")
+
+    // a deleted key is NOT live: re-INSERT succeeds and supersedes the tombstone
+    table.merge(spark, Seq(("r1", "p1", "D", 100L, Option.empty[String],
+      Option.empty[String], Option.empty[String], Option.empty[Long]))
+      .toDF("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes"), 0L)
+    spark.sql(s"INSERT INTO graft_lake.`$base/t` (repo, path, content, seq) " +
+      "VALUES ('r1', 'p1', 'reborn', 200)")
+    assert(table.read(spark).filter($"repo" === "r1").select("content")
+      .as[String].head() === "reborn")
+
+    // CDC merges still interoperate: a higher-seq event outranks the insert
+    table.merge(spark, Seq(("r1", "p1", "U", 300L, Option("c300"),
+      Option("scala"), Option("evolved"), Option(7L)))
+      .toDF("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes"), 1L)
+    assert(table.read(spark).filter($"repo" === "r1").select("content")
+      .as[String].head() === "evolved")
+
+    // INSERT OVERWRITE: curated rejection
+    val e2 = intercept[Exception](spark.sql(
+      s"INSERT OVERWRITE graft_lake.`$base/t` VALUES ('x', 'y', 'c', 'l', 'v', 1, 1)"))
+    assert(msgs(e2).contains("full sync"), msgs(e2))
   }
 
   test("BY SOURCE condition with a string literal containing 's.' is accepted") {
