@@ -86,12 +86,15 @@ object SimilarityOps {
   private def hyperplanes(dim: Int, bits: Int, tables: Int, seed: Long): Array[Array[Array[Double]]] =
     Array.tabulate(tables, bits, dim) { (t, b, d) => md5unit(s"$seed:$t:$b:$d") }
 
-  /** Sign-bit signature for one table: int bucket from `bits` hyperplanes. */
+  /** Sign-bit signature for one table: int bucket from `bits` hyperplanes.
+    * One compact [[VecExpr.hyperplaneSig]] kernel (plane matrix as a codegen
+    * reference object) — bit-identical to the unrolled
+    * `when(dot > 0, 1<<i)` chain it replaced, but generated-code size is
+    * constant in (bits, dim), so janino compile time no longer dominates
+    * small corpora (the round-3 s2 regression).
+    */
   private def signature(vec: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      val d = dot(vec, array(p.map(lit): _*))
-      when(d > 0, lit(1 << i)).otherwise(lit(0))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    VecExpr.hyperplaneSig(vec, planes)
 
   /** LSH ANN: candidates = corpus rows sharing any of `tables` signatures
     * with the query, reranked exactly by cosine; top-k per query.

@@ -87,6 +87,87 @@ case class SquaredDistance(left: Expression, right: Expression) extends VecFold 
     copy(left = newLeft, right = newRight)
 }
 
+/** Whole-table hyperplane signature in ONE compact expression: the sign
+  * bits of `planes·vec` OR'd into an int bucket. Replaces the unrolled
+  * `bits × dot(vec, array(lit…))` formulation whose generated code grew
+  * with bits × dim (janino compile time dominated small inputs — the
+  * round-3 s2 regression); here the plane matrix travels as a codegen
+  * REFERENCE OBJECT and the generated code is a fixed-size nested loop, so
+  * compile cost is constant in (bits, dim) while the arithmetic is
+  * BIT-IDENTICAL to the old shape: the same left-to-right per-plane fold
+  * over the same widened doubles, strict `> 0` sign test, bit i = plane i.
+  *
+  * Null semantics replicate the old `when(dot > 0, bit).otherwise(0)`
+  * chain exactly: a null vector, null element, or dimension mismatch made
+  * every per-plane dot null → every bit took the otherwise(0) arm → the
+  * signature was 0 (never null).
+  */
+case class HyperplaneSig(child: Expression, planes: Array[Array[Double]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def prettyName: String = "vec_hyperplane_sig"
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return 0
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (planes.nonEmpty && n != planes(0).length) return 0
+    var d = 0
+    while (d < n) { if (a.isNullAt(d)) return 0; d += 1 }
+    var sig = 0
+    var b = 0
+    while (b < planes.length) {
+      var s = 0.0
+      val p = planes(b)
+      var i = 0
+      while (i < n) { s += a.getDouble(i) * p(i); i += 1 }
+      if (s > 0) sig |= 1 << b
+      b += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    val mat = ctx.addReferenceObj("planes", planes, "double[][]")
+    val (v, n, ok, d, b, s, i) = (ctx.freshName("v"), ctx.freshName("n"),
+      ctx.freshName("ok"), ctx.freshName("d"), ctx.freshName("b"),
+      ctx.freshName("s"), ctx.freshName("i"))
+    val javaCode =
+      code"""
+         |${c.code}
+         |int ${ev.value} = 0;
+         |if (!${c.isNull}) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $v = ${c.value};
+         |  final int $n = $v.numElements();
+         |  boolean $ok = $mat.length == 0 || $n == $mat[0].length;
+         |  if ($ok) {
+         |    for (int $d = 0; $d < $n; $d++) {
+         |      if ($v.isNullAt($d)) { $ok = false; break; }
+         |    }
+         |  }
+         |  if ($ok) {
+         |    for (int $b = 0; $b < $mat.length; $b++) {
+         |      double $s = 0.0;
+         |      final double[] ${s}_p = $mat[$b];
+         |      for (int $i = 0; $i < $n; $i++) $s += $v.getDouble($i) * ${s}_p[$i];
+         |      if ($s > 0) ${ev.value} |= (1 << $b);
+         |    }
+         |  }
+         |}
+       """.stripMargin
+    ev.copy(code = javaCode,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
+
 object VecExpr {
   private def asD(c: Column): Column = c.cast("array<double>")
   def dot(a: Column, b: Column): Column =
@@ -95,4 +176,6 @@ object VecExpr {
   def sqDist(a: Column, b: Column): Column =
     ColumnBridge.column(SquaredDistance(
       ColumnBridge.expression(asD(a)), ColumnBridge.expression(asD(b))))
+  def hyperplaneSig(vec: Column, planes: Array[Array[Double]]): Column =
+    ColumnBridge.column(HyperplaneSig(ColumnBridge.expression(asD(vec)), planes))
 }
