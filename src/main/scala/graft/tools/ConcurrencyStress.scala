@@ -21,7 +21,9 @@ import scala.jdk.CollectionConverters._
   *     (in-JVM LWW model comparison, every key);
   *  2. no committed manifest references a missing file (vacuum safety);
   *  3. every writer batch produced a commit (version count);
-  *  4. a final full compact + expire + vacuum(0) leaves state unchanged.
+  *  4. a final full compact + expire + vacuum(0) leaves state unchanged;
+  *  5. a CONTINUOUS graft-cdf follower racing every commit converges to
+  *     exact LWW replica parity once the primary quiesces.
   *
   * `mor` mode instead runs the PRODUCTION ingest shape under maintenance
   * contention: one fenced Dataset-merge writer (a change stream applies
@@ -59,9 +61,9 @@ object ConcurrencyStress {
     // contract — ad-hoc seq-guarded upserts racing each other and the
     // maintenance threads.
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-    val done = new CountDownLatch(nWriters + 2)
+    val done = new CountDownLatch(nWriters + 3)
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val pool = Executors.newFixedThreadPool(nWriters + 2)
+    val pool = Executors.newFixedThreadPool(nWriters + 3)
 
     for (w <- 0 until nWriters) pool.submit(new Runnable {
       override def run(): Unit = try {
@@ -115,8 +117,24 @@ object ConcurrencyStress {
       } catch { case t: Throwable => errors.add(t) } finally done.countDown()
     })
 
-    // writers finish first; then stop the maintenance threads
-    while (done.getCount > 2) Thread.sleep(100)
+    // follower: CONTINUOUS replication through the graft-cdf stream into a
+    // derived table, racing every writer + compactor + vacuum commit — the
+    // replica must converge to exact LWW parity once the primary quiesces
+    // (invariant 5 below). Transient mid-run failures are absorbed by the
+    // checkpoint: the final drain re-delivers any window that didn't land.
+    val derivedRoot = s"$base/d"
+    val derived = LakeTable(derivedRoot, numBuckets = 8)
+    pool.submit(new Runnable {
+      override def run(): Unit = try {
+        val q = graft.stream.Tailer.followContinuously(spark, root, derived,
+          s"$base/fckpt", intervalMs = 300L)
+        while (!stop.get()) Thread.sleep(200)
+        q.stop()
+      } catch { case t: Throwable => errors.add(t) } finally done.countDown()
+    })
+
+    // writers finish first; then stop the maintenance + follower threads
+    while (done.getCount > 3) Thread.sleep(100)
     stop.set(true)
     done.await(120, TimeUnit.SECONDS)
     pool.shutdownNow()
@@ -153,6 +171,16 @@ object ConcurrencyStress {
     if (mode == LakeTable.Mor)
       require(h.lastBatchId == batches - 1L,
         s"fence ${h.lastBatchId} != last batch ${batches - 1}")
+    // invariant 5: the replica converges to EXACT LWW parity — one final
+    // drain from the live checkpoint picks up whatever the continuous
+    // follower hadn't applied when it was stopped
+    graft.stream.Tailer.followInto(spark, root, derived, s"$base/fckpt")
+    val replica = derived.read(spark).select("repo", "path", "seq")
+      .as[(String, String, Long)].collect()
+      .map { case (r, p, s) => (r, p) -> s }.toMap
+    require(replica == actual,
+      s"follower replica diverged: ${replica.size} rows vs ${actual.size}")
+
     // invariant 4: final maintenance converges
     val before = actual
     table.compact(spark, gcTombstones = true)
@@ -165,7 +193,8 @@ object ConcurrencyStress {
     val hf = table.head()
     println(s"""{"metric":"concurrency_stress","mode":"$mode","writers":$nWriters,""" +
       s""""batches":$batches,"rowsPerBatch":$rowsPer,"commits":${hf.version},""" +
-      s""""finalRows":${after.size},"filesFinal":${hf.totalFiles},"ok":true}""")
+      s""""finalRows":${after.size},"filesFinal":${hf.totalFiles},""" +
+      s""""followerParity":true,"ok":true}""")
     spark.stop()
   }
 }

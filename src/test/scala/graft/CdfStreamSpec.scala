@@ -159,6 +159,44 @@ class CdfStreamSpec extends SparkSpec {
       "idle poll ticks must read only the HEAD pointer, never snapshot bodies")
   }
 
+  test("batch planning pins snapshot endpoints against interleaved commits (deterministic race)") {
+    val base = tmpDir("cdf-pin")
+    val primary = LakeTable(s"$base/t", 4)
+    def mk(r: String, s: Long, op: String = "U") =
+      (r, "p", op, s, s"c$s", "scala", if (op == "D") null else s"v$s", Option(s))
+    primary.merge(spark, Seq(mk("r1", 1), mk("r2", 2)).toDF(cols: _*), 0L)
+    primary.merge(spark, Seq(mk("r1", 10), mk("r2", 11, "D")).toDF(cols: _*), 1L)
+
+    val stream = new graft.stream.CdfMicroBatchStream(s"$base/t", 0, 0)
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val end = stream.latestOffset(graft.stream.CdfOffset(0), ReadLimit.allAvailable())
+    val endV = end.json.toInt
+
+    // commits landing BETWEEN offset choice and batch planning/reading —
+    // the follower's batch must still be the diff of the PINNED snapshots
+    primary.merge(spark, Seq(mk("r3", 20)).toDF(cols: _*), 2L)
+    primary.compact(spark)
+
+    val factory = stream.createReaderFactory()
+    val got = stream.planInputPartitions(graft.stream.CdfOffset(0), end).flatMap { p =>
+      val r = factory.createReader(p)
+      val buf = scala.collection.mutable.ArrayBuffer[(String, String, String, Long, String)]()
+      while (r.next()) {
+        val row = r.get()
+        buf += ((row.getUTF8String(0).toString, row.getUTF8String(1).toString,
+          row.getUTF8String(2).toString, row.getLong(7),
+          Option(row.getUTF8String(5)).map(_.toString).orNull))
+      }
+      r.close(); buf
+    }.toSet
+    val want = primary.changesBetween(spark, 0, endV)
+      .select("op", "repo", "path", "seq", "content")
+      .as[(String, String, String, Long, String)].collect().toSet
+    assert(got === want, s"pinned-window diff must match changesBetween(0, $endV)")
+    assert(got.map(t => (t._1, t._2)) === Set(("I", "r1")),
+      "window [0,2] live diff is exactly the surviving insert (r2 deleted within it)")
+  }
+
   test("graft-cdf source: startVersion skips history; missing path fails loudly") {
     val base = tmpDir("cdf-opts")
     val primary = LakeTable(s"$base/t", 4)
