@@ -449,6 +449,10 @@ object GraftChangesTvf {
       case Seq(Literal(root: UTF8String, StringType), f, t) =>
         (intLit(f), intLit(t)) match {
           case (Some(from), Some(to)) =>
+            // SparkSession.active by necessity: injectTableFunction builders
+            // receive only the argument expressions (unlike the read rule,
+            // which threads its session) — fine: TVFs resolve on the
+            // session running the statement by definition
             val session = org.apache.spark.sql.classic.SparkSession.active
             org.apache.spark.sql.graftbridge.ColumnBridge.analyzed(
               LakeTable.open(root.toString).changesBetween(session, from, to))

@@ -111,9 +111,16 @@ class PlanSpec extends SparkSpec {
     val a3 = Queries.sparkQueries("s3_ann_ivf")(spark, sf)
       .queryExecution.analyzed.toString
     assert(a3.contains("vec_sqdist"), s"expected the native sqdist kernel: $a3")
+    // LSH signatures use the single constant-size kernel (not the old
+    // unrolled dot chain whose generated code grew with bits × dim)
+    val a2 = Queries.sparkQueries("s2_ann_lsh")(spark, sf)
+      .queryExecution.analyzed.toString
+    assert(a2.contains("vec_hyperplane_sig"),
+      s"expected the hyperplane-signature kernel: $a2")
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
     assert(!classOf[CodegenFallback].isAssignableFrom(classOf[graft.ops.DotProduct]) &&
-      !classOf[CodegenFallback].isAssignableFrom(classOf[graft.ops.SquaredDistance]),
+      !classOf[CodegenFallback].isAssignableFrom(classOf[graft.ops.SquaredDistance]) &&
+      !classOf[CodegenFallback].isAssignableFrom(classOf[graft.ops.HyperplaneSig]),
       "vector kernels must implement doGenCode, not fall back to interpretation")
   }
 
