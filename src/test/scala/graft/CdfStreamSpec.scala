@@ -197,6 +197,57 @@ class CdfStreamSpec extends SparkSpec {
       "window [0,2] live diff is exactly the surviving insert (r2 deleted within it)")
   }
 
+  test("executor-side bucket diff ≡ changesBetween over random op sequences (property)") {
+    val base = tmpDir("cdf-prop")
+    val primary = LakeTable(s"$base/t", 4)
+    val rnd = new scala.util.Random(42)
+    var seq = 0L
+    var batch = 0L
+    // 8 commits of random upserts/deletes over a 12-key space, compaction
+    // interleaved — covers I/U/D, re-deletes, re-inserts, tombstone carry
+    (1 to 8).foreach { _ =>
+      val keys = rnd.shuffle((0 until 12).toList).take(1 + rnd.nextInt(6))
+      val rows = keys.map { k =>
+        seq += 1
+        val del = rnd.nextInt(4) == 0
+        (s"r${k % 3}", s"p$k", if (del) "D" else "U", seq, s"c$seq", "scala",
+          if (del) null else s"v$seq", if (del) Option.empty[Long] else Option(seq))
+      }
+      primary.merge(spark, rows.toDF(cols: _*), batch); batch += 1
+      if (batch % 3 == 0) primary.compact(spark)
+    }
+    val head = primary.headVersion()
+    assert(head >= 10)
+
+    val stream = new graft.stream.CdfMicroBatchStream(s"$base/t", 0, 0)
+    val factory = stream.createReaderFactory()
+    type Row8 = (String, String, String, String, String, String, Option[Long], Long)
+    def viaReader(from: Int, to: Int): Set[Row8] =
+      stream.planInputPartitions(graft.stream.CdfOffset(from), graft.stream.CdfOffset(to))
+        .flatMap { p =>
+          val r = factory.createReader(p)
+          val buf = scala.collection.mutable.ArrayBuffer[Row8]()
+          while (r.next()) {
+            val row = r.get()
+            def s(i: Int) = Option(row.getUTF8String(i)).map(_.toString).orNull
+            buf += ((s(0), s(1), s(2), s(3), s(4), s(5),
+              if (row.isNullAt(6)) None else Some(row.getLong(6)), row.getLong(7)))
+          }
+          r.close(); buf
+        }.toSet
+    def viaDataset(from: Int, to: Int): Set[Row8] =
+      primary.changesBetween(spark, from, to)
+        .select("op", "repo", "path", "commit", "language", "content", "size_bytes", "seq")
+        .as[(String, String, String, String, String, String, Option[Long], Long)]
+        .collect().toSet
+    (1 to 10).foreach { _ =>
+      val from = rnd.nextInt(head)
+      val to = from + 1 + rnd.nextInt(head - from)
+      assert(viaReader(from, to) === viaDataset(from, to),
+        s"window [$from, $to] diverged between the DSv2 reader and changesBetween")
+    }
+  }
+
   test("graft-cdf source: startVersion skips history; missing path fails loudly") {
     val base = tmpDir("cdf-opts")
     val primary = LakeTable(s"$base/t", 4)
