@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps, TreeOps}
+import graft.ops.{ChunkOps, DedupOps, MultimodalOps, SimilarityOps, TextOps, TreeOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -326,6 +326,18 @@ object Queries {
     // Word-trigram repetition ratio (boilerplate/spam signal)
     "t6_repetition" -> ((s, d) =>
       TextOps.repetition(t(s, d, "documents"), "doc_id", "text", n = 3)),
+
+    // Token-window chunking: long docs → overlapping context windows
+    // (stride 24 = 32 − 8). No shuffle — narrow explode, the 100-TB shape.
+    "t7_chunk_windows" -> ((s, d) =>
+      ChunkOps.chunkByTokens(t(s, d, "documents"), "doc_id", "text",
+        maxTokens = 32, overlap = 8)),
+
+    // Sequence packing: offset sharding into ~256-token training packs,
+    // grouped by lang (one shuffle on the group key)
+    "t8_pack_offsets" -> ((s, d) =>
+      ChunkOps.packByTokens(t(s, d, "documents"), "doc_id", "text",
+        "lang", targetTokens = 256L)),
 
     // Spark-only (no SQL oracle): heuristic scores
     "t3_langid" -> ((s, d) =>
@@ -908,6 +920,26 @@ object Queries {
         |    ELSE list_transform(range(1, len(ws) - 1),
         |         i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) END AS sh
         |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents))""".stripMargin,
+
+    // chunking: 1-based inclusive list slice == Spark slice(toks, s+1, 32)
+    "t7_chunk_windows" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(start // 24 AS BIGINT) AS chunk_id,
+        |  array_to_string(toks[start+1 : start+32], ' ') AS chunk,
+        |  CAST(least(len(toks) - start, 32) AS BIGINT) AS n_tokens
+        |FROM tk, LATERAL unnest(generate_series(0, greatest(len(toks)-1, 0), 24)) AS g(start)""".stripMargin,
+
+    // packing: same running-offset window rule (exclusive prefix sum)
+    "t8_pack_offsets" ->
+      """SELECT lang, doc_id, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER w, 0) AS BIGINT) AS tok_offset,
+        |  CAST(COALESCE(SUM(n_tokens) OVER w, 0) // 256 AS BIGINT) AS pack_id
+        |FROM (SELECT lang, doc_id,
+        |        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |      FROM documents)
+        |WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin,
 
     "x1_hash_sample" ->
       """SELECT doc_id, lang, source FROM documents

@@ -272,6 +272,68 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("chunkByTokens: windows bounded, overlap honored, lossless coverage, shuffle-free") {
+    import graft.ops.ChunkOps
+    val docs = Seq(
+      (1L, (1 to 75).map(i => s"w$i").mkString(" ")), // 4 windows at stride 24
+      (2L, "a b c"),                                  // shorter than one window
+      (3L, "")                                        // degenerate: one empty-token window
+    ).toDF("doc_id", "text")
+    val out = ChunkOps.chunkByTokens(docs, "doc_id", "text", maxTokens = 32, overlap = 8)
+      .as[(Long, Long, String, Long)].collect().sortBy(r => (r._1, r._2))
+    // every window ≤ maxTokens and chunk_ids are dense from 0
+    out.groupBy(_._1).foreach { case (_, cs) =>
+      assert(cs.map(_._2).toSeq === cs.indices.map(_.toLong))
+      cs.foreach(c => assert(c._4 <= 32 && c._4 === c._3.split(" ", -1).length.toLong))
+    }
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.length === 4) // starts 0, 24, 48, 72 over 75 tokens
+    assert(d1.last._4 === 3L)
+    // overlap: each window's leading tokens == the previous window's
+    // tokens from the stride point (8 for full windows; fewer when the
+    // final window is clipped by the document end)
+    d1.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3.split(" ").take(8).toSeq === a._3.split(" ").drop(24).take(8).toSeq)
+    }
+    // lossless: dropping each non-first window's 8-token overlap and
+    // concatenating reconstructs the document exactly
+    val rebuilt = d1.zipWithIndex.flatMap { case (c, i) =>
+      val ts = c._3.split(" ").toSeq; if (i == 0) ts else ts.drop(8)
+    }
+    assert(rebuilt === (1 to 75).map(i => s"w$i"))
+    assert(out.filter(_._1 == 2L).map(_._3).toSeq === Seq("a b c"))
+    // no shuffle: chunking must plan without any Exchange
+    val plan = ChunkOps.chunkByTokens(docs, "doc_id", "text", 32, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must be shuffle-free:\n$plan")
+  }
+
+  test("packByTokens: contiguous greedy packs, overflow only by the closing doc") {
+    import graft.ops.ChunkOps
+    val docs = (for (g <- Seq("en", "de"); i <- 1 to 40) yield
+      (g, (g.hashCode.abs % 7) * 100L + i, (1 to (i * 7 % 60 + 5)).map(_ => "t").mkString(" ")))
+      .toDF("lang", "doc_id", "text")
+    val out = ChunkOps.packByTokens(docs, "doc_id", "text", "lang", targetTokens = 100L)
+      .as[(String, Long, Long, Long, Long)].collect()
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // offsets are the exclusive prefix sum of n_tokens in doc_id order
+      var acc = 0L
+      sorted.foreach { r => assert(r._4 === acc, s"offset mismatch at $r"); acc += r._3 }
+      // pack ids are non-decreasing (contiguous packs) and = offset/target
+      sorted.foreach(r => assert(r._5 === r._4 / 100L))
+      assert(sorted.map(_._5).toSeq === sorted.map(_._5).sorted.toSeq)
+      // every pack except possibly the last spans ≥ target tokens INCLUDING
+      // its closing (overflowing) document
+      val byPack = sorted.groupBy(_._5).toSeq.sortBy(_._1)
+      byPack.dropRight(1).foreach { case (p, ds) =>
+        assert(ds.map(_._3).sum + ds.head._4 - p * 100L >= 0)
+        val end = ds.last._4 + ds.last._3
+        assert(end >= (p + 1) * 100L, s"pack $p closed before reaching the target")
+      }
+    }
+  }
+
   test("KMV sketch callable from SQL via registered function") {
     import graft.ops.KmvAgg
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
