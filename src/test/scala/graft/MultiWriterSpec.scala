@@ -264,6 +264,30 @@ class MultiWriterSpec extends SparkSpec {
       s"full-sync DELETE must also remove the racer's row in the h0-empty bucket: $keys")
   }
 
+  test("INSERT racing a same-key writer: recompute detects the duplicate, never clobbers") {
+    val base = tmpDir("mw-insert")
+    val t1 = LakeTable(s"$base/t", 4)
+    val t2 = new LakeTable(s"$base/t", 4)
+    t1.merge(spark, rows(("r0", "p0", 1L, "seed")), 0L)
+    // t2 commits the SAME key t1 is inserting, between t1's duplicate
+    // check and its CAS — the retry must recompute and surface the
+    // collision, never silently duplicate or clobber the racer's row
+    t1.preCommitHook = () => { t2.merge(spark, rows(("r1", "p1", 5L, "first")), 1L); () }
+    val src = Seq(("r1", "p1", "second", 9L)).toDF("repo", "path", "content", "seq")
+    val e = intercept[IllegalArgumentException](t1.insertStrict(spark, src))
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    val state = t1.read(spark).select("repo", "content").as[(String, String)].collect().toMap
+    assert(state("r1") === "first", "racer's committed row must survive the failed INSERT")
+
+    // disjoint-key race: the retry recomputes and the insert lands
+    val t3 = new LakeTable(s"$base/t", 4)
+    t3.preCommitHook = () => { t2.merge(spark, rows(("r2", "p2", 6L, "other")), 2L); () }
+    t3.insertStrict(spark, Seq(("r9", "p9", "mine", 1L))
+      .toDF("repo", "path", "content", "seq"))
+    val keys = t3.read(spark).select("repo").as[String].collect().toSet
+    assert(keys === Set("r0", "r1", "r2", "r9"))
+  }
+
   test("vacuum with full history keeps every time-travel version readable") {
     val base = tmpDir("mw-vacuum2")
     val t1 = LakeTable(s"$base/t", 4)
