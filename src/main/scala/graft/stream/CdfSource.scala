@@ -75,6 +75,14 @@ object CdfFeed {
     StructField("content", StringType),
     StructField("size_bytes", LongType),
     StructField("seq", LongType)))
+
+  /** Default reader-memory bound: a changed bucket whose endpoint state
+    * exceeds this many rows (known at PLAN time from the manifests' row
+    * counts — no data IO) is split into hash-of-key slices, each its own
+    * InputPartition. Bounds executor memory at any table size; the cost is
+    * k sequential re-reads of that one bucket's files.
+    */
+  val DefaultMaxStateRows: Long = 8000000L
 }
 
 /** Snapshot-version offset (serialized as the bare integer, same wire
@@ -116,20 +124,23 @@ final class CdfTable(root: String) extends Table with SupportsRead {
     new ScanBuilder {
       override def build(): Scan = new CdfScan(root,
         options.getInt("startversion", 0),
-        options.getInt("maxversionsperbatch", 0))
+        options.getInt("maxversionsperbatch", 0),
+        options.getLong("maxstaterowsperpartition", CdfFeed.DefaultMaxStateRows))
     }
 }
 
-final class CdfScan(root: String, startVersion: Int, maxVersionsPerBatch: Int)
+final class CdfScan(root: String, startVersion: Int, maxVersionsPerBatch: Int,
+                    maxStateRows: Long = CdfFeed.DefaultMaxStateRows)
   extends Scan {
   override def readSchema(): StructType = CdfFeed.feedSchema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new CdfMicroBatchStream(root, startVersion, maxVersionsPerBatch)
+    new CdfMicroBatchStream(root, startVersion, maxVersionsPerBatch, maxStateRows)
   override def description(): String = s"graft-cdf[$root]"
 }
 
 final class CdfMicroBatchStream(root: String, startVersion: Int,
-                                maxVersionsPerBatch: Int)
+                                maxVersionsPerBatch: Int,
+                                maxStateRows: Long = CdfFeed.DefaultMaxStateRows)
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   // opened ONCE per stream: snapshot metadata is immutable and cached by
@@ -181,19 +192,33 @@ final class CdfMicroBatchStream(root: String, startVersion: Int,
       }
     def files(s: LakeTable.Snapshot, b: Int): Array[String] =
       table.filesOf(s, b).map(f => s"$root/${f.path}").toArray
+    // reader-memory bound: a bucket whose endpoint state exceeds
+    // maxStateRows (known from the manifests' denormalized row counts — no
+    // data IO at plan time) becomes k hash-of-key slice partitions
+    def sliced(bucket: Int, before: Array[String], after: Array[String],
+               rows: Long): Seq[InputPartition] = {
+      val k = math.max(1L, (rows + maxStateRows - 1) / maxStateRows).toInt
+      (0 until k).map(i => CdfInputPartition(bucket, before, after, i, k))
+    }
     // a rebucket inside the window changes the key→bucket mapping, so
-    // per-bucket pairing is unsound — fall back to ONE whole-state diff
+    // per-bucket pairing is unsound — fall back to a whole-state diff
+    // (still slice-split under the same memory bound)
     if (sFrom.numBuckets > 0 && sTo.numBuckets > 0 &&
         sFrom.numBuckets != sTo.numBuckets) {
       val all = (s: LakeTable.Snapshot) =>
         table.filesOf(s).map(f => s"$root/${f.path}").toArray
-      return Array(CdfInputPartition(-1, all(sFrom), all(sTo)))
+      return sliced(-1, all(sFrom), all(sTo),
+        math.max(sFrom.totalRows, sTo.totalRows)).toArray
     }
     val refsFrom = sFrom.manifests.map(r => r.bucket -> r).toMap
     val refsTo = sTo.manifests.map(r => r.bucket -> r).toMap
     (refsFrom.keySet ++ refsTo.keySet).toArray.sorted
       .filter(b => refsFrom.get(b) != refsTo.get(b))
-      .map(b => CdfInputPartition(b, files(sFrom, b), files(sTo, b)): InputPartition)
+      .flatMap { b =>
+        val rows = math.max(refsFrom.get(b).map(_.rowCount).getOrElse(0L),
+          refsTo.get(b).map(_.rowCount).getOrElse(0L))
+        sliced(b, files(sFrom, b), files(sTo, b), rows)
+      }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new CdfReaderFactory
@@ -205,12 +230,17 @@ final class CdfMicroBatchStream(root: String, startVersion: Int,
   override def toString: String = s"CdfMicroBatchStream[$root]"
 }
 
-/** One changed bucket: that bucket's data files in each endpoint snapshot
-  * (absolute paths — executors need no table handle). bucket = -1 marks
-  * the whole-state fallback partition (rebucket inside the window).
+/** One changed bucket (or hash-of-key slice of one): that bucket's data
+  * files in each endpoint snapshot (absolute paths — executors need no
+  * table handle). bucket = -1 marks the whole-state fallback partition
+  * (rebucket inside the window). `(slice, nSlices)` restrict the reader to
+  * keys with hash % nSlices == slice — how oversized buckets keep reader
+  * memory bounded.
   */
 final case class CdfInputPartition(bucket: Int, beforeFiles: Array[String],
-                                   afterFiles: Array[String]) extends InputPartition
+                                   afterFiles: Array[String],
+                                   slice: Int = 0, nSlices: Int = 1)
+  extends InputPartition
 
 final class CdfReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -242,22 +272,32 @@ final class CdfPartitionReader(p: CdfInputPartition)
       try {
         var g = reader.read()
         while (g != null) {
-          def has(n: String) = g.getType.containsField(n) && g.getFieldRepetitionCount(n) > 0
-          def str(n: String) = if (has(n)) g.getString(n, 0) else null
           val key = (g.getString("repo", 0), g.getString("path", 0))
-          val seq = g.getLong("seq", 0)
-          // LWW: highest seq per key wins within the bucket
-          if (!m.get(key).exists(_.seq >= seq))
-            m.put(key, Rec(str("commit"), str("language"), str("content"),
-              if (has("size_bytes")) java.lang.Long.valueOf(g.getLong("size_bytes", 0))
-              else null,
-              seq, has("deleted") && g.getBoolean("deleted", 0)))
+          if (inSlice(key)) {
+            def has(n: String) = g.getType.containsField(n) && g.getFieldRepetitionCount(n) > 0
+            def str(n: String) = if (has(n)) g.getString(n, 0) else null
+            val seq = g.getLong("seq", 0)
+            // LWW: highest seq per key wins within the bucket
+            if (!m.get(key).exists(_.seq >= seq))
+              m.put(key, Rec(str("commit"), str("language"), str("content"),
+                if (has("size_bytes")) java.lang.Long.valueOf(g.getLong("size_bytes", 0))
+                else null,
+                seq, has("deleted") && g.getBoolean("deleted", 0)))
+          }
           g = reader.read()
         }
       } finally reader.close()
     }
     m
   }
+
+  /** Slice membership for split oversized buckets — any deterministic key
+    * hash works as long as both endpoint reads use the same one.
+    */
+  private def inSlice(key: (String, String)): Boolean =
+    p.nSlices <= 1 || math.floorMod(
+      scala.util.hashing.MurmurHash3.stringHash(key._1 + " " + key._2),
+      p.nSlices) == p.slice
 
   private def live(files: Array[String]) = readSide(files).filterNot(_._2.deleted)
 

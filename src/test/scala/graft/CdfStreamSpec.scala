@@ -219,22 +219,27 @@ class CdfStreamSpec extends SparkSpec {
     val head = primary.headVersion()
     assert(head >= 10)
 
+    // two readers: unsplit, and memory-bounded (maxStateRows=2 forces
+    // every bucket into hash-of-key slices) — both must agree with the
+    // Dataset diff
     val stream = new graft.stream.CdfMicroBatchStream(s"$base/t", 0, 0)
-    val factory = stream.createReaderFactory()
+    val streamSliced = new graft.stream.CdfMicroBatchStream(s"$base/t", 0, 0, maxStateRows = 2L)
     type Row8 = (String, String, String, String, String, String, Option[Long], Long)
-    def viaReader(from: Int, to: Int): Set[Row8] =
-      stream.planInputPartitions(graft.stream.CdfOffset(from), graft.stream.CdfOffset(to))
+    def via(s: graft.stream.CdfMicroBatchStream)(from: Int, to: Int): Set[Row8] = {
+      val factory = s.createReaderFactory()
+      s.planInputPartitions(graft.stream.CdfOffset(from), graft.stream.CdfOffset(to))
         .flatMap { p =>
           val r = factory.createReader(p)
           val buf = scala.collection.mutable.ArrayBuffer[Row8]()
           while (r.next()) {
             val row = r.get()
-            def s(i: Int) = Option(row.getUTF8String(i)).map(_.toString).orNull
-            buf += ((s(0), s(1), s(2), s(3), s(4), s(5),
+            def f(i: Int) = Option(row.getUTF8String(i)).map(_.toString).orNull
+            buf += ((f(0), f(1), f(2), f(3), f(4), f(5),
               if (row.isNullAt(6)) None else Some(row.getLong(6)), row.getLong(7)))
           }
           r.close(); buf
         }.toSet
+    }
     def viaDataset(from: Int, to: Int): Set[Row8] =
       primary.changesBetween(spark, from, to)
         .select("op", "repo", "path", "commit", "language", "content", "size_bytes", "seq")
@@ -243,9 +248,17 @@ class CdfStreamSpec extends SparkSpec {
     (1 to 10).foreach { _ =>
       val from = rnd.nextInt(head)
       val to = from + 1 + rnd.nextInt(head - from)
-      assert(viaReader(from, to) === viaDataset(from, to),
+      val want = viaDataset(from, to)
+      assert(via(stream)(from, to) === want,
         s"window [$from, $to] diverged between the DSv2 reader and changesBetween")
+      assert(via(streamSliced)(from, to) === want,
+        s"window [$from, $to] diverged under hash-of-key slicing")
     }
+    // slicing actually splits: more partitions than changed buckets
+    assert(streamSliced.planInputPartitions(
+        graft.stream.CdfOffset(0), graft.stream.CdfOffset(head)).length >
+      stream.planInputPartitions(
+        graft.stream.CdfOffset(0), graft.stream.CdfOffset(head)).length)
   }
 
   test("graft-cdf source: startVersion skips history; missing path fails loudly") {
