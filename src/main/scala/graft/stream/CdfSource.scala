@@ -41,10 +41,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    so each CHANGED bucket becomes one `InputPartition` whose reader
   *    diffs that bucket's files EXECUTOR-SIDE (LWW-fold each side, emit
   *    I/U/D) — no driver collect, work scales with the bucket count.
-  *    Partition memory is O(one bucket's live state); `numBuckets` sizing
-  *    (and [[LakeTable.rebucket]]) bounds it — the same contract as
-  *    Iceberg's per-file-group CDC reads. Compaction-only version ranges
-  *    re-read their buckets but diff to zero rows, never false changes.
+  *    Reader memory is BOUNDED at any table size: a bucket whose endpoint
+  *    state exceeds `maxStateRowsPerPartition` (manifest row counts — a
+  *    plan-time decision, no data IO) splits into hash-of-key slice
+  *    partitions, each re-reading that bucket's files but retaining only
+  *    its slice. Compaction-only version ranges re-read their buckets but
+  *    diff to zero rows, never false changes.
   *  - '''Bounded catch-up''' (`maxVersionsPerBatch`): a lagging consumer
   *    drains a deep backlog in version-windowed batches of at most that
   *    width instead of one giant endpoint diff — each window still costs
