@@ -197,9 +197,10 @@ class CdfStreamSpec extends SparkSpec {
       "window [0,2] live diff is exactly the surviving insert (r2 deleted within it)")
   }
 
-  test("executor-side bucket diff ≡ changesBetween over random op sequences (property)") {
-    val base = tmpDir("cdf-prop")
-    val primary = LakeTable(s"$base/t", 4)
+  for (mode <- Seq(LakeTable.Cow, LakeTable.Mor))
+  test(s"executor-side bucket diff ≡ changesBetween over random op sequences (property, $mode)") {
+    val base = tmpDir(s"cdf-prop-$mode")
+    val primary = LakeTable(s"$base/t", 4, mode)
     val rnd = new scala.util.Random(42)
     var seq = 0L
     var batch = 0L
