@@ -236,9 +236,10 @@ object Tailer {
     * the derived table's batch fence. Returns after parity.
     */
   def followInto(spark: SparkSession, primaryRoot: String, derived: LakeTable,
-                 checkpointDir: String, lineageDir: Option[String] = None): Unit = {
+                 checkpointDir: String, lineageDir: Option[String] = None,
+                 sourceOptions: Map[String, String] = Map.empty): Unit = {
     val q = followStream(spark, primaryRoot, derived, checkpointDir,
-      Trigger.AvailableNow(), lineageDir)
+      Trigger.AvailableNow(), lineageDir, sourceOptions)
     q.awaitTermination()
   }
 
@@ -257,9 +258,11 @@ object Tailer {
   private def followStream(spark: SparkSession, primaryRoot: String,
                            derived: LakeTable, checkpointDir: String,
                            trigger: Trigger,
-                           lineageDir: Option[String] = None): StreamingQuery =
+                           lineageDir: Option[String] = None,
+                           sourceOptions: Map[String, String] = Map.empty): StreamingQuery =
     spark.readStream.format("graft-cdf")
       .option("path", primaryRoot)
+      .options(sourceOptions)
       .load()
       .writeStream
       .option("checkpointLocation", checkpointDir)

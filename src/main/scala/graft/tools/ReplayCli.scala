@@ -119,14 +119,24 @@ object ReplayCli {
 
     // continuously-consumable change feed: drain the graft-cdf stream into
     // a DERIVED lake table (replication), resumable via its checkpoint
-    case "follow" :: workDir :: derivedDir :: Nil =>
+    case "follow" :: workDir :: derivedDir :: rest if rest.length <= 2 =>
       val spark = Sessions.local(sys.env.getOrElse("GRAFT_CORES", "8").toInt, "graft-follow")
       val derived = LakeTable(s"$derivedDir/table",
         LakeTable.open(s"$workDir/table").numBuckets)
-      Tailer.followInto(spark, s"$workDir/table", derived, s"$derivedDir/ckpt")
+      // optional: [maxVersionsPerBatch] [maxStateRowsPerPartition] — the
+      // bounded-catch-up and reader-memory knobs of the DSv2 source
+      val opts = Map(
+        "maxVersionsPerBatch" -> rest.headOption.getOrElse("0"),
+        "maxStateRowsPerPartition" -> rest.drop(1).headOption
+          .getOrElse(graft.stream.CdfFeed.DefaultMaxStateRows.toString))
+      val t0 = System.nanoTime()
+      Tailer.followInto(spark, s"$workDir/table", derived, s"$derivedDir/ckpt",
+        sourceOptions = opts)
+      val secs = (System.nanoTime() - t0) / 1e9
       val rows = derived.read(spark).count()
       println(f"[follow] derived $derivedDir/table rows=$rows%,d " +
-        f"v${derived.head().version} lastBatchId=${derived.head().lastBatchId}")
+        f"v${derived.head().version} lastBatchId=${derived.head().lastBatchId} " +
+        f"secs=$secs%.1f")
       spark.stop()
 
     case "vacuum" :: workDir :: rest =>
