@@ -923,7 +923,7 @@ object Queries {
 
     // chunking: 1-based inclusive list slice == Spark slice(toks, s+1, 32)
     "t7_chunk_windows" ->
-      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS toks FROM documents)
         |SELECT doc_id,
         |  CAST(start // 24 AS BIGINT) AS chunk_id,
         |  array_to_string(toks[start+1 : start+32], ' ') AS chunk,
@@ -936,7 +936,7 @@ object Queries {
         |  CAST(COALESCE(SUM(n_tokens) OVER w, 0) AS BIGINT) AS tok_offset,
         |  CAST(COALESCE(SUM(n_tokens) OVER w, 0) // 256 AS BIGINT) AS pack_id
         |FROM (SELECT lang, doc_id,
-        |        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |        CAST(len(string_split_regex(trim(coalesce(text, '')), '\s+')) AS BIGINT) AS n_tokens
         |      FROM documents)
         |WINDOW w AS (PARTITION BY lang ORDER BY doc_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin,

@@ -161,6 +161,22 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     def tsOf(v: Int): Long =
       Option(commitTsCache.get(v)).map(_.longValue)
         .getOrElse(readSnapshot(metaDir.resolve(s"v$v.json")).committedAtMs)
+    // Exact scan — correct under ANY stamp history, including snapshots
+    // written before the monotone clamp by writers with regressed clocks.
+    def linear(): Int = {
+      val at = vs.map(v => v -> tsOf(v)).filter { case (_, ts) => ts >= 0 && ts <= tsMillis }
+      if (at.isEmpty)
+        throw new IllegalArgumentException(
+          s"no snapshot committed at or before ${java.time.Instant.ofEpochMilli(tsMillis)} " +
+            s"(oldest retained: v${vs.headOption.getOrElse(-1)})")
+      at.maxBy { case (v, ts) => (ts, v) }._1
+    }
+    // Small retained histories (the expireSnapshots steady state) always
+    // take the exact scan; big histories take the O(log n) binary search,
+    // sound because THIS engine's commit stamps are monotone-clamped.
+    // A search miss (every probed stamp legacy/over) still falls back to
+    // the exact scan rather than trusting monotonicity.
+    if (vs.length <= 64) return linear()
     var lo = 0; var hi = vs.length - 1; var ans = -1
     while (lo <= hi) {
       val mid = (lo + hi) >>> 1
@@ -168,13 +184,10 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
       // ts < 0 (legacy) sorts below every stamped value → eligible-by-order
       if (ts <= tsMillis) { ans = mid; lo = mid + 1 } else hi = mid - 1
     }
-    if (ans < 0 || tsOf(vs(ans)) < 0)
-      throw new IllegalArgumentException(
-        s"no snapshot committed at or before ${java.time.Instant.ofEpochMilli(tsMillis)} " +
-          s"(oldest retained: v${vs.headOption.getOrElse(-1)})")
+    if (ans < 0 || tsOf(vs(ans)) < 0) linear()
     // same-millisecond ties resolve to the NEWEST version by construction:
     // the rightmost eligible index IS the max version with ts <= tsMillis
-    vs(ans)
+    else vs(ans)
   }
 
   /** HEAD version WITHOUT reading the snapshot JSON — the pointer file's
@@ -501,7 +514,9 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
           s"cursor file $cursorFile is corrupt (expected a snapshot version " +
             "integer) — delete it to re-consume from v0, or re-seed it with " +
             "the last version the consumer durably applied"))
-    val to = head().version
+    // fast poll: an unchanged table costs one HEAD-pointer read, no
+    // snapshot-JSON IO (same contract as the streaming source's tick)
+    val to = headVersion()
     if (to <= from) None
     else Some(ChangeWindow(from, to, changesBetween(spark, from, to), () => {
       val tmp = cursorFile.resolveSibling(s".${cursorFile.getFileName}.tmp")

@@ -23,7 +23,12 @@ import org.apache.spark.sql.functions._
   */
 object ChunkOps {
 
-  private def toks(textCol: Column): Column = split(trim(textCol), "\\s+")
+  // NULL text ≡ empty text (one empty-token window / zero-ish weight) —
+  // without the coalesce, Spark's null-skipping greatest/least would
+  // fabricate a phantom maxTokens-long window for a NULL document, and
+  // packByTokens' running SUM would silently skip its NULL token count
+  private def toks(textCol: Column): Column =
+    split(trim(coalesce(textCol, lit(""))), "\\s+")
 
   /** Split each document into windows of `maxTokens` whitespace tokens,
     * consecutive windows sharing `overlap` tokens (stride = maxTokens −

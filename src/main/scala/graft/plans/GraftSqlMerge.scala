@@ -357,6 +357,12 @@ final class GraftSqlReadRule(session: SparkSession) extends Rule[LogicalPlan] {
       if (i.overwrite) throw new UnsupportedOperationException(
         "graft INSERT OVERWRITE is not supported — full replacement is " +
           "MERGE INTO … WHEN NOT MATCHED BY SOURCE THEN DELETE (full sync)")
+      // silently dropping a PARTITION (col=val) spec would insert NULLs
+      // where the user named values — reject with the column-list form
+      if (i.partitionSpec.nonEmpty) throw new UnsupportedOperationException(
+        "graft lake tables are key-bucketed, not partitioned — name " +
+          s"${i.partitionSpec.keys.mkString(", ")} in the INSERT column " +
+          "list instead of a PARTITION clause")
       GraftInsertCommand(relation(i.table).get._1, i.userSpecifiedCols, i.query)
 
     // time travel: SELECT … FROM graft_lake.`x` VERSION AS OF <n>

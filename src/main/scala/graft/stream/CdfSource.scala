@@ -145,6 +145,11 @@ final class CdfMicroBatchStream(root: String, startVersion: Int,
                                 maxStateRows: Long = CdfFeed.DefaultMaxStateRows)
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
+  require(maxStateRows > 0,
+    s"graft-cdf: maxStateRowsPerPartition must be positive, got $maxStateRows")
+  require(maxVersionsPerBatch >= 0,
+    s"graft-cdf: maxVersionsPerBatch must be >= 0 (0 = unbounded), got $maxVersionsPerBatch")
+
   // opened ONCE per stream: snapshot metadata is immutable and cached by
   // the handle; only the HEAD pointer is re-read per poll
   private[graft] val table: LakeTable = LakeTable.open(root)
@@ -204,9 +209,13 @@ final class CdfMicroBatchStream(root: String, startVersion: Int,
     }
     // a rebucket inside the window changes the key→bucket mapping, so
     // per-bucket pairing is unsound — fall back to a whole-state diff
-    // (still slice-split under the same memory bound)
-    if (sFrom.numBuckets > 0 && sTo.numBuckets > 0 &&
-        sFrom.numBuckets != sTo.numBuckets) {
+    // (still slice-split under the same memory bound). Conservative on
+    // legacy snapshots (numBuckets unrecorded, -1): the moduli cannot be
+    // PROVEN equal, and pairing bucket ids across different moduli would
+    // emit a moved key as same-seq D+I rows the downstream LWW breaks
+    // arbitrarily — whole-state diff unless both sides record the same
+    // positive modulus.
+    if (!(sFrom.numBuckets > 0 && sFrom.numBuckets == sTo.numBuckets)) {
       val all = (s: LakeTable.Snapshot) =>
         table.filesOf(s).map(f => s"$root/${f.path}").toArray
       return sliced(-1, all(sFrom), all(sTo),

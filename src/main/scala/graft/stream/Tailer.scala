@@ -190,7 +190,7 @@ object Tailer {
   }
 
   /** Apply one change-feed micro-batch (op/repo/path/payload/seq rows from
-    * [[CdfSource]] / [[graft.lake.LakeTable.changesBetween]]) to a DERIVED
+    * [[CdfMicroBatchStream]] / [[graft.lake.LakeTable.changesBetween]]) to a DERIVED
     * lake table as an idempotent fenced merge — the sink half of
     * table-to-table replication. A feed window carries at most one row per
     * key by construction, so the merge's cardinality precondition holds.
@@ -231,7 +231,7 @@ object Tailer {
   }
 
   /** Follow a primary table's change feed into a derived table until the
-    * feed is drained (Trigger.AvailableNow over [[CdfSource]]); restart
+    * feed is drained (Trigger.AvailableNow over [[CdfMicroBatchStream]]); restart
     * with the same checkpoint to pick up new commits — exactly-once via
     * the derived table's batch fence. Returns after parity.
     */

@@ -384,21 +384,21 @@ class SqlSpec extends SparkSpec {
   test("versionAt: binary search (O(log n) snapshot reads) + monotone commit stamps") {
     val base = tmpDir("sqlvat")
     val t = lake.LakeTable(s"$base/t", 4)
-    (1 to 60).foreach(_ => t.truncate()) // 61 cheap snapshots v0..v60
+    (1 to 100).foreach(_ => t.truncate()) // 101 cheap snapshots v0..v100
     // commit wall-clocks are STRICTLY increasing even for same-millisecond
     // commits (clamped max(now, parent+1)) — what makes the search sound
     val tss = t.versions().map(v => t.snapshotAt(v).committedAtMs)
     assert(tss === tss.sorted && tss.distinct.size === tss.size,
       s"commit timestamps must strictly increase: $tss")
-    val target = t.snapshotAt(30).committedAtMs
+    val target = t.snapshotAt(50).committedAtMs
     val fresh = lake.LakeTable.open(s"$base/t") // cold cache
     val before = fresh.snapshotReads.get()
-    assert(fresh.versionAt(target) === 30)
+    assert(fresh.versionAt(target) === 50)
     val reads = fresh.snapshotReads.get() - before
-    assert(reads <= 8, s"binary search over 61 versions should read ~log2(61)=6 snapshots, read $reads")
+    assert(reads <= 9, s"binary search over 101 versions should read ~log2(101)=7 snapshots, read $reads")
     // headVersion: a follower poll tick reads ONLY the pointer file
     val b2 = fresh.snapshotReads.get()
-    assert(fresh.headVersion() === 60)
+    assert(fresh.headVersion() === 100)
     assert(fresh.snapshotReads.get() === b2, "headVersion must not read any snapshot JSON")
   }
 
