@@ -307,7 +307,7 @@ final class CdfPartitionReader(p: CdfInputPartition)
     */
   private def inSlice(key: (String, String)): Boolean =
     p.nSlices <= 1 || math.floorMod(
-      scala.util.hashing.MurmurHash3.stringHash(key._1 + " " + key._2),
+      scala.util.hashing.MurmurHash3.stringHash(key._1 + "\u0000" + key._2),
       p.nSlices) == p.slice
 
   private def live(files: Array[String]) = readSide(files).filterNot(_._2.deleted)
