@@ -430,6 +430,12 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
       .select(Seq(col("repo"), col("path")) ++ payload.map(c => col(s"_w.$c").as(c)): _*)
   }
 
+  /** Typed live-rows read (input_hint: typed Dataset where type safety
+    * helps) — the latest reader schema as [[graft.model.Model.RepoRecord]].
+    */
+  def readTyped(spark: SparkSession): org.apache.spark.sql.Dataset[graft.model.Model.RepoRecord] =
+    read(spark).as(org.apache.spark.sql.Encoders.product[graft.model.Model.RepoRecord])
+
   /** Physical read including delete tombstones (internal/compaction use). */
   def readWithTombstones(spark: SparkSession): DataFrame =
     readFiles(spark, filesOf(head()))

@@ -64,6 +64,12 @@ class ReplaySpec extends SparkSpec {
     Tailer.replay(spark, tc)
     assertParity(LakeTable(tc.tableRoot, tc.numBuckets))
 
+    // typed read surface ≡ the untyped live rows ≡ the HashMap oracle
+    val typed = LakeTable(tc.tableRoot, tc.numBuckets).readTyped(spark)
+      .collect().map(r => (r.repo, r.path) -> r).toMap
+    assert(typed.size === golden.size)
+    golden.foreach { case (k, g) => assert(typed(k) === g, s"typed row @$k") }
+
     // lineage rows exist, cover the full offset range, and sum to all events
     val lin = spark.read.parquet(tc.lineageDir)
     assert(lin.agg(sum("rowsApplied")).head.getLong(0) === cfg.nEvents)
