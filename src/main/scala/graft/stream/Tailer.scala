@@ -115,6 +115,23 @@ object Tailer {
     Await.result(Future.sequence(Seq(lineageF, metricsF)), Duration.Inf)
   }
 
+  /** Canonical lineage reader: the lineage dir is APPENDED at-least-once
+    * (a crash between merge commit and lineage write re-delivers the
+    * batch, and the fence no-ops the merge but not the append), so readers
+    * must dedupe by (batchId, partitionId) — this does, picking one row
+    * per key (duplicates are identical recomputations of the same raw
+    * input, so max ≡ first ≡ the value). One hash aggregate, O(batches ×
+    * partitions) rows — metadata scale.
+    */
+  def readLineage(spark: SparkSession, lineageDir: String): DataFrame =
+    spark.read.parquet(lineageDir)
+      .groupBy("batchId", "partitionId")
+      .agg(
+        max("firstOffset").as("firstOffset"),
+        max("lastOffset").as("lastOffset"),
+        max("rowsApplied").as("rowsApplied"),
+        max("bytesIn").as("bytesIn"))
+
   /** StreamingQueryListener → metrics table: appends Dropwizard-style rows
     * (inputRows, processedRowsPerSecond, trigger/addBatch durations) per
     * progress event; detaches itself when its query terminates.

@@ -76,6 +76,14 @@ class ReplaySpec extends SparkSpec {
     assert(lin.agg(min("firstOffset")).head.getLong(0) === 0L)
     assert(lin.agg(max("lastOffset")).head.getLong(0) === cfg.nEvents - 1)
     assert(lin.agg(sum("bytesIn")).head.getLong(0) > 0L)
+    // the canonical reader absorbs at-least-once duplicate appends: clone
+    // the rows once (simulating a crash between merge and cursor) and the
+    // deduped view still sums to exactly the event count
+    lin.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(tc.lineageDir)
+    val deduped = Tailer.readLineage(spark, tc.lineageDir)
+    assert(deduped.agg(sum("rowsApplied")).head.getLong(0) === cfg.nEvents,
+      "readLineage must dedupe re-delivered (batchId, partitionId) rows")
+    assert(spark.read.parquet(tc.lineageDir).count() === 2 * deduped.count())
     // metrics emitted
     val met = spark.read.parquet(tc.metricsDir)
     assert(met.filter($"name" === "merge.applied" && $"value" === 1.0).count() > 0)
