@@ -115,6 +115,58 @@ object Tailer {
     Await.result(Future.sequence(Seq(lineageF, metricsF)), Duration.Inf)
   }
 
+  /** Cursor-based incremental sync with EXPIRED-HISTORY RECOVERY: drains
+    * the primary's change feed into the derived table like
+    * [[graft.lake.LakeTable.drainChanges]] + [[applyChanges]], but when the
+    * cursor predates the oldest retained snapshot (expireSnapshots ran past
+    * it — incremental history is gone), it RESYNCS instead of failing: the
+    * primary's full live state is applied as a FULL-SYNC merge (update
+    * matched, insert missing, `WHEN NOT MATCHED BY SOURCE`-delete the rest)
+    * and the cursor is re-seeded at the primary head. The BY SOURCE delete
+    * arm is what makes recovery exact — a key deleted inside the expired
+    * gap has no replayable D event, so a plain bootstrap feed would leave
+    * it live in the replica forever.
+    *
+    * Returns true when a resync (vs an incremental drain / no-op) ran.
+    * Applies to the durable-cursor consumer path; a STREAMING follower
+    * whose checkpoint predates retention restarts with a fresh checkpoint
+    * after this resync (its offset log pins the expired version).
+    */
+  def resyncInto(spark: SparkSession, primaryRoot: String, derived: LakeTable,
+                 cursorFile: java.nio.file.Path): Boolean = {
+    val primary = LakeTable.open(primaryRoot)
+    def seed(v: Int): Unit = {
+      val tmp = cursorFile.resolveSibling(s".${cursorFile.getFileName}.tmp")
+      java.nio.file.Files.writeString(tmp, v.toString)
+      java.nio.file.Files.move(tmp, cursorFile,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    try {
+      primary.drainChanges(spark, cursorFile).foreach { w =>
+        applyChanges(derived, w.feed, batchId = derived.head().lastBatchId + 1)
+        w.commit()
+      }
+      false
+    } catch { case e: IllegalStateException if e.getMessage != null &&
+        e.getMessage.contains("expired") =>
+      val headV = primary.headVersion()
+      val state = primary.read(spark)
+        .select("repo", "path", "commit", "language", "content", "size_bytes", "seq")
+        .alias("s")
+      derived.mergeSql(spark, state, "t", "s",
+        "`t`.`repo` = `s`.`repo` AND `t`.`path` = `s`.`path`",
+        Map("repo" -> "`s`.`repo`", "path" -> "`s`.`path`"),
+        matched = Seq(LakeTable.SqlMergeClause("update", None, Nil,
+          star = true, starAlias = "s")),
+        notMatched = Seq(LakeTable.SqlMergeClause("insert", None, Nil,
+          star = true, starAlias = "s")),
+        notBySource = Seq(LakeTable.SqlMergeClause("delete", None, Nil)))
+      seed(headV)
+      true
+    }
+  }
+
   /** Canonical lineage reader: the lineage dir is APPENDED at-least-once
     * (a crash between merge commit and lineage write re-delivers the
     * batch, and the fence no-ops the merge but not the append), so readers

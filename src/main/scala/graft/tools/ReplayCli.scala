@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
   * ReplayCli sql     <workDir> "SELECT … FROM $TABLE …"
   * ReplayCli changes <workDir> <fromVersion> <toVersion>
   * ReplayCli drain   <workDir>
-  * ReplayCli follow  <workDir> <derivedDir>
+  * ReplayCli follow  <workDir> <derivedDir> [maxVersionsPerBatch] [maxStateRowsPerPartition]
+  * ReplayCli resync  <workDir> <derivedDir>
   * ReplayCli compact <workDir> [gc] [targetFileRows]
   * ReplayCli rebucket <workDir> <newBuckets> [targetFileRows]
   * ReplayCli vacuum  <workDir> [keepLast] [graceMs]
@@ -139,6 +140,20 @@ object ReplayCli {
         f"secs=$secs%.1f")
       spark.stop()
 
+    // cursor-based sync with expired-history recovery: incremental drain
+    // when the feed window is retained, exact full-sync resync (BY SOURCE
+    // delete arm) + cursor re-seed when retention erased it
+    case "resync" :: workDir :: derivedDir :: Nil =>
+      val spark = Sessions.local(sys.env.getOrElse("GRAFT_CORES", "8").toInt, "graft-resync")
+      val derived = LakeTable(s"$derivedDir/table",
+        LakeTable.open(s"$workDir/table").numBuckets)
+      val resynced = Tailer.resyncInto(spark, s"$workDir/table", derived,
+        java.nio.file.Paths.get(derivedDir, "resync.cursor"))
+      val rows = derived.read(spark).count()
+      println(f"[resync] derived $derivedDir/table rows=$rows%,d " +
+        (if (resynced) "FULL-RESYNC (history expired)" else "incremental"))
+      spark.stop()
+
     case "vacuum" :: workDir :: rest =>
       // expire old snapshots (keepLast, default: keep all) then remove
       // orphan data/manifest files no surviving snapshot references and
@@ -226,7 +241,7 @@ object ReplayCli {
 
     case _ =>
       System.err.println(
-        "usage: ReplayCli gen|replay|show|stats|sql|changes|drain|follow|compact|rebucket|vacuum ... (see scaladoc)")
+        "usage: ReplayCli gen|replay|show|stats|sql|changes|drain|follow|resync|compact|rebucket|vacuum ... (see scaladoc)")
       sys.exit(2)
   }
 }

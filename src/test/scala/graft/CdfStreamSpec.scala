@@ -262,6 +262,41 @@ class CdfStreamSpec extends SparkSpec {
         graft.stream.CdfOffset(0), graft.stream.CdfOffset(head)).length)
   }
 
+  test("resyncInto recovers an expired-history follower exactly (incl. gap deletions)") {
+    val base = tmpDir("cdf-resync")
+    val primary = LakeTable(s"$base/p", 4)
+    val derived = LakeTable(s"$base/d", 4)
+    val cursor = java.nio.file.Paths.get(base, "cursor")
+    def mk(r: String, s: Long, op: String = "U") =
+      (r, "p", op, s, s"c$s", "scala", if (op == "D") null else s"v$s", Option(s))
+
+    primary.merge(spark, Seq(mk("r1", 1), mk("r2", 2), mk("r3", 3)).toDF(cols: _*), 0L)
+    // first sync: plain incremental drain (history intact)
+    assert(!Tailer.resyncInto(spark, s"$base/p", derived, cursor))
+    assert(state(derived) === state(primary), "incremental sync parity")
+
+    // the gap the follower will MISS: an update, a DELETE, an insert —
+    // then retention erases the incremental history behind the cursor
+    primary.merge(spark, Seq(mk("r1", 10), mk("r2", 11, "D"), mk("r4", 12)).toDF(cols: _*), 1L)
+    primary.compact(spark, gcTombstones = true)
+    primary.expireSnapshots(keepLast = 1)
+    primary.vacuum(olderThanMs = 0)
+
+    // the plain drain path fails with bootstrap guidance…
+    val e = intercept[IllegalStateException](
+      primary.drainChanges(spark, cursor).foreach(_.feed.count()))
+    assert(e.getMessage.contains("expired"), e.getMessage)
+    // …and resyncInto recovers EXACTLY: r2's gap deletion must not linger
+    assert(Tailer.resyncInto(spark, s"$base/p", derived, cursor))
+    assert(state(derived) === state(primary), "post-resync parity")
+    assert(!state(derived).exists(_._1 == "r2"), "gap-deleted key must be gone")
+
+    // and the re-seeded cursor resumes incremental syncs
+    primary.merge(spark, Seq(mk("r5", 20)).toDF(cols: _*), 2L)
+    assert(!Tailer.resyncInto(spark, s"$base/p", derived, cursor))
+    assert(state(derived) === state(primary), "post-resync incremental parity")
+  }
+
   test("graft-cdf source: startVersion skips history; missing path fails loudly") {
     val base = tmpDir("cdf-opts")
     val primary = LakeTable(s"$base/t", 4)
