@@ -353,6 +353,25 @@ class SqlSpec extends SparkSpec {
     assert(msgs(e2).contains("full sync"), msgs(e2))
   }
 
+  test("INSERT INTO composes with the graft_changes TVF (CDF → fresh table in one statement)") {
+    val base = tmpDir("sqlinstvf")
+    val src = lake.LakeTable(s"$base/src", 4)
+    src.merge(spark, Seq(
+      ("r1", "p1", "I", 1L, Option("c1"), Option("scala"), Option("a"), Option(1L)),
+      ("r2", "p2", "I", 2L, Option("c2"), Option("go"), Option("b"), Option(2L)))
+      .toDF("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes"), 0L)
+    lake.LakeTable(s"$base/dst", 4) // create empty target
+    // materialize a CDF window's after-images into a fresh table via SQL only
+    spark.sql(
+      s"""INSERT INTO graft_lake.`$base/dst` (repo, path, commit, language, content, size_bytes, seq)
+         |SELECT repo, path, commit, language, content, size_bytes, seq
+         |FROM graft_changes('$base/src', 0, ${src.headVersion()})
+         |WHERE op <> 'D'""".stripMargin)
+    val got = spark.sql(s"SELECT repo, content FROM graft_lake.`$base/dst`")
+      .as[(String, String)].collect().toSet
+    assert(got === Set(("r1", "a"), ("r2", "b")))
+  }
+
   test("BY SOURCE condition with a string literal containing 's.' is accepted") {
     val base = tmpDir("sqlnmbs-lit")
     val table = lake.LakeTable(s"$base/t", 4)
