@@ -313,14 +313,21 @@ object Queries {
 
     // Real BPE subword tokenizer: merges trained on THIS corpus (one Spark
     // word-frequency pass + deterministic local merge learning), encoding
-    // via the codegen'd BpeTokenize expression. Rows-only (BPE is not
-    // SQL-expressible); BpeSpec holds the losslessness/determinism oracle.
+    // via the codegen'd BpeTokenize expression. Encoding itself is not
+    // SQL-expressible, so the DRIVER-CHECKED invariant is losslessness
+    // cross-engine: sha_roundtrip = sha256(decode(encode(text))) computed
+    // by Spark must equal sha_orig = sha256(normalize(text)) — and the
+    // DuckDB oracle recomputes BOTH from the raw parquet, so a single
+    // corrupted merge/token would hash-mismatch. (BpeSpec holds the
+    // in-JVM determinism/compression oracles.)
     "t5_bpe_tokens" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val merges = graft.ops.BpeOps.train(docs, "text", numMerges = 200,
         maxVocabWords = 10000)
       docs.select(col("doc_id"),
-        graft.ops.BpeOps.tokenCount(col("text"), merges).cast("long").as("n_bpe_tokens"))
+        sha2(regexp_replace(lower(trim(col("text"))), "\\s+", " "), 256).as("sha_orig"),
+        sha2(graft.ops.BpeOps.decode(
+          graft.ops.BpeOps.tokenize(col("text"), merges)), 256).as("sha_roundtrip"))
     }),
 
     // Word-trigram repetition ratio (boilerplate/spam signal)
@@ -825,6 +832,16 @@ object Queries {
     "t4_fingerprint" ->
       """SELECT doc_id,
         |sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents""".stripMargin,
+
+    // BPE losslessness cross-engine: the oracle recomputes BOTH hashes from
+    // the raw text, so Spark's sha_roundtrip (= sha256 of decode(encode(x)))
+    // must land exactly on sha256(normalize(x)) for every document — any
+    // token lost/garbled by the encoder or merge table breaks the hash.
+    "t5_bpe_tokens" ->
+      """SELECT doc_id,
+        |sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS sha_orig,
+        |sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS sha_roundtrip
         |FROM documents""".stripMargin,
 
     "d1_exact_dedup" ->

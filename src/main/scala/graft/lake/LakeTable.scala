@@ -172,11 +172,17 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
       at.maxBy { case (v, ts) => (ts, v) }._1
     }
     // Small retained histories (the expireSnapshots steady state) always
-    // take the exact scan; big histories take the O(log n) binary search,
-    // sound because THIS engine's commit stamps are monotone-clamped.
-    // A search miss (every probed stamp legacy/over) still falls back to
-    // the exact scan rather than trusting monotonicity.
+    // take the exact scan; big histories take the O(log n) binary search —
+    // but ONLY when monotonicity is PROVEN, not assumed: the clamp and its
+    // "tsClamped" summary marker were introduced together, so if the oldest
+    // retained snapshot carries the marker, every retained stamp was
+    // written under max(now, parent+1) and the sequence is non-decreasing.
+    // Tables with any pre-clamp snapshot in the retained range (written by
+    // earlier rounds of this engine, where writer clock skew could regress
+    // stamps) take the exact scan regardless of history size. A search
+    // miss (every probed stamp legacy/over) also falls back to the scan.
     if (vs.length <= 64) return linear()
+    if (!snapshotAt(vs.head).summary.contains("tsClamped")) return linear()
     var lo = 0; var hi = vs.length - 1; var ans = -1
     while (lo <= hi) {
       val mid = (lo + hi) >>> 1
@@ -369,6 +375,10 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
         }
       val ts = math.max(System.currentTimeMillis, parentTs + 1)
       sum.put("committedAtMs", ts.toString)
+      // marker: this stamp was written under the monotone clamp. versionAt
+      // binary-searches only when the OLDEST retained snapshot carries it
+      // (⇒ the whole retained suffix is clamped ⇒ stamps are non-decreasing)
+      sum.put("tsClamped", "1")
       stampedTs = ts
     }
     val snapPath = metaDir.resolve(s"v${s.version}.json")
@@ -422,11 +432,21 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
 
   /** Read-time LWW resolution for MOR manifests (duplicate keys across
     * files; highest seq wins — same hash-agg shape as the ingest dedupe).
+    * Equal-seq ties (a reused seq written twice — possible only ACROSS
+    * files, [[requireUniqueKeys]] forbids it within one) break by DATA
+    * FILE PATH, byte-wise greatest wins: deterministic under any read
+    * order, and the SAME rule [[graft.stream.CdfPartitionReader]] applies
+    * (later file in sorted order wins), so the Dataset read and the DSv2
+    * feed can never silently diverge on a duplicate (key, seq).
     */
   private def resolve(df: DataFrame): DataFrame = {
     val payload = Seq("commit", "language", "content", "size_bytes", "seq", "deleted")
-    df.groupBy(col("repo"), col("path"))
-      .agg(graft.cdc.LwwAgg.lww(struct(payload.map(col): _*), col("seq")).as("_w"))
+    // input_file_name is Nondeterministic → must be materialized by a
+    // projection before it can feed an aggregate argument
+    df.withColumn("_file", input_file_name())
+      .groupBy(col("repo"), col("path"))
+      .agg(graft.cdc.LwwAgg.lww(struct(payload.map(col): _*), col("seq"),
+        col("_file")).as("_w"))
       .select(Seq(col("repo"), col("path")) ++ payload.map(c => col(s"_w.$c").as(c)): _*)
   }
 

@@ -111,6 +111,17 @@ object BpeOps {
   /** Subword count under the learned vocabulary. */
   def tokenCount(text: Column, merges: Seq[(String, String)]): Column =
     size(tokenize(text, merges))
+
+  /** Decode a token array back to text: concatenate subwords, turn each
+    * `</w>` marker back into a space, trim. `decode(tokenize(x)) ≡
+    * normalize(x)` where normalize = lowercase + whitespace-collapse —
+    * the losslessness invariant (BpeSpec in-JVM; `t5_bpe_tokens` proves it
+    * cross-engine: DuckDB recomputes `sha256(normalize(text))` from the
+    * parquet and equates it with Spark's `sha256(decode(encode(text)))`).
+    */
+  def decode(tokens: Column): Column =
+    trim(regexp_replace(concat_ws("", tokens),
+      java.util.regex.Pattern.quote(EndOfWord), " "))
 }
 
 /** Catalyst expression: BPE-encode a text column (lowercase, whitespace

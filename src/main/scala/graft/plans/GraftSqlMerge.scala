@@ -210,12 +210,15 @@ final case class GraftMergeCommand(
 }
 
 /** `INSERT INTO graft_lake.`…`` executor: aligns the query output to the
-  * table schema — an explicit column list maps positionally to those
-  * columns; otherwise the query's column NAMES must match (a bare
-  * `VALUES (…)` with auto-named colN columns maps positionally when its
-  * arity equals the full table width) — then delegates to
-  * [[LakeTable.insertStrict]] (append-only on the key; collisions fail
-  * with the equivalent-MERGE guidance).
+  * table schema with STANDARD positional semantics (what Spark/Delta/
+  * Iceberg INSERT-by-query does) — an explicit column list maps the query
+  * positionally to those columns; a bare INSERT maps positionally to the
+  * full table schema and requires exactly that arity (names in the query
+  * are NOT consulted, so a reordered SELECT behaves here exactly as it
+  * would on the tables this surface emulates; by-name subset inserts
+  * spell out a column list). Then delegates to [[LakeTable.insertStrict]]
+  * (append-only on the key; collisions fail with the equivalent-MERGE
+  * guidance).
   */
 final case class GraftInsertCommand(root: String, userCols: Seq[String],
                                     query: LogicalPlan) extends LeafRunnableCommand {
@@ -236,9 +239,17 @@ final case class GraftInsertCommand(root: String, userCols: Seq[String],
         s"INSERT column list has ${userCols.length} columns but the query " +
           s"produces ${src.columns.length}")
       src = src.toDF(userCols: _*)
-    } else if (src.columns.length == dataCols.length &&
-               !src.columns.exists(c => dataCols.contains(c.toLowerCase))) {
-      // bare VALUES (col1, col2, …): positional against the full schema
+    } else {
+      // bare INSERT: positional against the full schema, standard
+      // engine semantics — never by-name, whatever the query's column
+      // names happen to be
+      require(src.columns.length == dataCols.length,
+        s"INSERT INTO without a column list maps the query POSITIONALLY to " +
+          s"the full table schema and needs exactly ${dataCols.length} " +
+          s"columns (table columns: ${dataCols.mkString(", ")}); the query " +
+          s"produces ${src.columns.length}. To insert a column subset by " +
+          s"name, spell out the column list: INSERT INTO … " +
+          s"(${dataCols.take(2).mkString(", ")}, …) SELECT …")
       src = src.toDF(dataCols: _*)
     }
     val stats = table.insertStrict(cs, src)
@@ -424,6 +435,54 @@ final class GraftSqlReadRule(session: SparkSession) extends Rule[LogicalPlan] {
   }
 }
 
+/** Shared plumbing for ALL graft table-valued functions — the ONE place
+  * TVF builders resolve their session and coerce literal arguments.
+  *
+  * Session resolution: `injectTableFunction` builders receive only the
+  * argument expressions (unlike `injectResolutionRule`, which threads the
+  * session), so TVFs resolve on [[org.apache.spark.sql.SparkSession.active]]
+  * — correct by definition: a TVF executes on the session running the
+  * statement, and analysis happens on that session's thread. Every graft
+  * TVF goes through [[session]]; none call `SparkSession.active` inline.
+  */
+private[plans] object GraftTvf {
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def session: org.apache.spark.sql.classic.SparkSession =
+    org.apache.spark.sql.classic.SparkSession.active
+
+  def strLit(e: Expression): Option[String] = e match {
+    case Literal(v: UTF8String, StringType) => Some(v.toString)
+    case _ => None
+  }
+
+  def intLit(e: Expression): Option[Int] = e match {
+    case Literal(v: Int, IntegerType) => Some(v)
+    case Literal(v: Long, LongType) => Some(v.toInt)
+    case _ => None
+  }
+
+  def longLit(e: Expression): Option[Long] = e match {
+    case Literal(v: Int, IntegerType) => Some(v.toLong)
+    case Literal(v: Long, LongType) => Some(v)
+    case _ => None
+  }
+
+  /** TVF source dispatch: a graft lake table root (detected by meta/HEAD —
+    * live rows, LWW-resolved) or any parquet path. Lets the text-shaping
+    * TVFs run over raw corpus files AND lake tables with one argument
+    * shape.
+    */
+  def sourceOf(s: org.apache.spark.sql.classic.SparkSession, path: String): org.apache.spark.sql.DataFrame =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(path, "meta", "HEAD")))
+      LakeTable.open(path).read(s)
+    else s.read.parquet(path)
+
+  def analyzed(df: org.apache.spark.sql.DataFrame): LogicalPlan =
+    org.apache.spark.sql.graftbridge.ColumnBridge.analyzed(df)
+}
+
 /** `graft_changes('<root>', from, to)` — the change-data-feed as a SQL
   * table-valued function (completes the CDF surface: Dataset
   * `changesBetween`, CLI `changes`, streaming `graft-cdf`, and SQL).
@@ -434,8 +493,6 @@ final class GraftSqlReadRule(session: SparkSession) extends Rule[LogicalPlan] {
   */
 object GraftChangesTvf {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
-  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
-  import org.apache.spark.unsafe.types.UTF8String
 
   val ident: FunctionIdentifier = FunctionIdentifier("graft_changes")
 
@@ -445,31 +502,85 @@ object GraftChangesTvf {
       "(op I/U/D + key + payload) of the graft lake table at `root` between " +
       "two snapshot versions", "", "", "", "", "", "", "built-in")
 
-  def build(args: Seq[Expression]): LogicalPlan = {
-    def intLit(e: Expression): Option[Int] = e match {
-      case Literal(v: Int, IntegerType) => Some(v)
-      case Literal(v: Long, LongType) => Some(v.toInt)
-      case _ => None
-    }
-    args match {
-      case Seq(Literal(root: UTF8String, StringType), f, t) =>
-        (intLit(f), intLit(t)) match {
-          case (Some(from), Some(to)) =>
-            // SparkSession.active by necessity: injectTableFunction builders
-            // receive only the argument expressions (unlike the read rule,
-            // which threads its session) — fine: TVFs resolve on the
-            // session running the statement by definition
-            val session = org.apache.spark.sql.classic.SparkSession.active
-            org.apache.spark.sql.graftbridge.ColumnBridge.analyzed(
-              LakeTable.open(root.toString).changesBetween(session, from, to))
-          case _ => fail("fromVersion/toVersion must be integer literals")
-        }
-      case _ => fail("usage: graft_changes('<table root>', <fromVersion>, <toVersion>)")
-    }
+  def build(args: Seq[Expression]): LogicalPlan = args match {
+    case Seq(root, f, t) if GraftTvf.strLit(root).isDefined =>
+      (GraftTvf.intLit(f), GraftTvf.intLit(t)) match {
+        case (Some(from), Some(to)) =>
+          GraftTvf.analyzed(LakeTable.open(GraftTvf.strLit(root).get)
+            .changesBetween(GraftTvf.session, from, to))
+        case _ => fail("fromVersion/toVersion must be integer literals")
+      }
+    case _ => fail("usage: graft_changes('<table root>', <fromVersion>, <toVersion>)")
   }
 
   private def fail(msg: String): Nothing =
     throw new UnsupportedOperationException(s"graft_changes: $msg")
+}
+
+/** Text-shaping TVFs — [[graft.ops.ChunkOps]] from plain SQL, over a
+  * parquet path or a graft lake table root ([[GraftTvf.sourceOf]]):
+  *
+  *  - `graft_chunks(src, idCol, textCol, maxTokens[, overlap])` —
+  *    token-window chunking; output (id, chunk_id, chunk, n_tokens).
+  *  - `graft_pack(src, idCol, textCol, groupCol, targetTokens)` —
+  *    sequence packing by cumulative token offset; output (group, id,
+  *    n_tokens, tok_offset, pack_id).
+  *
+  * Arguments must be literals (the source path pins a physical dataset at
+  * plan time, like `graft_changes`); option validation is EXACTLY the
+  * Scala API's — the builders delegate straight to ChunkOps, so the same
+  * `require` guards fire with the same messages. Both compose with
+  * `INSERT INTO graft_lake.` and CTAS like any relation.
+  */
+object GraftChunkTvf {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+  val chunksIdent: FunctionIdentifier = FunctionIdentifier("graft_chunks")
+  val chunksInfo = new ExpressionInfo(GraftChunkTvf.getClass.getCanonicalName,
+    null, "graft_chunks", "graft_chunks(src, idCol, textCol, maxTokens[, overlap])" +
+      " - split each document into windows of maxTokens whitespace tokens " +
+      "(consecutive windows sharing `overlap`); src is a parquet path or " +
+      "graft lake table root", "", "", "", "", "", "", "built-in")
+  val packIdent: FunctionIdentifier = FunctionIdentifier("graft_pack")
+  val packInfo = new ExpressionInfo(GraftChunkTvf.getClass.getCanonicalName,
+    null, "graft_pack", "graft_pack(src, idCol, textCol, groupCol, targetTokens)" +
+      " - assign documents to ~targetTokens training packs by cumulative " +
+      "token offset within groupCol; src is a parquet path or graft lake " +
+      "table root", "", "", "", "", "", "", "built-in")
+
+  def buildChunks(args: Seq[Expression]): LogicalPlan = args match {
+    case Seq(src, id, text, maxT) => buildChunks(Seq(src, id, text, maxT, Literal(0)))
+    case Seq(src, id, text, maxT, over) =>
+      (GraftTvf.strLit(src), GraftTvf.strLit(id), GraftTvf.strLit(text),
+        GraftTvf.intLit(maxT), GraftTvf.intLit(over)) match {
+        case (Some(p), Some(idCol), Some(textCol), Some(m), Some(o)) =>
+          val s = GraftTvf.session
+          GraftTvf.analyzed(graft.ops.ChunkOps.chunkByTokens(
+            GraftTvf.sourceOf(s, p), idCol, textCol, m, o))
+        case _ => fail("graft_chunks", "src/idCol/textCol must be string " +
+          "literals and maxTokens/overlap integer literals")
+      }
+    case _ => fail("graft_chunks",
+      "usage: graft_chunks('<src>', '<idCol>', '<textCol>', <maxTokens>[, <overlap>])")
+  }
+
+  def buildPack(args: Seq[Expression]): LogicalPlan = args match {
+    case Seq(src, id, text, group, target) =>
+      (GraftTvf.strLit(src), GraftTvf.strLit(id), GraftTvf.strLit(text),
+        GraftTvf.strLit(group), GraftTvf.longLit(target)) match {
+        case (Some(p), Some(idCol), Some(textCol), Some(groupCol), Some(tgt)) =>
+          val s = GraftTvf.session
+          GraftTvf.analyzed(graft.ops.ChunkOps.packByTokens(
+            GraftTvf.sourceOf(s, p), idCol, textCol, groupCol, tgt))
+        case _ => fail("graft_pack", "src/idCol/textCol/groupCol must be " +
+          "string literals and targetTokens an integer literal")
+      }
+    case _ => fail("graft_pack",
+      "usage: graft_pack('<src>', '<idCol>', '<textCol>', '<groupCol>', <targetTokens>)")
+  }
+
+  private def fail(fn: String, msg: String): Nothing =
+    throw new UnsupportedOperationException(s"$fn: $msg")
 }
 
 /** Metadata table functions (Iceberg's `history` / `files` metadata-table
@@ -488,8 +599,6 @@ object GraftChangesTvf {
   */
 object GraftMetaTvf {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
-  import org.apache.spark.sql.types.StringType
-  import org.apache.spark.unsafe.types.UTF8String
 
   val historyIdent: FunctionIdentifier = FunctionIdentifier("graft_history")
   val historyInfo = new ExpressionInfo(GraftMetaTvf.getClass.getCanonicalName,
@@ -502,15 +611,16 @@ object GraftMetaTvf {
       "(bucket, path, rows, bytes, sorted, key bounds)",
     "", "", "", "", "", "", "built-in")
 
-  private def rootArg(args: Seq[Expression], fn: String): String = args match {
-    case Seq(Literal(root: UTF8String, StringType)) => root.toString
-    case _ => throw new UnsupportedOperationException(
-      s"$fn: usage $fn('<table root>')")
-  }
+  private def rootArg(args: Seq[Expression], fn: String): String =
+    args.flatMap(GraftTvf.strLit) match {
+      case Seq(root) if args.length == 1 => root
+      case _ => throw new UnsupportedOperationException(
+        s"$fn: usage $fn('<table root>')")
+    }
 
   def buildHistory(args: Seq[Expression]): LogicalPlan = {
     val table = LakeTable.open(rootArg(args, "graft_history"))
-    val session = org.apache.spark.sql.classic.SparkSession.active
+    val session = GraftTvf.session
     import session.implicits._
     val rows = table.versions().map { v =>
       val s = table.snapshotAt(v)
@@ -532,7 +642,7 @@ object GraftMetaTvf {
 
   def buildFiles(args: Seq[Expression]): LogicalPlan = {
     val table = LakeTable.open(rootArg(args, "graft_files"))
-    val session = org.apache.spark.sql.classic.SparkSession.active
+    val session = GraftTvf.session
     import session.implicits._
     val h = table.head()
     val rows = table.filesOf(h).map { f =>
@@ -558,5 +668,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftMetaTvf.buildHistory _))
     ext.injectTableFunction((GraftMetaTvf.filesIdent, GraftMetaTvf.filesInfo,
       GraftMetaTvf.buildFiles _))
+    ext.injectTableFunction((GraftChunkTvf.chunksIdent, GraftChunkTvf.chunksInfo,
+      GraftChunkTvf.buildChunks _))
+    ext.injectTableFunction((GraftChunkTvf.packIdent, GraftChunkTvf.packInfo,
+      GraftChunkTvf.buildPack _))
   }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -42,20 +42,25 @@ import org.apache.spark.unsafe.types.UTF8String
   *    diffs that bucket's files EXECUTOR-SIDE (LWW-fold each side, emit
   *    I/U/D) — no driver collect, work scales with the bucket count.
   *    Reader memory is BOUNDED at any table size: a bucket whose endpoint
-  *    state exceeds `maxStateRowsPerPartition` (manifest row counts — a
-  *    plan-time decision, no data IO) splits into hash-of-key slice
-  *    partitions, each re-reading that bucket's files but retaining only
-  *    its slice. Compaction-only version ranges re-read their buckets but
-  *    diff to zero rows, never false changes.
-  *  - '''Bounded catch-up''' (`maxVersionsPerBatch`): a lagging consumer
-  *    drains a deep backlog in version-windowed batches of at most that
-  *    width instead of one giant endpoint diff — each window still costs
-  *    only its changed buckets. Unset = catch up in ONE endpoint-diff
-  *    batch (falling 1000 versions behind costs the same as falling 1
-  *    behind for the same changed-bucket set).
+  *    state exceeds `maxStateRowsPerPartition` rows OR
+  *    `maxStateBytesPerPartition` manifest-recorded bytes (both plan-time
+  *    decisions from the manifests — no data IO) splits into hash-of-key
+  *    slice partitions, each re-reading that bucket's files but retaining
+  *    only its slice; and the reader STREAMS the after side (only the
+  *    before-state map and a per-key winner locator are resident — content
+  *    payloads of the after side never buffer). Compaction-only version
+  *    ranges re-read their buckets but diff to zero rows, never false
+  *    changes.
+  *  - '''Bounded catch-up''' (`maxVersionsPerBatch`, plus the standard
+  *    trigger knobs — `ReadLimit.maxRows`/`maxFiles` from e.g.
+  *    `Trigger.AvailableNow` + `maxFilesPerTrigger`-style source options
+  *    map onto the same version-window cap): a lagging consumer drains a
+  *    deep backlog in version-windowed batches instead of one giant
+  *    endpoint diff — each window still costs only its changed buckets.
+  *    Unset = catch up in ONE endpoint-diff batch.
   *  - '''Trigger.AvailableNow''' natively ([[SupportsTriggerAvailableNow]]):
   *    the head captured at prepare time is the drain target, composing
-  *    with `maxVersionsPerBatch` into bounded drain-and-stop.
+  *    with the caps into bounded drain-and-stop.
   *
   * The default `startVersion = 0` makes the FIRST batch the table's full
   * live state as I-rows (bootstrap + tail in one stream). Exactly-once
@@ -78,13 +83,23 @@ object CdfFeed {
     StructField("size_bytes", LongType),
     StructField("seq", LongType)))
 
-  /** Default reader-memory bound: a changed bucket whose endpoint state
-    * exceeds this many rows (known at PLAN time from the manifests' row
-    * counts — no data IO) is split into hash-of-key slices, each its own
-    * InputPartition. Bounds executor memory at any table size; the cost is
-    * k sequential re-reads of that one bucket's files.
+  /** Default reader-memory bounds: a changed bucket whose endpoint state
+    * exceeds EITHER this many rows OR [[DefaultMaxStateBytes]]
+    * manifest-recorded bytes (both known at PLAN time from the manifests'
+    * denormalized counts — no data IO) is split into hash-of-key slices,
+    * each its own InputPartition. Bounds executor memory at any table
+    * size AND any row width — 8M tiny rows and 4k document-sized rows hit
+    * whichever bound binds first; the cost is k sequential re-reads of
+    * that one bucket's files.
     */
   val DefaultMaxStateRows: Long = 8000000L
+
+  /** Byte bound companion to [[DefaultMaxStateRows]]: 512 MiB of
+    * manifest-recorded (compressed parquet) bytes per slice — roughly
+    * 1-2 GiB resident uncompressed for the before-map, inside a typical
+    * executor's working memory with headroom for the streamed after pass.
+    */
+  val DefaultMaxStateBytes: Long = 512L * 1024 * 1024
 }
 
 /** Snapshot-version offset (serialized as the bare integer, same wire
@@ -127,26 +142,32 @@ final class CdfTable(root: String) extends Table with SupportsRead {
       override def build(): Scan = new CdfScan(root,
         options.getInt("startversion", 0),
         options.getInt("maxversionsperbatch", 0),
-        options.getLong("maxstaterowsperpartition", CdfFeed.DefaultMaxStateRows))
+        options.getLong("maxstaterowsperpartition", CdfFeed.DefaultMaxStateRows),
+        options.getLong("maxstatebytesperpartition", CdfFeed.DefaultMaxStateBytes))
     }
 }
 
 final class CdfScan(root: String, startVersion: Int, maxVersionsPerBatch: Int,
-                    maxStateRows: Long = CdfFeed.DefaultMaxStateRows)
+                    maxStateRows: Long = CdfFeed.DefaultMaxStateRows,
+                    maxStateBytes: Long = CdfFeed.DefaultMaxStateBytes)
   extends Scan {
   override def readSchema(): StructType = CdfFeed.feedSchema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new CdfMicroBatchStream(root, startVersion, maxVersionsPerBatch, maxStateRows)
+    new CdfMicroBatchStream(root, startVersion, maxVersionsPerBatch,
+      maxStateRows, maxStateBytes)
   override def description(): String = s"graft-cdf[$root]"
 }
 
 final class CdfMicroBatchStream(root: String, startVersion: Int,
                                 maxVersionsPerBatch: Int,
-                                maxStateRows: Long = CdfFeed.DefaultMaxStateRows)
+                                maxStateRows: Long = CdfFeed.DefaultMaxStateRows,
+                                maxStateBytes: Long = CdfFeed.DefaultMaxStateBytes)
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   require(maxStateRows > 0,
     s"graft-cdf: maxStateRowsPerPartition must be positive, got $maxStateRows")
+  require(maxStateBytes > 0,
+    s"graft-cdf: maxStateBytesPerPartition must be positive, got $maxStateBytes")
   require(maxVersionsPerBatch >= 0,
     s"graft-cdf: maxVersionsPerBatch must be >= 0 (0 = unbounded), got $maxVersionsPerBatch")
 
@@ -176,11 +197,52 @@ final class CdfMicroBatchStream(root: String, startVersion: Int,
     val base = math.max(ver(start), startVersion)
     // ONE small-file read per tick (the HEAD pointer line names the version)
     val target = availableNowTarget.getOrElse(table.headVersion())
-    val capped =
+    val capped0 =
       if (maxVersionsPerBatch > 0) math.min(target, base + maxVersionsPerBatch)
       else target
+    val capped = applyReadLimit(limit, base, capped0)
     CdfOffset(math.max(base, capped))
   }
+
+  /** Honor Spark's standard admission-control hints on top of the source's
+    * own `maxVersionsPerBatch`, so stock trigger knobs compose without the
+    * custom option. The source's batch unit is a VERSION WINDOW:
+    *
+    *  - `ReadLimit.maxFiles(n)` caps the window at n versions (one version
+    *    = one commit's files — the closest file-shaped unit this feed has).
+    *  - `ReadLimit.maxRows(n)` walks the candidate window accumulating
+    *    each version's recorded change-row count (summary `srcRows`;
+    *    compaction/metadata commits record none and count 0 — they emit no
+    *    feed rows) and admits versions until the budget is spent, always
+    *    at least one so the stream advances. Costs O(admitted window)
+    *    cached snapshot-JSON reads, only when a rows limit is in force.
+    *  - `CompositeReadLimit` applies every member cap (min wins);
+    *    `ReadAllAvailable`/minRows leave the window unchanged.
+    */
+  private def applyReadLimit(limit: ReadLimit, base: Int, target: Int): Int = limit match {
+    case c: CompositeReadLimit =>
+      c.getReadLimits.foldLeft(target)((t, l) => applyReadLimit(l, base, t))
+    case f: ReadMaxFiles => math.min(target, base + math.max(1, f.maxFiles))
+    case r: ReadMaxRows =>
+      var v = base
+      var budget = r.maxRows
+      while (v < target && (budget > 0 || v == base)) {
+        val rows = changeRowsOf(v + 1)
+        if (rows <= budget || v == base) { v += 1; budget -= rows }
+        else budget = 0
+      }
+      v
+    case _: ReadAllAvailable => target
+    case _ => target
+  }
+
+  /** Change rows a version contributed, from its snapshot summary (cached
+    * after first read — snapshots are immutable). Merge-shaped commits
+    * record `srcRows`; compaction/rebucket/truncate record none → 0.
+    */
+  private def changeRowsOf(v: Int): Long =
+    try table.snapshotAt(v).summary.get("srcRows").map(_.toLong).getOrElse(0L)
+    catch { case _: java.nio.file.NoSuchFileException => 0L }
 
   override def reportLatestOffset(): Offset = CdfOffset(table.headVersion())
 
@@ -200,16 +262,19 @@ final class CdfMicroBatchStream(root: String, startVersion: Int,
     def files(s: LakeTable.Snapshot, b: Int): Array[String] =
       table.filesOf(s, b).map(f => s"$root/${f.path}").toArray
     // reader-memory bound: a bucket whose endpoint state exceeds
-    // maxStateRows (known from the manifests' denormalized row counts — no
-    // data IO at plan time) becomes k hash-of-key slice partitions
+    // maxStateRows rows OR maxStateBytes manifest-recorded bytes (both
+    // known from the manifests' denormalized counts — no data IO at plan
+    // time) becomes k hash-of-key slice partitions
     def sliced(bucket: Int, before: Array[String], after: Array[String],
-               rows: Long): Seq[InputPartition] = {
-      val k = math.max(1L, (rows + maxStateRows - 1) / maxStateRows).toInt
+               rows: Long, bytes: Long): Seq[InputPartition] = {
+      val kRows = (rows + maxStateRows - 1) / maxStateRows
+      val kBytes = (bytes + maxStateBytes - 1) / maxStateBytes
+      val k = math.max(1L, math.max(kRows, kBytes)).toInt
       (0 until k).map(i => CdfInputPartition(bucket, before, after, i, k))
     }
     // a rebucket inside the window changes the key→bucket mapping, so
     // per-bucket pairing is unsound — fall back to a whole-state diff
-    // (still slice-split under the same memory bound). Conservative on
+    // (still slice-split under the same memory bounds). Conservative on
     // legacy snapshots (numBuckets unrecorded, -1): the moduli cannot be
     // PROVEN equal, and pairing bucket ids across different moduli would
     // emit a moved key as same-seq D+I rows the downstream LWW breaks
@@ -219,7 +284,9 @@ final class CdfMicroBatchStream(root: String, startVersion: Int,
       val all = (s: LakeTable.Snapshot) =>
         table.filesOf(s).map(f => s"$root/${f.path}").toArray
       return sliced(-1, all(sFrom), all(sTo),
-        math.max(sFrom.totalRows, sTo.totalRows)).toArray
+        math.max(sFrom.totalRows, sTo.totalRows),
+        math.max(sFrom.manifests.map(_.sizeBytes).sum,
+          sTo.manifests.map(_.sizeBytes).sum)).toArray
     }
     val refsFrom = sFrom.manifests.map(r => r.bucket -> r).toMap
     val refsTo = sTo.manifests.map(r => r.bucket -> r).toMap
@@ -228,7 +295,9 @@ final class CdfMicroBatchStream(root: String, startVersion: Int,
       .flatMap { b =>
         val rows = math.max(refsFrom.get(b).map(_.rowCount).getOrElse(0L),
           refsTo.get(b).map(_.rowCount).getOrElse(0L))
-        sliced(b, files(sFrom, b), files(sTo, b), rows)
+        val bytes = math.max(refsFrom.get(b).map(_.sizeBytes).getOrElse(0L),
+          refsTo.get(b).map(_.sizeBytes).getOrElse(0L))
+        sliced(b, files(sFrom, b), files(sTo, b), rows, bytes)
       }
   }
 
@@ -258,81 +327,230 @@ final class CdfReaderFactory extends PartitionReaderFactory {
     new CdfPartitionReader(partition.asInstanceOf[CdfInputPartition])
 }
 
-/** Executor-side bucket diff: LWW-fold each side's files (duplicate keys
-  * across MOR append files resolve to the highest seq — COW buckets are
-  * unique-per-key already and fold to themselves), drop tombstones, then
-  * emit I (after only), D (before only, before-image) and U (both present,
-  * any payload column differs null-safely — same rule as
-  * [[LakeTable.changesBetween]]).
+/** Executor-side bucket diff — VECTORIZED and after-side-STREAMING:
+  *
+  *  - All file scans go through Spark's columnar parquet reader
+  *    ([[org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader]]
+  *    — the same kernel FileSourceScan uses), not a record-materializing
+  *    example reader: decoding is per-column-batch, dictionary-aware, and
+  *    string values surface as zero-copy UTF8String slices that are cloned
+  *    only when retained.
+  *  - The BEFORE side LWW-folds into a resident map (duplicate keys across
+  *    MOR append files resolve to the highest seq; equal-seq ties to the
+  *    LATEST file in byte-sorted path order — the same deterministic rule
+  *    [[LakeTable]]'s Dataset-side resolve applies via the file-path
+  *    tie-break, so the two paths provably agree).
+  *  - The AFTER side is TWO passes, neither of which buffers payloads: a
+  *    locator pass records each key's winning (file, row-in-file) — two
+  *    ints and a long per key, no content strings — then D rows (before
+  *    keys absent from after) emit from the resident before map, then the
+  *    streaming pass re-scans the after files IN ORDER and emits each
+  *    winner's I/U row the moment it is decoded (I = no before entry, U =
+  *    any payload column differs null-safely — the
+  *    [[LakeTable.changesBetween]] rule). Peak resident state is the
+  *    before map + the locator map — roughly HALF the old
+  *    both-sides-materialized footprint for document-sized payloads, at
+  *    the cost of scanning the after files twice (columnar decode, and
+  *    the second pass skips every non-winner row without cloning it).
   */
 final class CdfPartitionReader(p: CdfInputPartition)
   extends PartitionReader[InternalRow] {
 
-  private final case class Rec(commit: String, language: String, content: String,
-                               sizeBytes: java.lang.Long, seq: Long, deleted: Boolean)
+  import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
 
-  private def readSide(files: Array[String]): scala.collection.mutable.HashMap[(String, String), Rec] = {
-    import org.apache.parquet.hadoop.ParquetReader
-    import org.apache.parquet.hadoop.example.GroupReadSupport
-    val m = new scala.collection.mutable.HashMap[(String, String), Rec]
-    val conf = new org.apache.hadoop.conf.Configuration()
-    files.foreach { f =>
-      val reader = ParquetReader
-        .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(f))
-        .withConf(conf).build()
+  // file-schema order of a lake data file; also the feed's payload order
+  private val Cols: java.util.List[String] = java.util.Arrays.asList(
+    "repo", "path", "commit", "language", "content", "size_bytes", "seq", "deleted")
+  private val REPO = 0; private val PATH = 1; private val COMMIT = 2
+  private val LANG = 3; private val CONTENT = 4; private val SIZE = 5
+  private val SEQ = 6; private val DEL = 7
+
+  private final case class Rec(commit: UTF8String, language: UTF8String,
+                               content: UTF8String, sizeBytes: java.lang.Long,
+                               seq: Long, deleted: Boolean)
+
+  /** Iterate a file list with the vectorized reader, calling `f` with the
+    * current batch row (valid only during the call — clone what you keep),
+    * the file index and the row index within the file. Files visit in
+    * byte-sorted path order, which is what makes "later file wins equal
+    * seq" deterministic. (`initialize(path, columns)` builds its own local
+    * Hadoop conf — the sandbox is local-FS; on a cluster deployment this
+    * is the one seam that would thread the executor's conf instead.)
+    */
+  private def scan(files: Array[String])(f: (InternalRow, Int, Int) => Unit): Unit = {
+    var fi = 0
+    while (fi < files.length) {
+      val reader = new VectorizedParquetRecordReader(false, 4096)
       try {
-        var g = reader.read()
-        while (g != null) {
-          val key = (g.getString("repo", 0), g.getString("path", 0))
-          if (inSlice(key)) {
-            def has(n: String) = g.getType.containsField(n) && g.getFieldRepetitionCount(n) > 0
-            def str(n: String) = if (has(n)) g.getString(n, 0) else null
-            val seq = g.getLong("seq", 0)
-            // LWW: highest seq per key wins within the bucket
-            if (!m.get(key).exists(_.seq >= seq))
-              m.put(key, Rec(str("commit"), str("language"), str("content"),
-                if (has("size_bytes")) java.lang.Long.valueOf(g.getLong("size_bytes", 0))
-                else null,
-                seq, has("deleted") && g.getBoolean("deleted", 0)))
-          }
-          g = reader.read()
+        reader.initialize(files(fi), Cols)
+        val batch = reader.resultBatch() // allocates the column vectors
+        var ri = 0
+        while (reader.nextBatch()) {
+          val it = batch.rowIterator()
+          while (it.hasNext) { f(it.next(), fi, ri); ri += 1 }
         }
       } finally reader.close()
+      fi += 1
     }
-    m
   }
 
   /** Slice membership for split oversized buckets — any deterministic key
     * hash works as long as both endpoint reads use the same one.
     */
-  private def inSlice(key: (String, String)): Boolean =
+  private def inSlice(repo: UTF8String, path: UTF8String): Boolean =
     p.nSlices <= 1 || math.floorMod(
-      scala.util.hashing.MurmurHash3.stringHash(key._1 + "\u0000" + key._2),
+      scala.util.hashing.MurmurHash3.stringHash(repo.toString + " " + path.toString),
       p.nSlices) == p.slice
 
-  private def live(files: Array[String]) = readSide(files).filterNot(_._2.deleted)
+  private def str(row: InternalRow, i: Int): UTF8String =
+    if (row.isNullAt(i)) null else row.getUTF8String(i)
 
-  private def differs(a: Rec, b: Rec): Boolean =
-    a.commit != b.commit || a.language != b.language || a.content != b.content ||
-      a.sizeBytes != b.sizeBytes || a.seq != b.seq
-
-  private val rows: Iterator[InternalRow] = {
-    val before = live(p.beforeFiles)
-    val after = live(p.afterFiles)
-    def u(s: String) = if (s == null) null else UTF8String.fromString(s)
-    def row(op: String, k: (String, String), r: Rec): InternalRow =
-      new GenericInternalRow(Array[Any](
-        u(op), u(k._1), u(k._2), u(r.commit), u(r.language), u(r.content),
-        if (r.sizeBytes == null) null else r.sizeBytes.longValue, r.seq))
-    val out = scala.collection.mutable.ArrayBuffer[InternalRow]()
-    after.foreach { case (k, a) =>
-      before.get(k) match {
-        case None => out += row("I", k, a)
-        case Some(b) => if (differs(a, b)) out += row("U", k, a)
+  /** LWW-fold one side into a resident map (the BEFORE side only — the
+    * after side streams). Later (file, row) wins ties on equal seq; a
+    * single file never repeats a key (ingest unique-key invariant), so
+    * file order alone breaks every cross-file tie.
+    */
+  private def readSide(files: Array[String]): java.util.HashMap[(UTF8String, UTF8String), Rec] = {
+    val m = new java.util.HashMap[(UTF8String, UTF8String), Rec]
+    scan(files.sorted) { (row, _, _) =>
+      val repo = row.getUTF8String(REPO); val path = row.getUTF8String(PATH)
+      if (inSlice(repo, path)) {
+        val cur = m.get((repo, path))
+        val seq = row.getLong(SEQ)
+        if (cur == null || seq >= cur.seq) {
+          def cs(i: Int) = { val v = str(row, i); if (v == null) null else v.clone() }
+          m.put((repo.clone(), path.clone()), Rec(cs(COMMIT), cs(LANG), cs(CONTENT),
+            if (row.isNullAt(SIZE)) null else java.lang.Long.valueOf(row.getLong(SIZE)),
+            seq, !row.isNullAt(DEL) && row.getBoolean(DEL)))
+        }
       }
     }
-    before.foreach { case (k, b) => if (!after.contains(k)) out += row("D", k, b) }
-    out.iterator
+    m
+  }
+
+  private def differs(a: Rec, commit: UTF8String, language: UTF8String,
+                      content: UTF8String, sizeBytes: java.lang.Long, seq: Long): Boolean =
+    a.commit != commit || a.language != language || a.content != content ||
+      a.sizeBytes != sizeBytes || a.seq != seq
+
+  /** Winner locator for the after side: key → (fileIdx, rowIdx, seq,
+    * deleted) — packed, no payload strings beyond the key itself.
+    */
+  private final class Loc(val fileIdx: Int, val rowIdx: Int, val seq: Long,
+                          val deleted: Boolean)
+
+  private val rows: Iterator[InternalRow] = {
+    val before = readSide(p.beforeFiles)
+    val afterFiles = p.afterFiles.sorted
+
+    // pass 1 (locator): winning (file, row) per after-key — O(keys) memory,
+    // no content retained
+    val winners = new java.util.HashMap[(UTF8String, UTF8String), Loc]
+    scan(afterFiles) { (row, fi, ri) =>
+      val repo = row.getUTF8String(REPO); val path = row.getUTF8String(PATH)
+      if (inSlice(repo, path)) {
+        val key = (repo, path)
+        val seq = row.getLong(SEQ)
+        val cur = winners.get(key)
+        if (cur == null || seq >= cur.seq)
+          winners.put((repo.clone(), path.clone()),
+            new Loc(fi, ri, seq, !row.isNullAt(DEL) && row.getBoolean(DEL)))
+      }
+    }
+
+    def u8(s: UTF8String) = if (s == null) null else s
+    def outRow(op: String, repo: UTF8String, path: UTF8String, commit: UTF8String,
+               language: UTF8String, content: UTF8String,
+               sizeBytes: java.lang.Long, seq: Long): InternalRow =
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString(op), repo, path, u8(commit), u8(language),
+        u8(content), if (sizeBytes == null) null else sizeBytes.longValue, seq))
+
+    // D pass: live before-keys whose after-winner is absent or a tombstone
+    // (before-images are already resident — buffering references, not copies)
+    val dRows = scala.collection.mutable.ArrayBuffer[InternalRow]()
+    before.forEach { (k, b) =>
+      if (!b.deleted) {
+        val w = winners.get(k)
+        if (w == null || w.deleted)
+          dRows += outRow("D", k._1, k._2, b.commit, b.language, b.content,
+            b.sizeBytes, b.seq)
+      }
+    }
+
+    // streaming I/U pass: re-scan after files in the SAME order; emit each
+    // live winner's row the moment it is decoded. Buffered per batch only
+    // (the 4k-row columnar batch the reader already holds), never per side.
+    val iu: Iterator[InternalRow] = new Iterator[InternalRow] {
+      private var fi = 0
+      private var reader: VectorizedParquetRecordReader = _
+      private var batchIt: java.util.Iterator[InternalRow] = _
+      private var ri = 0
+      private var nextRow: InternalRow = _
+
+      private def openNext(): Boolean = {
+        while (fi < afterFiles.length) {
+          if (reader == null) {
+            reader = new VectorizedParquetRecordReader(false, 4096)
+            reader.initialize(afterFiles(fi), Cols)
+            reader.resultBatch() // allocates the column vectors
+            ri = 0
+          }
+          if (reader.nextBatch()) {
+            batchIt = reader.resultBatch().rowIterator()
+            return true
+          }
+          reader.close(); reader = null; fi += 1
+        }
+        false
+      }
+
+      @annotation.tailrec
+      private def advance(): Unit = {
+        if (batchIt != null && batchIt.hasNext) {
+          val row = batchIt.next()
+          val myFi = fi; val myRi = ri; ri += 1
+          val repo = row.getUTF8String(REPO); val path = row.getUTF8String(PATH)
+          if (inSlice(repo, path)) {
+            val w = winners.get((repo, path))
+            if (w != null && !w.deleted && w.fileIdx == myFi && w.rowIdx == myRi) {
+              val commit = str(row, COMMIT); val lang = str(row, LANG)
+              val content = str(row, CONTENT)
+              val size = if (row.isNullAt(SIZE)) null else java.lang.Long.valueOf(row.getLong(SIZE))
+              val seq = row.getLong(SEQ)
+              val b0 = before.get((repo, path))
+              val b = if (b0 != null && b0.deleted) null else b0
+              if (b == null) {
+                nextRow = outRow("I", repo.clone(), path.clone(),
+                  if (commit == null) null else commit.clone(),
+                  if (lang == null) null else lang.clone(),
+                  if (content == null) null else content.clone(), size, seq)
+                return
+              } else if (differs(b, commit, lang, content, size, seq)) {
+                nextRow = outRow("U", repo.clone(), path.clone(),
+                  if (commit == null) null else commit.clone(),
+                  if (lang == null) null else lang.clone(),
+                  if (content == null) null else content.clone(), size, seq)
+                return
+              }
+            }
+          }
+          advance()
+        } else if (openNext()) advance()
+        else nextRow = null
+      }
+
+      override def hasNext: Boolean = {
+        if (nextRow == null) advance()
+        nextRow != null
+      }
+      override def next(): InternalRow = {
+        if (!hasNext) throw new NoSuchElementException
+        val r = nextRow; nextRow = null; r
+      }
+    }
+
+    iu ++ dRows.iterator
   }
 
   private var current: InternalRow = _

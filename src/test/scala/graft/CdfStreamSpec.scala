@@ -262,6 +262,165 @@ class CdfStreamSpec extends SparkSpec {
         graft.stream.CdfOffset(0), graft.stream.CdfOffset(head)).length)
   }
 
+  test("rebucket inside the window → whole-state fallback ≡ changesBetween (and legacy numBuckets)") {
+    val base = tmpDir("cdf-rebucket")
+    val primary = LakeTable(s"$base/t", 4)
+    def mk(r: String, p: String, s: Long, op: String = "U") =
+      (r, p, op, s, s"c$s", "scala", if (op == "D") null else s"v$s", Option(s))
+    primary.merge(spark, Seq(mk("r1", "p1", 1), mk("r2", "p2", 2), mk("r3", "p3", 3)).toDF(cols: _*), 0L)
+    val vPre = primary.headVersion()
+    // rebucket MID-WINDOW: key→bucket mapping changes, so per-bucket
+    // pairing would emit moved keys as spurious same-seq D+I pairs
+    primary.rebucket(spark, 8)
+    val rebucketed = LakeTable.open(s"$base/t")
+    rebucketed.merge(spark, Seq(mk("r1", "p1", 10), mk("r2", "p2", 11, "D"), mk("r4", "p4", 12)).toDF(cols: _*), 1L)
+    val head = rebucketed.headVersion()
+
+    type Row5 = (String, String, String, Long, String)
+    def viaReader(from: Int, to: Int): (Set[Row5], Array[graft.stream.CdfInputPartition]) = {
+      val stream = new graft.stream.CdfMicroBatchStream(s"$base/t", 0, 0)
+      val parts = stream.planInputPartitions(
+        graft.stream.CdfOffset(from), graft.stream.CdfOffset(to))
+        .map(_.asInstanceOf[graft.stream.CdfInputPartition])
+      val factory = stream.createReaderFactory()
+      val rows = parts.flatMap { p =>
+        val r = factory.createReader(p)
+        val buf = scala.collection.mutable.ArrayBuffer[Row5]()
+        while (r.next()) {
+          val row = r.get()
+          buf += ((row.getUTF8String(0).toString, row.getUTF8String(1).toString,
+            row.getUTF8String(2).toString, row.getLong(7),
+            Option(row.getUTF8String(5)).map(_.toString).orNull))
+        }
+        r.close(); buf
+      }.toSet
+      (rows, parts)
+    }
+    def want(from: Int, to: Int): Set[Row5] =
+      rebucketed.changesBetween(spark, from, to)
+        .select("op", "repo", "path", "seq", "content")
+        .as[(String, String, String, Long, String)].collect().toSet
+
+    // window straddling the rebucket: the reader must take the bucket=-1
+    // whole-state path and still agree with the Dataset diff exactly —
+    // NO spurious D+I for keys that merely moved buckets
+    val (got, parts) = viaReader(0, head)
+    assert(parts.forall(_.bucket == -1), "a rebucket window must plan the whole-state fallback")
+    assert(got === want(0, head))
+    // window starting AFTER r3's insert: r3 is unchanged across it (it
+    // merely MOVED buckets in the rebucket) — per-bucket pairing would
+    // fabricate a same-seq D+I pair for it; the fallback must emit nothing
+    val (gotMoved, partsMoved) = viaReader(vPre, head)
+    assert(partsMoved.forall(_.bucket == -1))
+    assert(gotMoved === want(vPre, head))
+    assert(!gotMoved.exists(t => t._2 == "r3"),
+      "an unchanged (merely moved) key must not appear in the feed")
+
+    // window NOT straddling it (both endpoints post-rebucket): per-bucket diff
+    val (gotPost, partsPost) = viaReader(vPre + 1, head)
+    assert(partsPost.forall(_.bucket >= 0), "post-rebucket windows pair per bucket again")
+    assert(gotPost === want(vPre + 1, head))
+
+    // LEGACY endpoint (numBuckets unrecorded, -1): moduli unprovable →
+    // whole-state fallback too. Simulate by stripping the field from a
+    // snapshot JSON, as a pre-field-era table would look.
+    val meta = java.nio.file.Paths.get(s"$base/t/meta")
+    val vJson = meta.resolve(s"v$head.json")
+    java.nio.file.Files.writeString(vJson,
+      java.nio.file.Files.readString(vJson).replaceAll(""""numBuckets"\s*:\s*\d+,?""", ""))
+    val (gotLegacy, partsLegacy) = viaReader(vPre + 1, head)
+    assert(partsLegacy.forall(_.bucket == -1),
+      "a legacy (unrecorded-modulus) endpoint must take the whole-state fallback")
+    assert(gotLegacy === want(vPre + 1, head))
+  }
+
+  test("ReadLimit hints (maxRows/maxFiles/composite) cap the version window") {
+    val base = tmpDir("cdf-readlimit")
+    val primary = LakeTable(s"$base/t", 2)
+    def mk(i: Long, j: Long) = ("r", s"p$i-$j", "I", i * 10 + j, s"c$i", "scala", s"v$i", Option(i))
+    // 6 commits × 3 rows each (srcRows=3 recorded per snapshot summary)
+    (1L to 6L).foreach(i =>
+      primary.merge(spark, Seq(mk(i, 1), mk(i, 2), mk(i, 3)).toDF(cols: _*), i - 1))
+    assert(primary.headVersion() === 6)
+
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val stream = new graft.stream.CdfMicroBatchStream(s"$base/t", 0, 0)
+    def off(l: ReadLimit, from: Int = 0): Int =
+      stream.latestOffset(graft.stream.CdfOffset(from), l).json.toInt
+
+    assert(off(ReadLimit.allAvailable()) === 6)
+    // maxFiles n ↦ n versions (one version = one commit's files)
+    assert(off(ReadLimit.maxFiles(2)) === 2)
+    assert(off(ReadLimit.maxFiles(2), from = 3) === 5)
+    // maxRows walks recorded srcRows: budget 7 admits v1 (3) + v2 (3),
+    // stops before v3; budget 1 still admits one version (progress)
+    assert(off(ReadLimit.maxRows(7L)) === 2)
+    assert(off(ReadLimit.maxRows(1L)) === 1)
+    assert(off(ReadLimit.maxRows(100L)) === 6)
+    // composite: every member cap applies (min wins)
+    assert(off(ReadLimit.compositeLimit(Array(ReadLimit.maxFiles(5), ReadLimit.maxRows(7L)))) === 2)
+    assert(off(ReadLimit.compositeLimit(Array(ReadLimit.maxFiles(1), ReadLimit.maxRows(100L)))) === 1)
+    // the source's own option still caps underneath the hints
+    val capped = new graft.stream.CdfMicroBatchStream(s"$base/t", 0, 2)
+    assert(capped.latestOffset(graft.stream.CdfOffset(0), ReadLimit.maxRows(100L)).json.toInt === 2)
+
+    // and a full AvailableNow drain under a rows limit still converges: the
+    // windowed batches reconstruct the complete feed
+    val rows = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val q = spark.readStream.format("graft-cdf")
+      .option("path", s"$base/t")
+      .load()
+      .writeStream.option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (feed: DataFrame, _: Long) =>
+        rows ++= feed.select("op", "path").as[(String, String)].collect(); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(rows.size === 18, s"all 18 inserts must flow, got ${rows.size}")
+  }
+
+  test("equal-seq duplicate across MOR files: Dataset read and DSv2 feed agree (file-order tie-break)") {
+    val base = tmpDir("cdf-tie")
+    val primary = LakeTable(s"$base/t", 2, LakeTable.Mor)
+    def row(content: String) =
+      Seq(("r1", "p1", "U", 5L, "c", "scala", content, Option(5L))).toDF(cols: _*)
+    // two MOR append files carrying the SAME (key, seq) with DIFFERENT
+    // payloads — only possible across files (requireUniqueKeys guards
+    // within one); the pathological reused-seq shape ADVICE flagged
+    primary.merge(spark, row("first-file"), 0L)
+    primary.merge(spark, row("second-file"), 1L)
+    val head = primary.headVersion()
+
+    // Dataset path: deterministic across repeated reads (file-path tie-break)
+    val viaRead = (1 to 3).map(_ =>
+      primary.read(spark).select("content").as[String].collect().toSeq)
+    assert(viaRead.distinct.size === 1, s"read() must be deterministic, got $viaRead")
+    assert(viaRead.head.size === 1)
+    // the winner is whichever duplicate lives in the byte-wise greatest
+    // data-file path (file tokens are random, so commit order is NOT the
+    // rule) — what matters is that every path derives the SAME winner
+    val winner = viaRead.head.head
+    assert(Set("first-file", "second-file").contains(winner))
+
+    // changesBetween full-window after-image = the same winner
+    val viaCdc = primary.changesBetween(spark, 0, head)
+      .filter($"op" =!= "D").select("content").as[String].collect().toSeq
+    assert(viaCdc === Seq(winner), "changesBetween must agree with read()")
+
+    // DSv2 partition reader = the same winner
+    val stream = new graft.stream.CdfMicroBatchStream(s"$base/t", 0, 0)
+    val factory = stream.createReaderFactory()
+    val viaFeed = stream.planInputPartitions(
+      graft.stream.CdfOffset(0), graft.stream.CdfOffset(head)).flatMap { p =>
+      val r = factory.createReader(p)
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      while (r.next()) buf += r.get().getUTF8String(5).toString
+      r.close(); buf
+    }.toSeq
+    assert(viaFeed === Seq(winner), "the DSv2 feed must agree with the Dataset paths")
+  }
+
   test("resyncInto recovers an expired-history follower exactly (incl. gap deletions)") {
     val base = tmpDir("cdf-resync")
     val primary = LakeTable(s"$base/p", 4)

@@ -372,6 +372,73 @@ class SqlSpec extends SparkSpec {
     assert(got === Set(("r1", "a"), ("r2", "b")))
   }
 
+  test("bare INSERT INTO is POSITIONAL (standard semantics), names not consulted") {
+    val base = tmpDir("sqlinspos")
+    val table = lake.LakeTable(s"$base/t", 4)
+    // full-width query whose column NAMES all match the table but with
+    // content/language swapped: Spark/Delta/Iceberg map positionally, so
+    // the 4th query column (named "content") must land in table column 4
+    // ("language") — by-name mapping here would silently diverge
+    Seq(("r9", "p9", "c9", "scala", "body", 5L, 9L))
+      .toDF("repo", "path", "commit", "language", "content", "size_bytes", "seq")
+      .select($"repo", $"path", $"commit", $"content", $"language", $"size_bytes", $"seq")
+      .createOrReplaceTempView("pos_src")
+    spark.sql(s"INSERT INTO graft_lake.`$base/t` SELECT * FROM pos_src")
+    val row = table.read(spark).select("language", "content")
+      .as[(String, String)].head()
+    assert(row === ("body", "scala"),
+      "bare INSERT must map positionally: query col 4 → table col 4")
+    // bare subset (wrong arity) → curated error pointing at the column list
+    val e = intercept[Exception](spark.sql(
+      s"INSERT INTO graft_lake.`$base/t` SELECT repo, path FROM pos_src"))
+    assert(e.getMessage.contains("POSITIONALLY") &&
+      e.getMessage.contains("column list"), e.getMessage)
+  }
+
+  test("graft_chunks / graft_pack TVFs ≡ ChunkOps, and compose with INSERT INTO") {
+    val docs = s"$sf/documents.parquet"
+    // TVF ≡ Scala API, cell-exact on the t7/t8 fixture
+    val viaTvf = spark.sql(
+      s"SELECT * FROM graft_chunks('$docs', 'doc_id', 'text', 32, 8)")
+    val viaOps = ops.ChunkOps.chunkByTokens(
+      spark.read.parquet(docs), "doc_id", "text", maxTokens = 32, overlap = 8)
+    assert(viaTvf.columns.toSeq === viaOps.columns.toSeq)
+    assert(viaTvf.exceptAll(viaOps).isEmpty && viaOps.exceptAll(viaTvf).isEmpty,
+      "graft_chunks must equal ChunkOps.chunkByTokens row-for-row")
+    val packTvf = spark.sql(
+      s"SELECT * FROM graft_pack('$docs', 'doc_id', 'text', 'lang', 256)")
+    val packOps = ops.ChunkOps.packByTokens(
+      spark.read.parquet(docs), "doc_id", "text", "lang", targetTokens = 256L)
+    assert(packTvf.exceptAll(packOps).isEmpty && packOps.exceptAll(packTvf).isEmpty,
+      "graft_pack must equal ChunkOps.packByTokens row-for-row")
+
+    // same option validation as the Scala API (the TVF delegates to it)
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_chunks('$docs', 'doc_id', 'text', 8, 9)").collect())
+    assert(e.getMessage.contains("overlap"), e.getMessage)
+
+    // composes with INSERT INTO: chunk a corpus into a lake table, SQL only
+    val base = tmpDir("sqlchunktvf")
+    lake.LakeTable(s"$base/t", 4)
+    spark.sql(
+      s"""INSERT INTO graft_lake.`$base/t` (repo, path, content, seq)
+         |SELECT CAST(doc_id AS STRING) AS repo,
+         |       CAST(chunk_id AS STRING) AS path, chunk, n_tokens
+         |FROM graft_chunks('$docs', 'doc_id', 'text', 64)
+         |WHERE doc_id < 20""".stripMargin)
+    val inserted = spark.sql(s"SELECT count(*) AS n FROM graft_lake.`$base/t`")
+      .head().getLong(0)
+    val expected = ops.ChunkOps.chunkByTokens(
+      spark.read.parquet(docs).filter($"doc_id" < 20), "doc_id", "text",
+      maxTokens = 64).count()
+    assert(inserted === expected, s"INSERT materialized $inserted of $expected chunks")
+    // and a graft lake ROOT is a valid TVF source too (sourceOf dispatch)
+    val overLake = spark.sql(
+      s"SELECT count(*) AS n FROM graft_chunks('$base/t', 'path', 'content', 16)")
+      .head().getLong(0)
+    assert(overLake >= inserted, s"chunking the lake table ($overLake) must cover every doc ($inserted)")
+  }
+
   test("BY SOURCE condition with a string literal containing 's.' is accepted") {
     val base = tmpDir("sqlnmbs-lit")
     val table = lake.LakeTable(s"$base/t", 4)
@@ -414,11 +481,36 @@ class SqlSpec extends SparkSpec {
     val before = fresh.snapshotReads.get()
     assert(fresh.versionAt(target) === 50)
     val reads = fresh.snapshotReads.get() - before
-    assert(reads <= 9, s"binary search over 101 versions should read ~log2(101)=7 snapshots, read $reads")
+    assert(reads <= 10, s"binary search over 101 versions should read ~log2(101)=7 snapshots (+1 clamp-marker probe), read $reads")
     // headVersion: a follower poll tick reads ONLY the pointer file
     val b2 = fresh.snapshotReads.get()
     assert(fresh.headVersion() === 100)
     assert(fresh.snapshotReads.get() === b2, "headVersion must not read any snapshot JSON")
+  }
+
+  test("versionAt: pre-clamp non-monotone stamps take the exact scan, not the search") {
+    val base = tmpDir("sqlvatskew")
+    val t = lake.LakeTable(s"$base/t", 4)
+    (1 to 80).foreach(_ => t.truncate()) // 81 snapshots v0..v80 (> 64)
+    // Simulate a table written by a PRE-CLAMP writer with a regressed
+    // clock (the shape earlier rounds of this engine could produce):
+    // strip the tsClamped markers and stamp v41..v80 BEHIND v0..v40.
+    val meta = java.nio.file.Paths.get(s"$base/t/meta")
+    t.versions().foreach { v =>
+      val p = meta.resolve(s"v$v.json")
+      val stamp = if (v <= 40) 1000L + v else 500L + v // non-monotone at v41
+      val s = java.nio.file.Files.readString(p)
+        .replace("\"tsClamped\"", "\"tsRaw\"")
+        .replaceAll("\"committedAtMs\"\\s*:\\s*\"\\d+\"",
+          s""""committedAtMs" : "$stamp"""")
+      java.nio.file.Files.writeString(p, s)
+    }
+    val fresh = lake.LakeTable.open(s"$base/t")
+    // a monotonicity-trusting binary search over these stamps would land
+    // on v80 (stamp 580); the exact answer is v40 (stamp 1040)
+    assert(fresh.versionAt(1040L) === 40)
+    // and the regressed band itself resolves exactly too
+    assert(fresh.versionAt(590L) === 80)
   }
 
   test("graft_changes TVF ≡ changesBetween (the CDF as a SQL table function)") {
