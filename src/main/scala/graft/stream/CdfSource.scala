@@ -261,6 +261,10 @@ final class CdfMicroBatchStream(root: String, startVersion: Int,
       }
     def files(s: LakeTable.Snapshot, b: Int): Array[String] =
       table.filesOf(s, b).map(f => s"$root/${f.path}").toArray
+    // a COW endpoint's file set is unique-per-key (every commit rewrites
+    // its buckets whole), so the after side can stream in ONE pass with
+    // no winner-locator; MOR needs the locator prepass
+    val afterUnique = sTo.mode == LakeTable.Cow
     // reader-memory bound: a bucket whose endpoint state exceeds
     // maxStateRows rows OR maxStateBytes manifest-recorded bytes (both
     // known from the manifests' denormalized counts — no data IO at plan
@@ -270,7 +274,7 @@ final class CdfMicroBatchStream(root: String, startVersion: Int,
       val kRows = (rows + maxStateRows - 1) / maxStateRows
       val kBytes = (bytes + maxStateBytes - 1) / maxStateBytes
       val k = math.max(1L, math.max(kRows, kBytes)).toInt
-      (0 until k).map(i => CdfInputPartition(bucket, before, after, i, k))
+      (0 until k).map(i => CdfInputPartition(bucket, before, after, i, k, afterUnique))
     }
     // a rebucket inside the window changes the key→bucket mapping, so
     // per-bucket pairing is unsound — fall back to a whole-state diff
@@ -315,11 +319,13 @@ final class CdfMicroBatchStream(root: String, startVersion: Int,
   * table handle). bucket = -1 marks the whole-state fallback partition
   * (rebucket inside the window). `(slice, nSlices)` restrict the reader to
   * keys with hash % nSlices == slice — how oversized buckets keep reader
-  * memory bounded.
+  * memory bounded. `afterUnique` = the after snapshot is COW (unique keys
+  * across its file set) → the reader streams the after side in one pass.
   */
 final case class CdfInputPartition(bucket: Int, beforeFiles: Array[String],
                                    afterFiles: Array[String],
-                                   slice: Int = 0, nSlices: Int = 1)
+                                   slice: Int = 0, nSlices: Int = 1,
+                                   afterUnique: Boolean = false)
   extends InputPartition
 
 final class CdfReaderFactory extends PartitionReaderFactory {
@@ -439,49 +445,21 @@ final class CdfPartitionReader(p: CdfInputPartition)
   private final class Loc(val fileIdx: Int, val rowIdx: Int, val seq: Long,
                           val deleted: Boolean)
 
-  private val rows: Iterator[InternalRow] = {
-    val before = readSide(p.beforeFiles)
-    val afterFiles = p.afterFiles.sorted
+  private def u8(s: UTF8String) = if (s == null) null else s
+  private def outRow(op: String, repo: UTF8String, path: UTF8String, commit: UTF8String,
+                     language: UTF8String, content: UTF8String,
+                     sizeBytes: java.lang.Long, seq: Long): InternalRow =
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(op), repo, path, u8(commit), u8(language),
+      u8(content), if (sizeBytes == null) null else sizeBytes.longValue, seq))
 
-    // pass 1 (locator): winning (file, row) per after-key — O(keys) memory,
-    // no content retained
-    val winners = new java.util.HashMap[(UTF8String, UTF8String), Loc]
-    scan(afterFiles) { (row, fi, ri) =>
-      val repo = row.getUTF8String(REPO); val path = row.getUTF8String(PATH)
-      if (inSlice(repo, path)) {
-        val key = (repo, path)
-        val seq = row.getLong(SEQ)
-        val cur = winners.get(key)
-        if (cur == null || seq >= cur.seq)
-          winners.put((repo.clone(), path.clone()),
-            new Loc(fi, ri, seq, !row.isNullAt(DEL) && row.getBoolean(DEL)))
-      }
-    }
-
-    def u8(s: UTF8String) = if (s == null) null else s
-    def outRow(op: String, repo: UTF8String, path: UTF8String, commit: UTF8String,
-               language: UTF8String, content: UTF8String,
-               sizeBytes: java.lang.Long, seq: Long): InternalRow =
-      new GenericInternalRow(Array[Any](
-        UTF8String.fromString(op), repo, path, u8(commit), u8(language),
-        u8(content), if (sizeBytes == null) null else sizeBytes.longValue, seq))
-
-    // D pass: live before-keys whose after-winner is absent or a tombstone
-    // (before-images are already resident — buffering references, not copies)
-    val dRows = scala.collection.mutable.ArrayBuffer[InternalRow]()
-    before.forEach { (k, b) =>
-      if (!b.deleted) {
-        val w = winners.get(k)
-        if (w == null || w.deleted)
-          dRows += outRow("D", k._1, k._2, b.commit, b.language, b.content,
-            b.sizeBytes, b.seq)
-      }
-    }
-
-    // streaming I/U pass: re-scan after files in the SAME order; emit each
-    // live winner's row the moment it is decoded. Buffered per batch only
-    // (the 4k-row columnar batch the reader already holds), never per side.
-    val iu: Iterator[InternalRow] = new Iterator[InternalRow] {
+  /** Streamed scan as an iterator: decode the file list in order, run
+    * `emit` on each row, surface its non-null results one at a time. Only
+    * the reader's own 4k-row columnar batch is ever buffered.
+    */
+  private def streamScan(files: Array[String])(
+      emit: (InternalRow, Int, Int) => InternalRow): Iterator[InternalRow] =
+    new Iterator[InternalRow] {
       private var fi = 0
       private var reader: VectorizedParquetRecordReader = _
       private var batchIt: java.util.Iterator[InternalRow] = _
@@ -489,10 +467,10 @@ final class CdfPartitionReader(p: CdfInputPartition)
       private var nextRow: InternalRow = _
 
       private def openNext(): Boolean = {
-        while (fi < afterFiles.length) {
+        while (fi < files.length) {
           if (reader == null) {
             reader = new VectorizedParquetRecordReader(false, 4096)
-            reader.initialize(afterFiles(fi), Cols)
+            reader.initialize(files(fi), Cols)
             reader.resultBatch() // allocates the column vectors
             ri = 0
           }
@@ -509,32 +487,9 @@ final class CdfPartitionReader(p: CdfInputPartition)
       private def advance(): Unit = {
         if (batchIt != null && batchIt.hasNext) {
           val row = batchIt.next()
-          val myFi = fi; val myRi = ri; ri += 1
-          val repo = row.getUTF8String(REPO); val path = row.getUTF8String(PATH)
-          if (inSlice(repo, path)) {
-            val w = winners.get((repo, path))
-            if (w != null && !w.deleted && w.fileIdx == myFi && w.rowIdx == myRi) {
-              val commit = str(row, COMMIT); val lang = str(row, LANG)
-              val content = str(row, CONTENT)
-              val size = if (row.isNullAt(SIZE)) null else java.lang.Long.valueOf(row.getLong(SIZE))
-              val seq = row.getLong(SEQ)
-              val b0 = before.get((repo, path))
-              val b = if (b0 != null && b0.deleted) null else b0
-              if (b == null) {
-                nextRow = outRow("I", repo.clone(), path.clone(),
-                  if (commit == null) null else commit.clone(),
-                  if (lang == null) null else lang.clone(),
-                  if (content == null) null else content.clone(), size, seq)
-                return
-              } else if (differs(b, commit, lang, content, size, seq)) {
-                nextRow = outRow("U", repo.clone(), path.clone(),
-                  if (commit == null) null else commit.clone(),
-                  if (lang == null) null else lang.clone(),
-                  if (content == null) null else content.clone(), size, seq)
-                return
-              }
-            }
-          }
+          val out = emit(row, fi, ri)
+          ri += 1
+          if (out != null) { nextRow = out; return }
           advance()
         } else if (openNext()) advance()
         else nextRow = null
@@ -550,7 +505,110 @@ final class CdfPartitionReader(p: CdfInputPartition)
       }
     }
 
-    iu ++ dRows.iterator
+  private def cloneRow(op: String, row: InternalRow, repo: UTF8String,
+                       path: UTF8String): InternalRow = {
+    def c(s: UTF8String) = if (s == null) null else s.clone()
+    outRow(op, repo.clone(), path.clone(), c(str(row, COMMIT)),
+      c(str(row, LANG)), c(str(row, CONTENT)),
+      if (row.isNullAt(SIZE)) null else java.lang.Long.valueOf(row.getLong(SIZE)),
+      row.getLong(SEQ))
+  }
+
+  private val rows: Iterator[InternalRow] = {
+    val before = readSide(p.beforeFiles)
+    val afterFiles = p.afterFiles.sorted
+
+    def dRow(k: (UTF8String, UTF8String), b: Rec): InternalRow =
+      outRow("D", k._1, k._2, b.commit, b.language, b.content, b.sizeBytes, b.seq)
+
+    if (p.afterUnique) {
+      // COW after side: unique keys across the file set — ONE streamed
+      // pass decides I/U (and inline D for tombstone rows) on sight; a
+      // key-set of before-keys seen in the after files (keys only, no
+      // payload) drives the final D sweep. No locator, no second read:
+      // strictly less IO and less memory than materializing both sides.
+      val seen = new java.util.HashSet[(UTF8String, UTF8String)]
+      val iu = streamScan(afterFiles) { (row, _, _) =>
+        val repo = row.getUTF8String(REPO); val path = row.getUTF8String(PATH)
+        if (!inSlice(repo, path)) null
+        else {
+          val b0 = before.get((repo, path))
+          if (b0 != null) seen.add((repo.clone(), path.clone()))
+          val b = if (b0 != null && b0.deleted) null else b0
+          if (!row.isNullAt(DEL) && row.getBoolean(DEL)) {
+            // tombstone row killing a live before key → D with before-image
+            if (b != null)
+              outRow("D", repo.clone(), path.clone(), b.commit, b.language,
+                b.content, b.sizeBytes, b.seq)
+            else null
+          } else {
+            val commit = str(row, COMMIT); val lang = str(row, LANG)
+            val content = str(row, CONTENT)
+            val size = if (row.isNullAt(SIZE)) null else java.lang.Long.valueOf(row.getLong(SIZE))
+            val seq = row.getLong(SEQ)
+            if (b == null) cloneRow("I", row, repo, path)
+            else if (differs(b, commit, lang, content, size, seq)) cloneRow("U", row, repo, path)
+            else null
+          }
+        }
+      }
+      // final D sweep runs AFTER the stream drains (iterator is lazy, so
+      // wrap it): live before-keys never seen in the after files
+      def dSweep(): Iterator[InternalRow] = {
+        val buf = scala.collection.mutable.ArrayBuffer[InternalRow]()
+        before.forEach { (k, b) =>
+          if (!b.deleted && !seen.contains(k)) buf += dRow(k, b)
+        }
+        buf.iterator
+      }
+      iu ++ dSweep()
+    } else {
+      // MOR after side: duplicate keys across append files → a locator
+      // prepass records each key's winning (file, row) — two ints and a
+      // long per key, no content — then the streamed pass emits exactly
+      // the winners. Memory stays before-map + locator; the cost is
+      // reading the after files twice.
+      val winners = new java.util.HashMap[(UTF8String, UTF8String), Loc]
+      scan(afterFiles) { (row, fi, ri) =>
+        val repo = row.getUTF8String(REPO); val path = row.getUTF8String(PATH)
+        if (inSlice(repo, path)) {
+          val cur = winners.get((repo, path))
+          val seq = row.getLong(SEQ)
+          if (cur == null || seq >= cur.seq)
+            winners.put((repo.clone(), path.clone()),
+              new Loc(fi, ri, seq, !row.isNullAt(DEL) && row.getBoolean(DEL)))
+        }
+      }
+
+      // D pass: live before-keys whose after-winner is absent or a
+      // tombstone (before-images are resident — references, not copies)
+      val dRows = scala.collection.mutable.ArrayBuffer[InternalRow]()
+      before.forEach { (k, b) =>
+        if (!b.deleted) {
+          val w = winners.get(k)
+          if (w == null || w.deleted) dRows += dRow(k, b)
+        }
+      }
+
+      val iu = streamScan(afterFiles) { (row, fi, ri) =>
+        val repo = row.getUTF8String(REPO); val path = row.getUTF8String(PATH)
+        if (!inSlice(repo, path)) null
+        else {
+          val w = winners.get((repo, path))
+          if (w == null || w.deleted || w.fileIdx != fi || w.rowIdx != ri) null
+          else {
+            val b0 = before.get((repo, path))
+            val b = if (b0 != null && b0.deleted) null else b0
+            if (b == null) cloneRow("I", row, repo, path)
+            else if (differs(b, str(row, COMMIT), str(row, LANG), str(row, CONTENT),
+              if (row.isNullAt(SIZE)) null else java.lang.Long.valueOf(row.getLong(SIZE)),
+              row.getLong(SEQ))) cloneRow("U", row, repo, path)
+            else null
+          }
+        }
+      }
+      iu ++ dRows.iterator
+    }
   }
 
   private var current: InternalRow = _
