@@ -16,6 +16,35 @@ import org.apache.spark.sql.SparkSession
   */
 object ScalingBench {
 
+  /** Pure-JVM host-parallelism calibration: `threads` tight SHA-256 loops
+    * for `millis` wall-clock ms, returning total hashes/sec. No Spark, no
+    * engine code — it measures how much CPU the shared sandbox VM actually
+    * grants at this thread count RIGHT NOW. Run adjacent to each engine
+    * trial, it turns "the 8→32 pair looks bad" into a falsifiable claim:
+    * if the host itself only speeds up H× from 8→32 threads, 4× engine
+    * scaling is physically unobservable and H is the honest denominator.
+    */
+  def calibrate(threads: Int, millis: Long = 4000L): Double = {
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val counts = new java.util.concurrent.atomic.AtomicLongArray(threads)
+    val ts = (0 until threads).map { i =>
+      val t = new Thread(() => {
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        var buf = new Array[Byte](64)
+        var n = 0L
+        while (!stop.get()) { buf = md.digest(buf); n += 1 }
+        counts.set(i, n)
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    val t0 = System.nanoTime()
+    Thread.sleep(millis)
+    stop.set(true)
+    ts.foreach(_.join())
+    val secs = (System.nanoTime() - t0) / 1e9
+    (0 until threads).map(counts.get).sum / secs
+  }
+
   def replayOnce(cores: Int, logDir: String, nEvents: Long): (Double, Double) = {
     val spark = Sessions.local(cores, s"graft-scale-$cores")
     val work = java.nio.file.Files.createTempDirectory(s"scale$cores").toString
@@ -51,34 +80,55 @@ object ScalingBench {
 
     // This sandbox is a shared VM with heavy run-to-run CPU variance, so:
     // one JIT-warmup replay, then `trials` interleaved runs per level,
-    // best-of reported (capability, not host noise).
+    // best-of reported (capability, not host noise). A pure-JVM SHA-256
+    // calibration runs immediately before every replay at the same thread
+    // count — the calib pair measures the HOST's achievable 8→32 speedup
+    // in that window, independent of any engine code.
     replayOnce(nBig, logDir, nEvents) // warmup (discard)
+    case class Trial(cores: Int, secs: Double, eps: Double, calibHps: Double)
     val runs = (1 to trials).flatMap { _ =>
-      Seq(nSmall -> replayOnce(nSmall, logDir, nEvents),
-        nBig -> replayOnce(nBig, logDir, nEvents))
+      Seq(nSmall, nBig).map { c =>
+        val hps = calibrate(c)
+        val (s, t) = replayOnce(c, logDir, nEvents)
+        Trial(c, s, t, hps)
+      }
     }
-    def best(c: Int) = runs.filter(_._1 == c).map(_._2).minBy(_._1)
-    val (sSmall, thrSmall) = best(nSmall)
-    val (sBig, thrBig) = best(nBig)
-    val eff = (thrBig / thrSmall) / (nBig.toDouble / nSmall)
-    val allRuns = runs.map { case (c, (s, t)) => f"""{"cores":$c,"secs":$s%.2f,"eps":$t%.0f}""" }
-      .mkString("[", ",", "]")
+    def best(c: Int) = runs.filter(_.cores == c).minBy(_.secs)
+    val bs = best(nSmall)
+    val bb = best(nBig)
+    val eff = (bb.eps / bs.eps) / (nBig.toDouble / nSmall)
+    def bestCalib(c: Int) = runs.filter(_.cores == c).map(_.calibHps).max
+    val hostSpeedup = bestCalib(nBig) / bestCalib(nSmall)
+    val idealSpeedup = nBig.toDouble / nSmall
+    // Engine speedup judged against what the host could actually deliver
+    // in this session (capped at the ideal ratio so a noisy calib can
+    // never inflate the normalized number above the raw ideal).
+    val hostEff = math.min(hostSpeedup, idealSpeedup) / idealSpeedup
+    val normEff = math.min(1.0, eff / hostEff)
+    val allRuns = runs.map { r =>
+      f"""{"cores":${r.cores},"secs":${r.secs}%.2f,"eps":${r.eps}%.0f,"calibHashesPerSec":${r.calibHps}%.0f}"""
+    }.mkString("[", ",", "]")
     val json =
       f"""{"metric":"cdc_scaling","nEvents":$nEvents,"genSecs":$genSecs%.1f,""" +
-        f""""cores_$nSmall":{"secs":$sSmall%.2f,"eventsPerSec":$thrSmall%.0f},""" +
-        f""""cores_$nBig":{"secs":$sBig%.2f,"eventsPerSec":$thrBig%.0f},""" +
-        f""""scalingEfficiency":$eff%.3f,"trials":$allRuns}"""
+        f""""cores_$nSmall":{"secs":${bs.secs}%.2f,"eventsPerSec":${bs.eps}%.0f},""" +
+        f""""cores_$nBig":{"secs":${bb.secs}%.2f,"eventsPerSec":${bb.eps}%.0f},""" +
+        f""""scalingEfficiency":$eff%.3f,""" +
+        f""""hostCalib":{"hps_$nSmall":${bestCalib(nSmall)}%.0f,"hps_$nBig":${bestCalib(nBig)}%.0f,""" +
+        f""""hostSpeedup":$hostSpeedup%.3f,"hostEfficiency":$hostEff%.3f},""" +
+        f""""hostNormalizedEfficiency":$normEff%.3f,"trials":$allRuns}"""
     println(json)
     outMd.foreach { p =>
       val md =
         f"""## CDC replay scaling (local[$nSmall] vs local[$nBig], same ${nEvents}%,d-event log)
            |
-           || parallelism | wall secs | events/sec |
-           ||---|---|---|
-           || local[$nSmall] | $sSmall%.2f | $thrSmall%,.0f |
-           || local[$nBig] | $sBig%.2f | $thrBig%,.0f |
+           || parallelism | wall secs | events/sec | host calib (SHA-256/s) |
+           ||---|---|---|---|
+           || local[$nSmall] | ${bs.secs}%.2f | ${bs.eps}%,.0f | ${bestCalib(nSmall)}%,.0f |
+           || local[$nBig] | ${bb.secs}%.2f | ${bb.eps}%,.0f | ${bestCalib(nBig)}%,.0f |
            |
-           |Scaling efficiency (thru_$nBig / thru_$nSmall) / (${nBig / nSmall}) = **$eff%.3f**
+           |Raw scaling efficiency (thru_$nBig / thru_$nSmall) / ${nBig / nSmall} = **$eff%.3f**
+           |Host achievable speedup $nSmall→$nBig threads (pure-JVM SHA-256 calibration) = **$hostSpeedup%.2f×** of ideal ${nBig / nSmall}× → host efficiency $hostEff%.3f
+           |Host-normalized efficiency (engine ÷ host) = **$normEff%.3f**
            |""".stripMargin
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), md)
     }
