@@ -405,7 +405,7 @@ final class CdfPartitionReader(p: CdfInputPartition)
     */
   private def inSlice(repo: UTF8String, path: UTF8String): Boolean =
     p.nSlices <= 1 || math.floorMod(
-      scala.util.hashing.MurmurHash3.stringHash(repo.toString + " " + path.toString),
+      scala.util.hashing.MurmurHash3.stringHash(repo.toString + "\u0000" + path.toString),
       p.nSlices) == p.slice
 
   private def str(row: InternalRow, i: Int): UTF8String =
