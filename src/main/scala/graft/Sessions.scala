@@ -54,7 +54,15 @@ object Sessions {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
       b.config("spark.local.dir", d)
     }
-    val withExtra = extra.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+    // Operational conf hook for the CLI tools (spark-submit users have
+    // --conf; `java -cp` launches get this): semicolon-separated k=v list,
+    // e.g. GRAFT_EXTRA_CONF="spark.shuffle.compress=false;spark.foo=bar".
+    // Applied before `extra` so programmatic callers win.
+    val envExtra = sys.env.get("GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(';')).map(_.trim).filter(_.contains("="))
+      .map { kv => val i = kv.indexOf('='); kv.take(i) -> kv.drop(i + 1) }
+    val withEnv = envExtra.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+    val withExtra = extra.foldLeft(withEnv) { case (bb, (k, v)) => bb.config(k, v) }
     val spark = withExtra.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
