@@ -50,6 +50,14 @@ object MemBandwidthProbe {
 
   def main(args: Array[String]): Unit = {
     val counts = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(8, 32)
+    // Fail fast instead of GC-thrashing: the arrays alone need
+    // threads * 256 MB; an undersized -Xmx turns the probe into a
+    // minutes-long allocation stall that measures nothing.
+    val neededBytes = (counts.max.toLong << 28) + (1L << 30)
+    val maxHeap = Runtime.getRuntime.maxMemory()
+    require(maxHeap >= neededBytes,
+      f"heap too small for ${counts.max} threads x 256MB: need >=${neededBytes >> 30}g, " +
+        f"have -Xmx${maxHeap >> 30}g - rerun with a larger -Xmx")
     // warmup (JIT the loop at the smallest count)
     measure(counts.min, 1500L)
     val res = counts.map(c => c -> measure(c))
