@@ -21,6 +21,13 @@ object Sessions {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
   }
+  /** Parse the `GRAFT_EXTRA_CONF` value: semicolon-separated `k=v` pairs;
+    * entries without '=' are dropped; values may themselves contain '='.
+    */
+  def parseExtraConf(s: String): Seq[(String, String)] =
+    s.split(';').toSeq.map(_.trim).filter(_.contains("="))
+      .map { kv => val i = kv.indexOf('='); kv.take(i) -> kv.drop(i + 1) }
+
   def local(cores: Int, appName: String = "graft",
             extra: Map[String, String] = Map.empty): SparkSession = {
     val b = SparkSession.builder()
@@ -58,9 +65,7 @@ object Sessions {
     // --conf; `java -cp` launches get this): semicolon-separated k=v list,
     // e.g. GRAFT_EXTRA_CONF="spark.shuffle.compress=false;spark.foo=bar".
     // Applied before `extra` so programmatic callers win.
-    val envExtra = sys.env.get("GRAFT_EXTRA_CONF").toSeq
-      .flatMap(_.split(';')).map(_.trim).filter(_.contains("="))
-      .map { kv => val i = kv.indexOf('='); kv.take(i) -> kv.drop(i + 1) }
+    val envExtra = parseExtraConf(sys.env.getOrElse("GRAFT_EXTRA_CONF", ""))
     val withEnv = envExtra.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
     val withExtra = extra.foldLeft(withEnv) { case (bb, (k, v)) => bb.config(k, v) }
     val spark = withExtra.getOrCreate()
