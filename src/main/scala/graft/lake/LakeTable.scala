@@ -1430,8 +1430,22 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
         })
         dirs.reverse.foreach { p =>
           try {
+            // The grace window applies to EMPTY DIRECTORIES too, not just
+            // files (found by ConcurrencyStress at 6 writers): a concurrent
+            // writer's FileOutputCommitter mkdirs its snap-<tag>/_temporary/0
+            // chain component by component, and between two mkdir calls the
+            // fresh snap dir is momentarily EMPTY — an age-blind prune here
+            // deletes it in that window and the writer's next mkdir fails
+            // with "Mkdirs failed to create …/_temporary/0". A young empty
+            // dir is always a possible in-flight write; it becomes
+            // reclaimable only once it has outlived the same cutoff as the
+            // files. olderThanMs=0 keeps the unconditional prune: that mode
+            // is documented as "no other writer can be active", and file
+            // deletions just above bump the parent dir's mtime to now.
             val empty = scala.util.Using.resource(Files.list(p))(_.count() == 0L)
-            if (empty) Files.deleteIfExists(p)
+            if (empty && (olderThanMs == 0L ||
+                Files.getLastModifiedTime(p).toMillis < cutoff))
+              Files.deleteIfExists(p)
           } catch {
             case _: java.nio.file.NoSuchFileException => ()
             case _: java.nio.file.DirectoryNotEmptyException => () // raced a writer

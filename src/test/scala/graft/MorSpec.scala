@@ -371,4 +371,36 @@ class MorSpec extends SparkSpec {
     assert(scanned(feed) < scanned(table.read(spark)),
       s"feed scanned ${scanned(feed)} files vs full ${scanned(table.read(spark))}")
   }
+
+  test("vacuum grace window protects a young empty snap directory (in-flight writer race)") {
+    import java.nio.file.{Files, Paths}
+    val cfg = mkTailer()
+    Tailer.replay(spark, cfg)
+    val table = LakeTable.open(cfg.tableRoot)
+
+    // An in-flight Spark write's first committer step is mkdirs of
+    // data/snap-<tag>/_temporary/0, created component by component — for a
+    // moment the fresh snap dir sits EMPTY and unreferenced. An age-blind
+    // empty-dir prune deletes it in that window (observed: concurrent
+    // writers failing with "Mkdirs failed to create …/_temporary/0").
+    val inflight = Paths.get(cfg.tableRoot, "data", "snap-inflight00")
+    Files.createDirectories(inflight)
+    table.vacuum(olderThanMs = 60000L)
+    assert(Files.exists(inflight),
+      "vacuum deleted a young empty snap dir — would break an in-flight writer")
+
+    // Once the dir outlives the grace window it is a crashed writer's
+    // leftover and must be reclaimed.
+    Files.setLastModifiedTime(inflight,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis - 120000L))
+    table.vacuum(olderThanMs = 60000L)
+    assert(!Files.exists(inflight), "aged-out empty snap dir not reclaimed")
+
+    // olderThanMs=0 is the documented exclusive mode ("no other writer can
+    // be active"): even young empty dirs go.
+    val young = Paths.get(cfg.tableRoot, "data", "snap-young0000")
+    Files.createDirectories(young)
+    table.vacuum(olderThanMs = 0L)
+    assert(!Files.exists(young), "exclusive-mode vacuum must prune young empty dirs")
+  }
 }
