@@ -455,7 +455,11 @@ final class CdfPartitionReader(p: CdfInputPartition)
 
   /** Streamed scan as an iterator: decode the file list in order, run
     * `emit` on each row, surface its non-null results one at a time. Only
-    * the reader's own 4k-row columnar batch is ever buffered.
+    * the reader's own 4k-row columnar batch is ever buffered. The
+    * currently-open file reader is registered in [[activeStreamReader]] so
+    * [[close]] can release it when the iterator is abandoned mid-stream
+    * (task cancellation, a downstream limit, an exception in a later
+    * operator) — draining to the end closes it inline as before.
     */
   private def streamScan(files: Array[String])(
       emit: (InternalRow, Int, Int) => InternalRow): Iterator[InternalRow] =
@@ -470,6 +474,7 @@ final class CdfPartitionReader(p: CdfInputPartition)
         while (fi < files.length) {
           if (reader == null) {
             reader = new VectorizedParquetRecordReader(false, 4096)
+            activeStreamReader = reader
             reader.initialize(files(fi), Cols)
             reader.resultBatch() // allocates the column vectors
             ri = 0
@@ -478,7 +483,7 @@ final class CdfPartitionReader(p: CdfInputPartition)
             batchIt = reader.resultBatch().rowIterator()
             return true
           }
-          reader.close(); reader = null; fi += 1
+          reader.close(); activeStreamReader = null; reader = null; fi += 1
         }
         false
       }
@@ -513,6 +518,11 @@ final class CdfPartitionReader(p: CdfInputPartition)
       if (row.isNullAt(SIZE)) null else java.lang.Long.valueOf(row.getLong(SIZE)),
       row.getLong(SEQ))
   }
+
+  /** The streamScan file reader currently holding an open file, if any —
+    * owned here so an abandoned iterator still releases it via [[close]].
+    */
+  private var activeStreamReader: VectorizedParquetRecordReader = _
 
   private val rows: Iterator[InternalRow] = {
     val before = readSide(p.beforeFiles)
@@ -614,5 +624,10 @@ final class CdfPartitionReader(p: CdfInputPartition)
   private var current: InternalRow = _
   override def next(): Boolean = { if (rows.hasNext) { current = rows.next(); true } else false }
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = {
+    if (activeStreamReader != null) {
+      activeStreamReader.close()
+      activeStreamReader = null
+    }
+  }
 }

@@ -197,6 +197,36 @@ class CdfStreamSpec extends SparkSpec {
       "window [0,2] live diff is exactly the surviving insert (r2 deleted within it)")
   }
 
+  test("abandoning a partition reader mid-stream releases its open file reader via close()") {
+    val base = tmpDir("cdf-abandon")
+    val primary = LakeTable(s"$base/t", 1) // one bucket → one partition, many rows
+    val rows = (1 to 500).map(i => (s"r$i", "p", "U", i.toLong, s"c$i", "scala", s"v$i", Option(i.toLong)))
+    primary.merge(spark, rows.toDF(cols: _*), 0L)
+
+    val stream = new graft.stream.CdfMicroBatchStream(s"$base/t", 0, 0)
+    val end = stream.latestOffset(graft.stream.CdfOffset(0),
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+    val parts = stream.planInputPartitions(graft.stream.CdfOffset(0), end)
+    assert(parts.length == 1)
+    val factory = stream.createReaderFactory()
+
+    // consume ONE row and abandon — the streamScan's parquet reader is
+    // still open on the file; close() must release it (a cancelled task or
+    // a downstream limit hits exactly this path) and be idempotent
+    val r = factory.createReader(parts.head)
+    assert(r.next(), "partition should yield rows")
+    r.close()
+    r.close() // idempotent
+
+    // a fully-drained reader has already closed its file inline — close()
+    // is then a no-op and the drain still saw every change row
+    val r2 = factory.createReader(parts.head)
+    var n = 0
+    while (r2.next()) n += 1
+    r2.close()
+    assert(n == 500, s"full drain must emit all I rows, got $n")
+  }
+
   for (mode <- Seq(LakeTable.Cow, LakeTable.Mor))
   test(s"executor-side bucket diff ≡ changesBetween over random op sequences (property, $mode)") {
     val base = tmpDir(s"cdf-prop-$mode")
