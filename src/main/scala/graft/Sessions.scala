@@ -29,9 +29,19 @@ object Sessions {
       .map { kv => val i = kv.indexOf('='); kv.take(i) -> kv.drop(i + 1) }
 
   def local(cores: Int, appName: String = "graft",
-            extra: Map[String, String] = Map.empty): SparkSession = {
+            extra: Map[String, String] = Map.empty,
+            masterOverride: Option[String] = None): SparkSession = {
+    // GRAFT_MASTER (or the explicit override) replaces the single-JVM
+    // local[cores] default — e.g. `local-cluster[8,4,6144]` runs 8 separate
+    // 4-core executor JVMs (the standalone-mode launch path, the closest
+    // spark-submit analog this sandbox offers; requires SPARK_HOME and
+    // spark.executor.extraClassPath for `java -cp` launches). `cores`
+    // still sizes spark.sql.shuffle.partitions = total parallelism.
+    val master = masterOverride
+      .orElse(sys.env.get("GRAFT_MASTER"))
+      .getOrElse(s"local[$cores]")
     val b = SparkSession.builder()
-      .master(s"local[$cores]")
+      .master(master)
       .appName(appName)
       // SQL MERGE INTO surface for graft_lake.`<path>` targets
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")

@@ -45,8 +45,9 @@ object ScalingBench {
     (0 until threads).map(counts.get).sum / secs
   }
 
-  def replayOnce(cores: Int, logDir: String, nEvents: Long): (Double, Double) = {
-    val spark = Sessions.local(cores, s"graft-scale-$cores")
+  def replayOnce(cores: Int, logDir: String, nEvents: Long,
+                 master: Option[String] = None): (Double, Double) = {
+    val spark = Sessions.local(cores, s"graft-scale-$cores", masterOverride = master)
     val work = java.nio.file.Files.createTempDirectory(s"scale$cores").toString
     val cfg = TailerConfig(
       logDir = logDir, tableRoot = s"$work/table",
@@ -67,6 +68,17 @@ object ScalingBench {
     val nBig = args.drop(2).headOption.map(_.toInt).getOrElse(32)
     val outMd = args.drop(3).headOption
     val trials = sys.env.getOrElse("GRAFT_BENCH_TRIALS", "3").toInt
+    // Optional per-level master overrides: run each side as separate
+    // executor JVMs — e.g. GRAFT_MASTER_SMALL=local-cluster[2,4,6144] and
+    // GRAFT_MASTER_BIG=local-cluster[8,4,6144] is a literal N→4N-EXECUTOR
+    // pair with fixed 4-core executors (vs the default single-JVM
+    // local[nSmall]/local[nBig] thread pair).
+    val masterSmall = sys.env.get("GRAFT_MASTER_SMALL")
+    val masterBig = sys.env.get("GRAFT_MASTER_BIG")
+    def masterFor(c: Int): Option[String] =
+      if (c == nSmall) masterSmall else masterBig
+    def masterLabel(c: Int): String =
+      masterFor(c).getOrElse(s"local[$c]")
 
     val genSession = Sessions.local(nBig, "graft-scale-gen")
     val logDir = java.nio.file.Files.createTempDirectory("scalelog").toString
@@ -84,12 +96,12 @@ object ScalingBench {
     // calibration runs immediately before every replay at the same thread
     // count — the calib pair measures the HOST's achievable 8→32 speedup
     // in that window, independent of any engine code.
-    replayOnce(nBig, logDir, nEvents) // warmup (discard)
+    replayOnce(nBig, logDir, nEvents, masterFor(nBig)) // warmup (discard)
     case class Trial(cores: Int, secs: Double, eps: Double, calibHps: Double)
     val runs = (1 to trials).flatMap { _ =>
       Seq(nSmall, nBig).map { c =>
         val hps = calibrate(c)
-        val (s, t) = replayOnce(c, logDir, nEvents)
+        val (s, t) = replayOnce(c, logDir, nEvents, masterFor(c))
         Trial(c, s, t, hps)
       }
     }
@@ -110,6 +122,7 @@ object ScalingBench {
     }.mkString("[", ",", "]")
     val json =
       f"""{"metric":"cdc_scaling","nEvents":$nEvents,"genSecs":$genSecs%.1f,""" +
+        s""""masters":{"small":"${masterLabel(nSmall)}","big":"${masterLabel(nBig)}"},""" +
         f""""cores_$nSmall":{"secs":${bs.secs}%.2f,"eventsPerSec":${bs.eps}%.0f},""" +
         f""""cores_$nBig":{"secs":${bb.secs}%.2f,"eventsPerSec":${bb.eps}%.0f},""" +
         f""""scalingEfficiency":$eff%.3f,""" +
@@ -119,12 +132,12 @@ object ScalingBench {
     println(json)
     outMd.foreach { p =>
       val md =
-        f"""## CDC replay scaling (local[$nSmall] vs local[$nBig], same ${nEvents}%,d-event log)
+        f"""## CDC replay scaling (${masterLabel(nSmall)} vs ${masterLabel(nBig)}, same ${nEvents}%,d-event log)
            |
            || parallelism | wall secs | events/sec | host calib (SHA-256/s) |
            ||---|---|---|---|
-           || local[$nSmall] | ${bs.secs}%.2f | ${bs.eps}%,.0f | ${bestCalib(nSmall)}%,.0f |
-           || local[$nBig] | ${bb.secs}%.2f | ${bb.eps}%,.0f | ${bestCalib(nBig)}%,.0f |
+           || ${masterLabel(nSmall)} | ${bs.secs}%.2f | ${bs.eps}%,.0f | ${bestCalib(nSmall)}%,.0f |
+           || ${masterLabel(nBig)} | ${bb.secs}%.2f | ${bb.eps}%,.0f | ${bestCalib(nBig)}%,.0f |
            |
            |Raw scaling efficiency (thru_$nBig / thru_$nSmall) / ${nBig / nSmall} = **$eff%.3f**
            |Host achievable speedup $nSmall→$nBig threads (pure-JVM SHA-256 calibration) = **$hostSpeedup%.2f×** of ideal ${nBig / nSmall}× → host efficiency $hostEff%.3f
