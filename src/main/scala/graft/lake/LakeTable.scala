@@ -173,16 +173,30 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     }
     // Small retained histories (the expireSnapshots steady state) always
     // take the exact scan; big histories take the O(log n) binary search —
-    // but ONLY when monotonicity is PROVEN, not assumed: the clamp and its
-    // "tsClamped" summary marker were introduced together, so if the oldest
-    // retained snapshot carries the marker, every retained stamp was
-    // written under max(now, parent+1) and the sequence is non-decreasing.
-    // Tables with any pre-clamp snapshot in the retained range (written by
-    // earlier rounds of this engine, where writer clock skew could regress
-    // stamps) take the exact scan regardless of history size. A search
-    // miss (every probed stamp legacy/over) also falls back to the scan.
+    // but ONLY when monotonicity is PROVEN, not assumed-from-markers: a
+    // mixed-version writer fleet can interleave a pre-clamp binary (which
+    // may regress stamps under clock skew) BETWEEN clamped commits, so a
+    // marker on the oldest snapshot proves nothing about later ones. The
+    // gate verifies the retained stamp sequence directly — an optional
+    // legacy (unstamped) prefix followed by non-decreasing stamps — once
+    // per handle suffix: O(n) cached snapshot reads the first time, O(new
+    // versions) as the head advances, and the search itself then runs over
+    // cache hits. Any inversion, or a legacy stamp AFTER a stamped one,
+    // permanently downgrades this handle to the exact scan. A search miss
+    // (every probed stamp legacy/over) also falls back to the scan.
     if (vs.length <= 64) return linear()
-    if (!snapshotAt(vs.head).summary.contains("tsClamped")) return linear()
+    if (tsMonoHolds && vs.last > tsMonoVerifiedThrough) {
+      var prev = -1L
+      var ok = true
+      vs.foreach { v =>
+        val ts = tsOf(v)
+        if (ts < 0) { if (prev >= 0) ok = false }
+        else { if (ts < prev) ok = false; prev = ts }
+      }
+      tsMonoHolds = ok
+      tsMonoVerifiedThrough = vs.last
+    }
+    if (!tsMonoHolds) return linear()
     var lo = 0; var hi = vs.length - 1; var ans = -1
     while (lo <= hi) {
       val mid = (lo + hi) >>> 1
@@ -214,6 +228,17 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     */
   private val commitTsCache =
     new java.util.concurrent.ConcurrentHashMap[Integer, java.lang.Long]()
+
+  /** [[versionAt]] binary-search gate: highest version through which the
+    * retained stamp sequence has been VERIFIED non-decreasing (a legacy
+    * unstamped prefix is allowed), and whether that verification ever
+    * failed. Stamps are immutable, so a verified suffix stays verified;
+    * only versions past the watermark need checking as the head advances.
+    * A failed check is sticky — the handle falls back to the exact linear
+    * scan for its lifetime (stamps never change, so it could never pass).
+    */
+  @volatile private var tsMonoVerifiedThrough: Int = Int.MinValue
+  @volatile private var tsMonoHolds: Boolean = true
 
   private def readSnapshot(p: Path): Snapshot = {
     snapshotReads.incrementAndGet()

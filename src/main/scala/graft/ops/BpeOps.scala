@@ -31,6 +31,36 @@ object BpeOps {
 
   val EndOfWord = "</w>"
 
+  /** Escape char for word text that collides with the tokenizer's own
+    * alphabet. A word may legitimately CONTAIN the literal `</w>` marker
+    * (code/markup corpora) or `\u0001` itself; without escaping, decode
+    * cannot tell an interior literal from the appended word-end marker and
+    * the losslessness invariant breaks. Scheme (sequential, self-delimiting):
+    * `\u0001` → `\u0001e`, `</w>` → `\u0001m` — after escaping, the string
+    * `</w>` appears ONLY as the appended marker, and a left-to-right decode
+    * scan inverts it exactly. */
+  private val Esc = '\u0001'
+
+  private[ops] def escapeWord(w: String): String =
+    if (w.indexOf(Esc) < 0 && !w.contains(EndOfWord)) w
+    else w.replace(Esc.toString, "\u0001e").replace(EndOfWord, "\u0001m")
+
+  /** Symbol sequence for a word: escaped text split by CODE POINT (a
+    * surrogate pair must never split — lone surrogates don't survive the
+    * UTF8String round-trip), plus the end-of-word marker. */
+  private[ops] def wordSymbols(w: String): Array[String] = {
+    val esc = escapeWord(w)
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < esc.length) {
+      val cp = esc.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out += EndOfWord
+    out.result()
+  }
+
   /** Corpus word-frequency table: (word, n) — the only full-corpus pass. */
   def wordFrequencies(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
@@ -54,9 +84,10 @@ object BpeOps {
   /** Merge learning over a (word, count) dictionary — pure, deterministic. */
   def trainFromFrequencies(freq: Seq[(String, Long)],
                            numMerges: Int): Seq[(String, String)] = {
-    // each word as its symbol sequence (chars + end-of-word marker)
+    // each word as its symbol sequence (escaped code points + marker) —
+    // the SAME representation the encoder applies merges to
     var words: Array[(Array[String], Long)] = freq.map { case (w, n) =>
-      (w.map(_.toString).toArray :+ EndOfWord, n)
+      (wordSymbols(w), n)
     }.toArray
     val merges = Seq.newBuilder[(String, String)]
     var i = 0
@@ -112,16 +143,68 @@ object BpeOps {
   def tokenCount(text: Column, merges: Seq[(String, String)]): Column =
     size(tokenize(text, merges))
 
-  /** Decode a token array back to text: concatenate subwords, turn each
-    * `</w>` marker back into a space, trim. `decode(tokenize(x)) ≡
-    * normalize(x)` where normalize = lowercase + whitespace-collapse —
-    * the losslessness invariant (BpeSpec in-JVM; `t5_bpe_tokens` proves it
-    * cross-engine: DuckDB recomputes `sha256(normalize(text))` from the
-    * parquet and equates it with Spark's `sha256(decode(encode(text)))`).
+  /** Decode a token array back to text: concatenate subwords, then one
+    * left-to-right scan turning each `</w>` marker into a space and
+    * inverting the [[escapeWord]] escapes (so text that itself contains
+    * the literal marker or the escape char round-trips). `decode(tokenize
+    * (x)) ≡ normalize(x)` where normalize = lowercase + whitespace-collapse
+    * — the losslessness invariant (BpeSpec in-JVM incl. adversarial
+    * marker-in-text inputs; `t5_bpe_tokens` proves it cross-engine: DuckDB
+    * recomputes `sha256(normalize(text))` from the parquet and equates it
+    * with Spark's `sha256(decode(encode(text)))`).
     */
-  def decode(tokens: Column): Column =
-    trim(regexp_replace(concat_ws("", tokens),
-      java.util.regex.Pattern.quote(EndOfWord), " "))
+  def decode(tokens: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(BpeDecode(ColumnBridge.expression(tokens)))
+  }
+
+  /** Sequential inverse of the encode-side escaping. Pure; shared by the
+    * expression and tests. */
+  def decodeConcat(s: String): String = {
+    val out = new java.lang.StringBuilder(s.length)
+    var j = 0
+    while (j < s.length) {
+      if (s.startsWith(EndOfWord, j)) { out.append(' '); j += EndOfWord.length }
+      else if (s.charAt(j) == Esc && j + 1 < s.length && s.charAt(j + 1) == 'e') {
+        out.append(Esc); j += 2
+      } else if (s.charAt(j) == Esc && j + 1 < s.length && s.charAt(j + 1) == 'm') {
+        out.append(EndOfWord); j += 2
+      } else { out.append(s.charAt(j)); j += 1 }
+    }
+    out.toString.trim
+  }
+}
+
+/** Catalyst expression: invert [[BpeTokenize]] — concatenate the subword
+  * array and run the sequential unescape scan ([[BpeOps.decodeConcat]]).
+  * Codegen emits one call per row via a reference object, same pattern as
+  * the encoder — stays inside whole-stage codegen.
+  */
+case class BpeDecode(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "bpe_decode"
+
+  def decodeTokens(arr: ArrayData): UTF8String = {
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < arr.numElements()) {
+      sb.append(arr.getUTF8String(i).toString); i += 1
+    }
+    UTF8String.fromString(BpeOps.decodeConcat(sb.toString))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    decodeTokens(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeDec", this, classOf[BpeDecode].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $ref.decodeTokens($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeDecode =
+    copy(child = newChild)
 }
 
 /** Catalyst expression: BPE-encode a text column (lowercase, whitespace
@@ -148,9 +231,10 @@ case class BpeTokenize(child: Expression, merges: Seq[(String, String)])
     val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
     words.foreach { w =>
       if (w.nonEmpty) {
-        var syms = new java.util.ArrayList[String](w.length + 1)
-        w.foreach(c => syms.add(c.toString))
-        syms.add(BpeOps.EndOfWord)
+        // escaped code-point symbols + marker — same alphabet training used
+        val ws = BpeOps.wordSymbols(w)
+        var syms = new java.util.ArrayList[String](ws.length)
+        ws.foreach(syms.add)
         // repeatedly apply the lowest-rank applicable merge (standard encode)
         var merging = syms.size > 1 && !ranks.isEmpty
         while (merging) {

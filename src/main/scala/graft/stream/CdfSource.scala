@@ -143,25 +143,42 @@ final class CdfTable(root: String) extends Table with SupportsRead {
         options.getInt("startversion", 0),
         options.getInt("maxversionsperbatch", 0),
         options.getLong("maxstaterowsperpartition", CdfFeed.DefaultMaxStateRows),
-        options.getLong("maxstatebytesperpartition", CdfFeed.DefaultMaxStateBytes))
+        options.getLong("maxstatebytesperpartition", CdfFeed.DefaultMaxStateBytes),
+        maxRowsPerTrigger = longOpt(options, "maxrowspertrigger"),
+        maxFilesPerTrigger = longOpt(options, "maxfilespertrigger"))
+    }
+
+  private def longOpt(options: CaseInsensitiveStringMap,
+                      key: String): Option[Long] =
+    Option(options.get(key)).map { v =>
+      val n = try v.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft-cdf: $key must be a positive integer, got '$v'")
+      }
+      require(n > 0, s"graft-cdf: $key must be positive, got $n")
+      n
     }
 }
 
 final class CdfScan(root: String, startVersion: Int, maxVersionsPerBatch: Int,
                     maxStateRows: Long = CdfFeed.DefaultMaxStateRows,
-                    maxStateBytes: Long = CdfFeed.DefaultMaxStateBytes)
+                    maxStateBytes: Long = CdfFeed.DefaultMaxStateBytes,
+                    maxRowsPerTrigger: Option[Long] = None,
+                    maxFilesPerTrigger: Option[Long] = None)
   extends Scan {
   override def readSchema(): StructType = CdfFeed.feedSchema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new CdfMicroBatchStream(root, startVersion, maxVersionsPerBatch,
-      maxStateRows, maxStateBytes)
+      maxStateRows, maxStateBytes, maxRowsPerTrigger, maxFilesPerTrigger)
   override def description(): String = s"graft-cdf[$root]"
 }
 
 final class CdfMicroBatchStream(root: String, startVersion: Int,
                                 maxVersionsPerBatch: Int,
                                 maxStateRows: Long = CdfFeed.DefaultMaxStateRows,
-                                maxStateBytes: Long = CdfFeed.DefaultMaxStateBytes)
+                                maxStateBytes: Long = CdfFeed.DefaultMaxStateBytes,
+                                maxRowsPerTrigger: Option[Long] = None,
+                                maxFilesPerTrigger: Option[Long] = None)
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   require(maxStateRows > 0,
@@ -188,7 +205,24 @@ final class CdfMicroBatchStream(root: String, startVersion: Int,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(table.headVersion())
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  /** The limit MicroBatchExecution passes back into [[latestOffset]] every
+    * tick — this is the ONLY way source options become admission control
+    * in a real streaming query (Spark never invents a limit itself), so
+    * the stock `maxRowsPerTrigger` / `maxFilesPerTrigger` options are
+    * parsed here into standard [[ReadLimit]]s (the Kafka source pattern).
+    * `maxVersionsPerBatch` stays an independent cap inside latestOffset.
+    */
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = Seq(
+      maxRowsPerTrigger.map(n => ReadLimit.maxRows(n)),
+      maxFilesPerTrigger.map(n =>
+        ReadLimit.maxFiles(math.min(n, Int.MaxValue.toLong).toInt))).flatten
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
   override def latestOffset(): Offset = throw new UnsupportedOperationException(
     "latestOffset(Offset, ReadLimit) is the admission-control entry point")
@@ -445,13 +479,12 @@ final class CdfPartitionReader(p: CdfInputPartition)
   private final class Loc(val fileIdx: Int, val rowIdx: Int, val seq: Long,
                           val deleted: Boolean)
 
-  private def u8(s: UTF8String) = if (s == null) null else s
   private def outRow(op: String, repo: UTF8String, path: UTF8String, commit: UTF8String,
                      language: UTF8String, content: UTF8String,
                      sizeBytes: java.lang.Long, seq: Long): InternalRow =
     new GenericInternalRow(Array[Any](
-      UTF8String.fromString(op), repo, path, u8(commit), u8(language),
-      u8(content), if (sizeBytes == null) null else sizeBytes.longValue, seq))
+      UTF8String.fromString(op), repo, path, commit, language,
+      content, if (sizeBytes == null) null else sizeBytes.longValue, seq))
 
   /** Streamed scan as an iterator: decode the file list in order, run
     * `emit` on each row, surface its non-null results one at a time. Only

@@ -28,16 +28,42 @@ class BpeSpec extends SparkSpec {
     val m2 = BpeOps.train(docs, "text", numMerges = 100, maxVocabWords = 5000)
     assert(m1 === m2, "same corpus + params ⇒ same merges")
     assert(m1.size === 100)
-    // lossless: joining tokens and turning </w> back into spaces
-    // reconstructs the normalized text, for every document
+    // lossless: decode(tokenize(x)) reconstructs the normalized text,
+    // for every document
     val bad = docs.select(
         regexp_replace(lower(trim($"text")), "\\s+", " ").as("norm"),
         BpeOps.tokenize($"text", m1).as("toks"))
-      .select(($"norm" ===
-        trim(regexp_replace(concat_ws("", $"toks"), java.util.regex.Pattern.quote(BpeOps.EndOfWord), " ")))
-        .as("ok"))
+      .select(($"norm" === BpeOps.decode($"toks")).as("ok"))
       .filter(!$"ok").count()
     assert(bad === 0L, "BPE encoding must be lossless")
+  }
+
+  test("decode inverts encode on adversarial text: literal </w>, escape char, non-BMP") {
+    // text that collides with the tokenizer's own alphabet must still
+    // round-trip: literal end-of-word markers, the \u0001 escape char
+    // itself, escape-lookalike sequences, and surrogate-pair code points
+    // (a per-Java-char split would emit lone surrogates, which do not
+    // survive the UTF8String round-trip)
+    val adversarial = Seq(
+      "a</w>b plain",                  // interior literal marker
+      "</w> leading marker",           // word IS the marker
+      "tail</w>",                      // word ends with the marker
+      "esc\u0001char",                 // the escape char itself
+      "fake\u0001m escape lookalike",  // pre-escaped-looking sequence
+      "double\u0001\u0001m esc",       // escape-char run before lookalike
+      "emoji 😀 pair",       // non-BMP (surrogate pair)
+      "mix</w>\u0001😀</w>") // everything at once
+    val df = adversarial.toDF("text")
+    val merges = BpeOps.train(df, "text", numMerges = 30, maxVocabWords = 100)
+    for (m <- Seq(Seq.empty[(String, String)], merges)) {
+      val rows = df.select(
+          regexp_replace(lower(trim($"text")), "\\s+", " ").as("norm"),
+          BpeOps.decode(BpeOps.tokenize($"text", m)).as("rt"))
+        .as[(String, String)].collect()
+      rows.foreach { case (norm, rt) =>
+        assert(rt === norm, s"round-trip broke (merges=${m.size})")
+      }
+    }
   }
 
   test("more merges ⇒ fewer (or equal) tokens, always ≤ chars+words") {

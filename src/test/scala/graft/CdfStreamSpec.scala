@@ -410,6 +410,47 @@ class CdfStreamSpec extends SparkSpec {
     assert(rows.size === 18, s"all 18 inserts must flow, got ${rows.size}")
   }
 
+  test("maxRowsPerTrigger / maxFilesPerTrigger OPTIONS reach admission control in a real query") {
+    // the end-to-end path: MicroBatchExecution only ever applies the limit
+    // the source returns from getDefaultReadLimit, so the stock trigger
+    // knobs must be parsed from the source options to have any effect
+    val base = tmpDir("cdf-triggeropt")
+    val primary = LakeTable(s"$base/t", 2)
+    def mk(i: Long, j: Long) = ("r", s"p$i-$j", "I", i * 10 + j, s"c$i", "scala", s"v$i", Option(i))
+    (1L to 6L).foreach(i =>
+      primary.merge(spark, Seq(mk(i, 1), mk(i, 2), mk(i, 3)).toDF(cols: _*), i - 1))
+
+    def drain(opts: (String, String)*): Seq[Long] = {
+      val sizes = scala.collection.mutable.ArrayBuffer[Long]()
+      val ckpt = s"$base/ckpt-${opts.hashCode.toHexString}"
+      var r = spark.readStream.format("graft-cdf").option("path", s"$base/t")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (feed: DataFrame, _: Long) => sizes += feed.count(); () }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      sizes.toSeq
+    }
+
+    // budget 7 rows/batch over 6 commits × 3 rows ⇒ 2 versions per batch
+    // ⇒ exactly 3 batches of 6 feed rows
+    val byRows = drain("maxRowsPerTrigger" -> "7")
+    assert(byRows === Seq(6L, 6L, 6L), s"maxRowsPerTrigger must window the drain, got $byRows")
+    // maxFilesPerTrigger n ↦ n versions per batch ⇒ 2 batches (3+3 commits)
+    val byFiles = drain("maxFilesPerTrigger" -> "3")
+    assert(byFiles === Seq(9L, 9L), s"maxFilesPerTrigger must window the drain, got $byFiles")
+    // composed: the tighter cap wins per batch
+    val both = drain("maxRowsPerTrigger" -> "4", "maxFilesPerTrigger" -> "3")
+    assert(both === Seq(3L, 3L, 3L, 3L, 3L, 3L), s"composite caps must both apply, got $both")
+    // malformed values fail loudly, not silently unbounded
+    val e = intercept[Exception](drain("maxRowsPerTrigger" -> "-1"))
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("must be positive"), msgs)
+  }
+
   test("equal-seq duplicate across MOR files: Dataset read and DSv2 feed agree (file-order tie-break)") {
     val base = tmpDir("cdf-tie")
     val primary = LakeTable(s"$base/t", 2, LakeTable.Mor)

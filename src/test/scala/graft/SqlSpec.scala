@@ -481,7 +481,15 @@ class SqlSpec extends SparkSpec {
     val before = fresh.snapshotReads.get()
     assert(fresh.versionAt(target) === 50)
     val reads = fresh.snapshotReads.get() - before
-    assert(reads <= 10, s"binary search over 101 versions should read ~log2(101)=7 snapshots (+1 clamp-marker probe), read $reads")
+    // first call pays the one-time monotonicity verification walk (O(n)
+    // snapshot reads, each populating the stamp cache)…
+    assert(reads <= 102, s"first versionAt = verification walk over 101 snapshots, read $reads")
+    // …after which every lookup is pure cache: binary search, ZERO reads
+    val b1 = fresh.snapshotReads.get()
+    assert(fresh.versionAt(fresh.snapshotAt(75).committedAtMs) === 75)
+    assert(fresh.versionAt(fresh.snapshotAt(12).committedAtMs) === 12)
+    assert(fresh.snapshotReads.get() - b1 <= 2,
+      "verified suffix + cached stamps: repeat lookups must not re-read snapshots")
     // headVersion: a follower poll tick reads ONLY the pointer file
     val b2 = fresh.snapshotReads.get()
     assert(fresh.headVersion() === 100)
@@ -511,6 +519,34 @@ class SqlSpec extends SparkSpec {
     assert(fresh.versionAt(1040L) === 40)
     // and the regressed band itself resolves exactly too
     assert(fresh.versionAt(590L) === 80)
+  }
+
+  test("versionAt: ONE regressed mid-history stamp (mixed-version writers) still takes the exact scan") {
+    // the adversarial shape a marker-on-the-oldest-snapshot gate misses: a
+    // mixed-version writer fleet where an OLD (pre-clamp) binary commits
+    // one regressed, unmarked stamp BETWEEN clamped commits — the oldest
+    // retained snapshot still carries tsClamped, but the sequence is
+    // non-monotone and a trusting binary search can resolve wrongly
+    val base = tmpDir("sqlvatmixed")
+    val t = lake.LakeTable(s"$base/t", 4)
+    (1 to 80).foreach(_ => t.truncate()) // 81 snapshots v0..v80 (> 64)
+    val meta = java.nio.file.Paths.get(s"$base/t/meta")
+    t.versions().foreach { v =>
+      val p = meta.resolve(s"v$v.json")
+      var s = java.nio.file.Files.readString(p)
+        .replaceAll("\"committedAtMs\"\\s*:\\s*\"\\d+\"",
+          s""""committedAtMs" : "${if (v == 60) 900L else 1000L + v}"""")
+      if (v == 60) s = s.replace("\"tsClamped\"", "\"tsRaw\"") // the old-binary commit
+      java.nio.file.Files.writeString(p, s)
+    }
+    val fresh = lake.LakeTable.open(s"$base/t")
+    // stamps: 1000,1001,…,1059, 900, 1061,…,1080 — the exact answer for
+    // ts=1059 is v59; a search trusting order could land short or on v60
+    assert(fresh.versionAt(1059L) === 59)
+    // the regressed commit itself is still reachable exactly
+    assert(fresh.versionAt(999L) === 60)
+    // and queries above the band resolve to the true newest-eligible
+    assert(fresh.versionAt(1080L) === 80)
   }
 
   test("graft_changes TVF ≡ changesBetween (the CDF as a SQL table function)") {
