@@ -322,8 +322,23 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     * retries) must not collide on disk. Losers' blobs become orphans that
     * no committed manifest references.
     */
-  private def newToken(): String =
-    java.util.UUID.randomUUID.toString.substring(0, 8)
+  /** Write-token for snapshot data/manifest names: a zero-padded,
+    * per-JVM-monotone millisecond stamp, then a random suffix. Byte-order
+    * of two tokens from the SAME writer therefore follows write order,
+    * which upgrades the equal-seq tie-break (byte-wise greatest data-file
+    * path wins, [[resolve]]) from merely-deterministic to LATEST-WRITE-WINS
+    * on any sequentially-written table — what lets a replication sink
+    * apply a primary's seq-unchanged payload mutation to a MOR mirror as a
+    * plain append ([[graft.stream.Tailer.applyChanges]]). Cross-writer
+    * clock skew can still invert order for CONCURRENT equal-seq dupes of
+    * the same key — already a documented ingest anomaly; the break stays
+    * deterministic there.
+    */
+  private def newToken(): String = {
+    val ts = LakeTable.tokenClock.updateAndGet(
+      prev => math.max(prev + 1, System.currentTimeMillis))
+    f"$ts%013d-${java.util.UUID.randomUUID.toString.substring(0, 8)}"
+  }
 
   /** Write one manifest per bucket present in `files`; returns their refs. */
   private def writeManifests(tag: String, files: Seq[DataFile]): Seq[ManifestRef] = {
@@ -724,7 +739,8 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     */
   def merge(spark: SparkSession, batch: DataFrame, batchId: Long,
             updateColumns: Option[Seq[String]], retries: Int,
-            srcKeyUnique: Boolean = false): MergeStats = {
+            srcKeyUnique: Boolean = false,
+            acceptEqualSeq: Boolean = false): MergeStats = {
     val h0 = checkedHead()
     if (batchId <= h0.lastBatchId)
       return MergeStats(applied = false, h0.version, 0L, 0, h0.totalRows)
@@ -758,8 +774,17 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
         col("size_bytes").as("s_size_bytes"))
       val j = tgt.join(s,
         tgt("repo") === s("s_repo") && tgt("path") === s("s_path"), "full_outer")
+      // acceptEqualSeq: a REPLICATION sink must let an equal-seq source row
+      // win — the primary's own SQL MERGE may mutate payload while leaving
+      // seq unassigned, and its change feed carries that row with the seq
+      // the mirror already holds (changesBetween doc). Still idempotent:
+      // re-applying the same row overwrites with identical values. Ingest
+      // paths keep the strict `>` (an event never outranks itself).
+      val seqWins =
+        if (acceptEqualSeq) col("s_seq") >= col("seq")
+        else col("s_seq") > col("seq")
       val takeSrc = col("s_seq").isNotNull &&
-        (col("seq").isNull || col("s_seq") > col("seq"))
+        (col("seq").isNull || seqWins)
       // DELETE arm writes a tombstone (nulled payload, deleted=true, src seq)
       // rather than dropping the row — see `deleted` column doc above.
       val srcIsDel = col("s_op") === "D"
@@ -1018,8 +1043,13 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
         val field = schema(name)
         val base: Column = assignMaps.foldLeft(when(lit(false), lit(null))) {
           case (w, (tag, assigns)) =>
+            // INSERT arms default unassigned payload columns to NULL —
+            // except seq, whose schema contract is non-nullable: default 0,
+            // the same floor insertStrict uses (any real CDC event for the
+            // key carries seq >= 1 and outranks it)
             val v = assigns.getOrElse(name,
-              if (tag.startsWith("i")) lit(null) else col(s"$tAlias.$name"))
+              if (tag.startsWith("i")) (if (name == "seq") lit(0L) else lit(null))
+              else col(s"$tAlias.$name"))
             w.when(col("_act") === tag, v)
         }
         base.otherwise(col(s"$tAlias.$name")).cast(field.dataType).as(name)
@@ -1548,6 +1578,12 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
 
 object LakeTable {
   private val mapper = new ObjectMapper()
+
+  /** Monotone clock for [[LakeTable.newToken]] — shared across all table
+    * handles in the JVM so write tokens never regress even under
+    * wall-clock adjustment.
+    */
+  private val tokenClock = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Thrown when the HEAD CAS (or the create-new snapshot write) loses to a
     * concurrent writer; commit paths catch it and rebase/retry.

@@ -34,6 +34,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
 object GraftSqlMergeRule extends Rule[LogicalPlan] {
 
   private val KeyCols = Seq("repo", "path")
+  // the lake table schema is fixed, so unqualified references can be
+  // validated by name at parse time (see the BY SOURCE check below)
+  private val TableCols = Set("repo", "path", "commit", "language",
+    "content", "size_bytes", "seq")
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
     case m: MergeIntoTable =>
@@ -101,6 +105,16 @@ object GraftSqlMergeRule extends Rule[LogicalPlan] {
       }
       exprs.find(refsAlias(_, sAlias)).foreach(e => fail(
         s"WHEN NOT MATCHED BY SOURCE may only reference the target: ${e.sql} uses $sAlias"))
+      // an UNQUALIFIED name that is not a target column would resolve
+      // against the joined plan's source side — which is all-NULL on
+      // not-by-source rows, silently nulling the condition (a DELETE that
+      // never fires). The target schema is fixed, so reject by name.
+      exprs.flatMap(_.collect {
+        case a: UnresolvedAttribute if a.nameParts.length == 1 &&
+            !TableCols.contains(a.nameParts.head.toLowerCase) => a.name
+      }).headOption.foreach(n => fail(
+        s"WHEN NOT MATCHED BY SOURCE may only reference the target: '$n' " +
+          s"is not a column of the target table (${TableCols.mkString(", ")})"))
       c.assigns.find(a => KeyCols.contains(a._1)).foreach { case (k, _) =>
         fail(s"WHEN NOT MATCHED BY SOURCE must not reassign key column '$k'")
       }
@@ -216,12 +230,14 @@ final case class GraftMergeCommand(
   * full table schema and requires exactly that arity (names in the query
   * are NOT consulted, so a reordered SELECT behaves here exactly as it
   * would on the tables this surface emulates; by-name subset inserts
-  * spell out a column list). Then delegates to [[LakeTable.insertStrict]]
-  * (append-only on the key; collisions fail with the equivalent-MERGE
-  * guidance).
+  * spell out a column list or use `INSERT INTO … BY NAME`, whose mapping
+  * is the query's own column names). Then delegates to
+  * [[LakeTable.insertStrict]] (append-only on the key; collisions fail
+  * with the equivalent-MERGE guidance).
   */
 final case class GraftInsertCommand(root: String, userCols: Seq[String],
-                                    query: LogicalPlan) extends LeafRunnableCommand {
+                                    query: LogicalPlan,
+                                    byName: Boolean = false) extends LeafRunnableCommand {
 
   override def output: Seq[Attribute] = Seq(
     AttributeReference("version", IntegerType, nullable = false)(),
@@ -234,7 +250,18 @@ final case class GraftInsertCommand(root: String, userCols: Seq[String],
     val table = LakeTable.open(root)
     val dataCols = table.schema.fieldNames.filterNot(_ == "deleted").toSeq
     var src = org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(cs, query)
-    if (userCols.nonEmpty) {
+    if (byName) {
+      // INSERT INTO … BY NAME: the query's OWN column names choose target
+      // columns (standard Spark 3.5+/Delta semantics) — insertStrict maps
+      // by name, rejects unknown columns, and fills unnamed ones; only
+      // ambiguous duplicate names must die here
+      val dup = src.columns.groupBy(_.toLowerCase).collectFirst {
+        case (n, cs) if cs.length > 1 => n }
+      require(dup.isEmpty,
+        s"INSERT BY NAME query names column '${dup.getOrElse("")}' more than once")
+      require(userCols.isEmpty,
+        "INSERT BY NAME does not take a column list — the query's column names are the mapping")
+    } else if (userCols.nonEmpty) {
       require(userCols.length == src.columns.length,
         s"INSERT column list has ${userCols.length} columns but the query " +
           s"produces ${src.columns.length}")
@@ -374,7 +401,8 @@ final class GraftSqlReadRule(session: SparkSession) extends Rule[LogicalPlan] {
         "graft lake tables are key-bucketed, not partitioned — name " +
           s"${i.partitionSpec.keys.mkString(", ")} in the INSERT column " +
           "list instead of a PARTITION clause")
-      GraftInsertCommand(relation(i.table).get._1, i.userSpecifiedCols, i.query)
+      GraftInsertCommand(relation(i.table).get._1, i.userSpecifiedCols, i.query,
+        byName = i.byName)
 
     // time travel: SELECT … FROM graft_lake.`x` VERSION AS OF <n>
     case tt: RelationTimeTravel if relation(tt.relation).isDefined =>
@@ -459,7 +487,9 @@ private[plans] object GraftTvf {
 
   def intLit(e: Expression): Option[Int] = e match {
     case Literal(v: Int, IntegerType) => Some(v)
-    case Literal(v: Long, LongType) => Some(v.toInt)
+    // out-of-range longs must NOT wrap into a (different, valid-looking)
+    // version number — fall through to the TVF's usage error instead
+    case Literal(v: Long, LongType) if v.isValidInt => Some(v.toInt)
     case _ => None
   }
 

@@ -48,7 +48,11 @@ object Tailer {
     val spark = raw.sparkSession
     if (raw.isEmpty) return
 
-    // per-partition lineage over the RAW input (offsets = seq range seen)
+    // per-partition lineage over the RAW input (offsets = seq range seen);
+    // `attempt` stamps this delivery so readLineage can keep exactly one
+    // attempt per batch — a re-delivered batch may be re-partitioned
+    // differently (core-count change across a restart), so rows from two
+    // attempts are NOT per-partition duplicates and must never mix
     val lineage = raw
       .groupBy(spark_partition_id().as("partitionId"))
       .agg(
@@ -57,7 +61,8 @@ object Tailer {
         count(lit(1)).as("rowsApplied"),
         sum(coalesce(length(col("payload")).cast("long"), lit(0L))).as("bytesIn"))
       .select(lit(batchId).as("batchId"), col("partitionId"),
-        col("firstOffset"), col("lastOffset"), col("rowsApplied"), col("bytesIn"))
+        col("firstOffset"), col("lastOffset"), col("rowsApplied"), col("bytesIn"),
+        lit(System.currentTimeMillis).as("attempt"))
 
     // lineage is independent of the merge — run it as a concurrent Spark
     // job so its latency hides behind the merge compute
@@ -150,18 +155,31 @@ object Tailer {
       false
     } catch { case e: IllegalStateException if e.getMessage != null &&
         e.getMessage.contains("expired") =>
+      // Full sync as ONE synthetic change-feed batch through the normal
+      // sink ([[applyChanges]]), so it works on COW and MOR mirrors alike
+      // (the previous SQL-MERGE form required COW). Pinned at headV so the
+      // re-seeded cursor and the applied state name the same snapshot:
+      //  - every primary live row as a U row (equal-seq payload mutations
+      //    inside the expired gap land because the sink accepts equal-seq
+      //    source wins);
+      //  - every key live in the mirror but gone from the primary as a D
+      //    row carrying the mirror's own seq (the sink's tombstone bump
+      //    makes it outrank the stale row — the arm that makes recovery
+      //    exact for keys deleted inside the gap).
       val headV = primary.headVersion()
-      val state = primary.read(spark)
+      val state = primary.readAt(spark, headV)
         .select("repo", "path", "commit", "language", "content", "size_bytes", "seq")
-        .alias("s")
-      derived.mergeSql(spark, state, "t", "s",
-        "`t`.`repo` = `s`.`repo` AND `t`.`path` = `s`.`path`",
-        Map("repo" -> "`s`.`repo`", "path" -> "`s`.`path`"),
-        matched = Seq(LakeTable.SqlMergeClause("update", None, Nil,
-          star = true, starAlias = "s")),
-        notMatched = Seq(LakeTable.SqlMergeClause("insert", None, Nil,
-          star = true, starAlias = "s")),
-        notBySource = Seq(LakeTable.SqlMergeClause("delete", None, Nil)))
+      val upserts = state.withColumn("op", lit("U"))
+      val gone = derived.read(spark)
+        .select("repo", "path", "seq")
+        .join(state.select("repo", "path"), Seq("repo", "path"), "left_anti")
+        .withColumn("op", lit("D"))
+        .withColumn("commit", lit(null).cast("string"))
+        .withColumn("language", lit(null).cast("string"))
+        .withColumn("content", lit(null).cast("string"))
+        .withColumn("size_bytes", lit(null).cast("long"))
+      applyChanges(derived, upserts.unionByName(gone),
+        batchId = derived.head().lastBatchId + 1)
       seed(headV)
       true
     }
@@ -170,36 +188,56 @@ object Tailer {
   /** Canonical lineage reader: the lineage dir is APPENDED at-least-once
     * (a crash between merge commit and lineage write re-delivers the
     * batch, and the fence no-ops the merge but not the append), so readers
-    * must dedupe by (batchId, partitionId) — this does, picking one row
-    * per key (duplicates are identical recomputations of the same raw
-    * input, so max ≡ first ≡ the value). One hash aggregate, O(batches ×
+    * must keep exactly ONE delivery attempt per batch. A re-delivered
+    * batch can be re-partitioned differently (the file source re-splits
+    * under a changed core count), so attempts are NOT row-for-row
+    * duplicates — rows of the newest `attempt` stamp win wholesale, then
+    * (batchId, partitionId) dedupe collapses any identical re-writes
+    * within that attempt (and is the whole rule for legacy dirs written
+    * before the stamp existed). Two hash aggregates, O(batches ×
     * partitions) rows — metadata scale.
     */
-  def readLineage(spark: SparkSession, lineageDir: String): DataFrame =
-    spark.read.parquet(lineageDir)
+  def readLineage(spark: SparkSession, lineageDir: String): DataFrame = {
+    val df = spark.read.parquet(lineageDir)
+    val latest =
+      if (df.columns.contains("attempt"))
+        df.join(df.groupBy("batchId").agg(max("attempt").as("attempt")),
+            Seq("batchId", "attempt"))
+          .drop("attempt")
+      else df
+    latest
       .groupBy("batchId", "partitionId")
       .agg(
         max("firstOffset").as("firstOffset"),
         max("lastOffset").as("lastOffset"),
         max("rowsApplied").as("rowsApplied"),
         max("bytesIn").as("bytesIn"))
+  }
 
   /** StreamingQueryListener → metrics table: appends Dropwizard-style rows
     * (inputRows, processedRowsPerSecond, trigger/addBatch durations) per
     * progress event; detaches itself when its query terminates.
     */
   private final class ProgressListener(spark: SparkSession, metricsDir: String,
-                                       queryId: java.util.UUID)
+                                       queryName: String)
     extends org.apache.spark.sql.streaming.StreamingQueryListener {
     import org.apache.spark.sql.streaming.StreamingQueryListener._
-    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    // The listener is registered BEFORE the query starts (a listener added
+    // after .start() can miss the first micro-batch's progress event — the
+    // bus does not replay to late registrants), so it cannot be keyed by
+    // query id yet: it matches on the UNIQUE query name and captures the
+    // id from the started event (delivered synchronously, before any
+    // progress) for the terminated-detach check.
+    @volatile private var queryId: java.util.UUID = null
+    override def onQueryStarted(e: QueryStartedEvent): Unit =
+      if (e.name == queryName) queryId = e.id
     // Delivery is async (listener bus): an event can still be in flight when
     // the session stops — metrics are best-effort, so guard + swallow rather
     // than let a stack trace hit the logs (it polluted the driver-parsed
     // bench stdout in round 1).
     override def onQueryProgress(e: QueryProgressEvent): Unit = try {
       if (!spark.sparkContext.isStopped &&
-          e.progress.id == queryId && e.progress.numInputRows > 0) {
+          e.progress.name == queryName && e.progress.numInputRows > 0) {
         import spark.implicits._
         val durs = e.progress.durationMs
         Seq(
@@ -214,7 +252,7 @@ object Tailer {
       }
     } catch { case scala.util.control.NonFatal(_) => () }
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-      if (e.id == queryId) {
+      if (queryId != null && e.id == queryId) {
         spark.streams.removeListener(this)
         listeners.remove(e.id) // continuous-mode queries detach here too
       }
@@ -237,14 +275,21 @@ object Tailer {
     val withOpt = cfg.maxFilesPerTrigger
       .map(n => reader.option("maxFilesPerTrigger", n)).getOrElse(reader)
     val src = withOpt.parquet(cfg.logDir)
+    // unique name so the progress listener (registered BEFORE start — the
+    // bus does not replay events to late registrants, so registering after
+    // could lose the first batch's metrics) matches only this query
+    val name = s"graft-tailer-${java.util.UUID.randomUUID.toString.substring(0, 8)}"
     val writer = src.writeStream
+      .queryName(name)
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch(applyBatch(table, cfg) _)
-    val q = (if (cfg.availableNow) writer.trigger(Trigger.AvailableNow())
-             else writer.trigger(Trigger.ProcessingTime("1 second"))).start()
-    val l = new ProgressListener(spark, cfg.metricsDir, q.id)
-    listeners.put(q.id, l)
+    val l = new ProgressListener(spark, cfg.metricsDir, name)
     spark.streams.addListener(l)
+    val q = try {
+      (if (cfg.availableNow) writer.trigger(Trigger.AvailableNow())
+       else writer.trigger(Trigger.ProcessingTime("1 second"))).start()
+    } catch { case t: Throwable => spark.streams.removeListener(l); throw t }
+    listeners.put(q.id, l)
     q
   }
 
@@ -279,8 +324,14 @@ object Tailer {
       col("repo"), col("path"), col("op"),
       when(col("op") === "D", col("seq") + 1).otherwise(col("seq")).as("seq"),
       col("commit"), col("language"), col("content"), col("size_bytes"))
+    // acceptEqualSeq: the primary's SQL MERGE may mutate payload WITHOUT
+    // assigning seq; changesBetween still emits those rows as U with the
+    // seq the mirror already holds, and a strict `>` guard would silently
+    // drop them — diverging the replica until the key's next real event.
+    // (On a MOR mirror the equal-seq append wins at read time through the
+    // latest-write file-path tie-break — monotone write tokens.)
     derived.merge(feed.sparkSession, batch, batchId, updateColumns = None,
-      retries = 3, srcKeyUnique = true)
+      retries = 3, srcKeyUnique = true, acceptEqualSeq = true)
     // same per-partition lineage contract as the WAL tailer (north rule):
     // offsets are the feed's seq range, bytes are the change payload size.
     // Written AFTER the merge commit — a crash in between re-delivers the
@@ -294,7 +345,8 @@ object Tailer {
           count(lit(1)).as("rowsApplied"),
           sum(coalesce(length(col("content")).cast("long"), lit(0L))).as("bytesIn"))
         .select(lit(batchId).as("batchId"), col("partitionId"),
-          col("firstOffset"), col("lastOffset"), col("rowsApplied"), col("bytesIn"))
+          col("firstOffset"), col("lastOffset"), col("rowsApplied"), col("bytesIn"),
+          lit(System.currentTimeMillis).as("attempt"))
         .write.mode(SaveMode.Append).parquet(dir)
     }
   }

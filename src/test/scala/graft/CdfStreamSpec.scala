@@ -43,7 +43,7 @@ class CdfStreamSpec extends SparkSpec {
     assert(lin.agg(sum("rowsApplied")).head.getLong(0) === 3L,
       "follow lineage covers the applied feed rows")
     assert(lin.columns.toSet === Set("batchId", "partitionId", "firstOffset",
-      "lastOffset", "rowsApplied", "bytesIn"))
+      "lastOffset", "rowsApplied", "bytesIn", "attempt"))
 
     // cycle 2: update + delete + insert, a compaction in between (must diff
     // to zero extra rows), then follow again from the SAME checkpoint
@@ -70,6 +70,39 @@ class CdfStreamSpec extends SparkSpec {
     // replaying the WHOLE feed from a fresh checkpoint into the same derived
     // table is idempotent (batch fence + seq guard absorb the re-delivery)
     Tailer.followInto(spark, s"$base/primary", derived, s"$base/ckpt2")
+    assert(state(derived) === state(primary), "full re-feed is idempotent")
+  }
+
+  for (mode <- Seq(LakeTable.Cow, LakeTable.Mor))
+  test(s"equal-seq payload mutation on the primary replicates through the feed ($mode mirror)") {
+    // the primary's SQL MERGE can mutate payload WITHOUT assigning seq;
+    // changesBetween emits that as a U row carrying the seq the mirror
+    // already holds — a strict seq guard in the sink would silently drop
+    // it and the replica would diverge until the key's next real event
+    val base = tmpDir(s"cdf-eqseq-$mode")
+    val primary = LakeTable(s"$base/p", 4)
+    val derived = LakeTable(s"$base/d", 4, mode)
+    val ckpt = s"$base/ckpt"
+    def mk(r: String, s: Long) = (r, "p", "U", s, s"c$s", "scala", s"v$s", Option(s))
+
+    primary.merge(spark, Seq(mk("r1", 1), mk("r2", 2)).toDF(cols: _*), 0L)
+    Tailer.followInto(spark, s"$base/p", derived, ckpt)
+    assert(state(derived) === state(primary), "bootstrap parity")
+
+    spark.sql(
+      s"""MERGE INTO graft_lake.`$base/p` AS t
+         |USING (SELECT 'r1' AS repo, 'p' AS path) AS s
+         |ON t.repo = s.repo AND t.path = s.path
+         |WHEN MATCHED THEN UPDATE SET t.content = 'payload-only-mutation'""".stripMargin)
+    Tailer.followInto(spark, s"$base/p", derived, ckpt)
+    assert(state(derived) === state(primary),
+      s"equal-seq mutation must reach the mirror: ${state(derived)} vs ${state(primary)}")
+    assert(state(derived).exists(r => r._1 == "r1" && r._4 == "payload-only-mutation" && r._3 == 1L),
+      "mirror must hold the new content at the UNCHANGED seq")
+
+    // and the replicated batch stays idempotent: a fresh-checkpoint full
+    // re-feed (re-delivering the equal-seq row) changes nothing
+    Tailer.followInto(spark, s"$base/p", derived, s"$base/ckpt2")
     assert(state(derived) === state(primary), "full re-feed is idempotent")
   }
 
@@ -468,11 +501,13 @@ class CdfStreamSpec extends SparkSpec {
       primary.read(spark).select("content").as[String].collect().toSeq)
     assert(viaRead.distinct.size === 1, s"read() must be deterministic, got $viaRead")
     assert(viaRead.head.size === 1)
-    // the winner is whichever duplicate lives in the byte-wise greatest
-    // data-file path (file tokens are random, so commit order is NOT the
-    // rule) — what matters is that every path derives the SAME winner
+    // the winner lives in the byte-wise greatest data-file path; write
+    // tokens are MONOTONE per JVM, so on a sequentially-written table the
+    // tie-break is latest-write-wins — the exact LWW extension a
+    // replication sink needs for equal-seq payload mutations
     val winner = viaRead.head.head
-    assert(Set("first-file", "second-file").contains(winner))
+    assert(winner === "second-file",
+      "monotone write tokens must make the LATER equal-seq write win")
 
     // changesBetween full-window after-image = the same winner
     val viaCdc = primary.changesBetween(spark, 0, head)
@@ -492,10 +527,11 @@ class CdfStreamSpec extends SparkSpec {
     assert(viaFeed === Seq(winner), "the DSv2 feed must agree with the Dataset paths")
   }
 
-  test("resyncInto recovers an expired-history follower exactly (incl. gap deletions)") {
-    val base = tmpDir("cdf-resync")
+  for (mode <- Seq(LakeTable.Cow, LakeTable.Mor))
+  test(s"resyncInto recovers an expired-history follower exactly (incl. gap deletions + equal-seq mutation, $mode mirror)") {
+    val base = tmpDir(s"cdf-resync-$mode")
     val primary = LakeTable(s"$base/p", 4)
-    val derived = LakeTable(s"$base/d", 4)
+    val derived = LakeTable(s"$base/d", 4, mode)
     val cursor = java.nio.file.Paths.get(base, "cursor")
     def mk(r: String, s: Long, op: String = "U") =
       (r, "p", op, s, s"c$s", "scala", if (op == "D") null else s"v$s", Option(s))
@@ -505,9 +541,16 @@ class CdfStreamSpec extends SparkSpec {
     assert(!Tailer.resyncInto(spark, s"$base/p", derived, cursor))
     assert(state(derived) === state(primary), "incremental sync parity")
 
-    // the gap the follower will MISS: an update, a DELETE, an insert —
-    // then retention erases the incremental history behind the cursor
+    // the gap the follower will MISS: an update, a DELETE, an insert, AND a
+    // SQL-MERGE payload mutation that leaves seq unassigned (r3 keeps seq 3
+    // with new content — the equal-seq shape only an accept-equal sink can
+    // replicate) — then retention erases the history behind the cursor
     primary.merge(spark, Seq(mk("r1", 10), mk("r2", 11, "D"), mk("r4", 12)).toDF(cols: _*), 1L)
+    spark.sql(
+      s"""MERGE INTO graft_lake.`$base/p` AS t
+         |USING (SELECT 'r3' AS repo, 'p' AS path) AS s
+         |ON t.repo = s.repo AND t.path = s.path
+         |WHEN MATCHED THEN UPDATE SET t.content = 'mutated-in-gap'""".stripMargin)
     primary.compact(spark, gcTombstones = true)
     primary.expireSnapshots(keepLast = 1)
     primary.vacuum(olderThanMs = 0)
@@ -516,10 +559,13 @@ class CdfStreamSpec extends SparkSpec {
     val e = intercept[IllegalStateException](
       primary.drainChanges(spark, cursor).foreach(_.feed.count()))
     assert(e.getMessage.contains("expired"), e.getMessage)
-    // …and resyncInto recovers EXACTLY: r2's gap deletion must not linger
+    // …and resyncInto recovers EXACTLY: r2's gap deletion must not linger,
+    // r3's equal-seq mutation must land
     assert(Tailer.resyncInto(spark, s"$base/p", derived, cursor))
     assert(state(derived) === state(primary), "post-resync parity")
     assert(!state(derived).exists(_._1 == "r2"), "gap-deleted key must be gone")
+    assert(state(derived).exists(r => r._1 == "r3" && r._4 == "mutated-in-gap"),
+      s"equal-seq gap mutation must replicate: ${state(derived)}")
 
     // and the re-seeded cursor resumes incremental syncs
     primary.merge(spark, Seq(mk("r5", 20)).toDF(cols: _*), 2L)

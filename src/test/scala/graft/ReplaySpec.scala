@@ -89,6 +89,37 @@ class ReplaySpec extends SparkSpec {
     assert(met.filter($"name" === "merge.applied" && $"value" === 1.0).count() > 0)
   }
 
+  test("readLineage keeps ONE delivery attempt per batch, even re-partitioned differently") {
+    // a re-delivered batch (crash between merge and cursor) re-splits the
+    // same input under whatever parallelism the restart runs at — its rows
+    // are NOT per-partition duplicates of the first attempt, so a
+    // (batchId, partitionId)-only dedupe would double-count; the attempt
+    // stamp makes the newest delivery win wholesale
+    val dir = s"${tmpDir("lineage-repart")}/lineage"
+    def rows(pids: Range, rowsEach: Long, attempt: Long) =
+      pids.map(p => (0L, p, 0L, 799L, rowsEach, rowsEach * 10, attempt))
+        .toDF("batchId", "partitionId", "firstOffset", "lastOffset",
+          "rowsApplied", "bytesIn", "attempt")
+    rows(0 until 8, 100L, attempt = 1000L) // first run: 8 partitions × 100
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
+    rows(0 until 4, 200L, attempt = 2000L) // restart: 4 partitions × 200
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
+    val lin = Tailer.readLineage(spark, dir)
+    assert(lin.count() === 4L, "only the newest attempt's partitions survive")
+    assert(lin.agg(sum("rowsApplied")).head.getLong(0) === 800L,
+      "the batch must count its true 800 rows once, not 1200 across attempts")
+    // legacy dirs (written before the attempt stamp) still dedupe by
+    // (batchId, partitionId)
+    val legacyDir = s"${tmpDir("lineage-legacy")}/lineage"
+    rows(0 until 8, 100L, attempt = 0L).drop("attempt")
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(legacyDir)
+    rows(0 until 8, 100L, attempt = 0L).drop("attempt")
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(legacyDir)
+    val leg = Tailer.readLineage(spark, legacyDir)
+    assert(leg.count() === 8L &&
+      leg.agg(sum("rowsApplied")).head.getLong(0) === 800L)
+  }
+
   test("exactly-once: replaying the same batch is a no-op (batchId fence)") {
     val (tc, _) = mkTailer(logDir)
     Tailer.replay(spark, tc)

@@ -395,6 +395,83 @@ class SqlSpec extends SparkSpec {
       e.getMessage.contains("column list"), e.getMessage)
   }
 
+  test("INSERT INTO … BY NAME maps by the query's column names (and rejects duplicates)") {
+    val base = tmpDir("sqlinsbyname")
+    val table = lake.LakeTable(s"$base/t", 4)
+    // same swapped-order query the positional test uses: BY NAME must map
+    // by NAME (content stays content), unlike the bare positional INSERT
+    Seq(("r9", "p9", "c9", "scala", "body", 5L, 9L))
+      .toDF("repo", "path", "commit", "language", "content", "size_bytes", "seq")
+      .select($"repo", $"path", $"commit", $"content", $"language", $"size_bytes", $"seq")
+      .createOrReplaceTempView("byname_src")
+    spark.sql(s"INSERT INTO graft_lake.`$base/t` BY NAME SELECT * FROM byname_src")
+    val row = table.read(spark).select("language", "content")
+      .as[(String, String)].head()
+    assert(row === ("scala", "body"),
+      "BY NAME must map the query's names onto table columns, not positions")
+    // subset BY NAME works (missing payload nulls, seq floors to 0)
+    spark.sql(s"INSERT INTO graft_lake.`$base/t` BY NAME " +
+      "SELECT 'r10' AS repo, 'p10' AS path, 'body10' AS content")
+    val sub = table.read(spark).filter($"repo" === "r10")
+      .select("content", "seq", "language").as[(String, Long, Option[String])].head()
+    assert(sub === (("body10", 0L, None)))
+    // duplicate names in the query are ambiguous → curated error
+    val e = intercept[Exception](spark.sql(
+      s"INSERT INTO graft_lake.`$base/t` BY NAME " +
+        "SELECT 'x' AS repo, 'y' AS path, 'a' AS content, 'b' AS content"))
+    assert(e.getMessage.contains("more than once"), e.getMessage)
+  }
+
+  test("MERGE INSERT arm without seq floors it to 0 (non-nullable contract), never NULL") {
+    val base = tmpDir("sqlmergeseq0")
+    val table = lake.LakeTable(s"$base/t", 4)
+    Seq(("r1", "p1", "hello", 7L)).toDF("repo", "path", "content", "seq")
+      .createOrReplaceTempView("seq0_src")
+    spark.sql(
+      s"""MERGE INTO graft_lake.`$base/t` AS t USING seq0_src AS s
+         |ON t.repo = s.repo AND t.path = s.path
+         |WHEN NOT MATCHED THEN INSERT (repo, path, content)
+         |VALUES (s.repo, s.path, s.content)""".stripMargin)
+    val row = table.read(spark).select("content", "seq")
+      .as[(String, Long)].head()
+    assert(row === (("hello", 0L)),
+      "unassigned seq on a MERGE INSERT must default to 0, matching insertStrict")
+    // and a real CDC event for the key (seq >= 1) outranks the floor
+    table.merge(spark, Seq(("r1", "p1", "U", 1L, "c1", "scala", "newer", Option(5L)))
+      .toDF("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes"), 0L)
+    assert(table.read(spark).select("content").as[String].head() === "newer")
+  }
+
+  test("BY SOURCE condition naming a source-only column fails loudly, never silently nulls") {
+    val base = tmpDir("sqlbsrccol")
+    lake.LakeTable(s"$base/t", 4).merge(spark,
+      Seq(("r1", "p1", "U", 1L, "c1", "scala", "v1", Option(1L))).toDF("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes"), 0L)
+    Seq(("r1", "p1", "X")).toDF("repo", "path", "op")
+      .createOrReplaceTempView("bsrc_src")
+    // unqualified `op` exists ONLY in the source: on not-by-source rows the
+    // source side is all-NULL, so letting it through would make the DELETE
+    // silently never fire — it must be rejected at parse time instead
+    val e = intercept[Exception](spark.sql(
+      s"""MERGE INTO graft_lake.`$base/t` AS t USING bsrc_src AS s
+         |ON t.repo = s.repo AND t.path = s.path
+         |WHEN NOT MATCHED BY SOURCE AND op = 'X' THEN DELETE""".stripMargin))
+    assert(e.getMessage.contains("not a column of the target table"), e.getMessage)
+    // a target column referenced unqualified is still fine
+    spark.sql(
+      s"""MERGE INTO graft_lake.`$base/t` AS t USING bsrc_src AS s
+         |ON t.repo = s.repo AND t.path = s.path
+         |WHEN NOT MATCHED BY SOURCE AND seq < 0 THEN DELETE""".stripMargin)
+  }
+
+  test("graft_changes rejects out-of-int-range version literals instead of wrapping") {
+    val base = tmpDir("sqltvfrange")
+    lake.LakeTable(s"$base/t", 4).merge(spark,
+      Seq(("r1", "p1", "U", 1L, "c1", "scala", "v1", Option(1L))).toDF("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes"), 0L)
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_changes('$base/t', 0, 5000000000)").collect())
+    assert(e.getMessage.contains("integer literals"), e.getMessage)
+  }
+
   test("graft_chunks / graft_pack TVFs ≡ ChunkOps, and compose with INSERT INTO") {
     val docs = s"$sf/documents.parquet"
     // TVF ≡ Scala API, cell-exact on the t7/t8 fixture
