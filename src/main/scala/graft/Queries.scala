@@ -324,8 +324,12 @@ object Queries {
       val docs = t(s, d, "documents")
       val merges = graft.ops.BpeOps.train(docs, "text", numMerges = 200,
         maxVocabWords = 10000)
+      // normalize = lowercase, collapse \s+ runs to one space, then trim
+      // the boundary spaces — collapse-BEFORE-trim, because SQL trim
+      // strips only spaces: trimming first would leave a leading "\t "
+      // as " " while the tokenizer (whitespace-split) never emits it
       docs.select(col("doc_id"),
-        sha2(regexp_replace(lower(trim(col("text"))), "\\s+", " "), 256).as("sha_orig"),
+        sha2(trim(regexp_replace(lower(col("text")), "\\s+", " ")), 256).as("sha_orig"),
         sha2(graft.ops.BpeOps.decode(
           graft.ops.BpeOps.tokenize(col("text"), merges)), 256).as("sha_roundtrip"))
     }),
@@ -840,8 +844,8 @@ object Queries {
     // token lost/garbled by the encoder or merge table breaks the hash.
     "t5_bpe_tokens" ->
       """SELECT doc_id,
-        |sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS sha_orig,
-        |sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS sha_roundtrip
+        |sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS sha_orig,
+        |sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS sha_roundtrip
         |FROM documents""".stripMargin,
 
     "d1_exact_dedup" ->
@@ -1154,7 +1158,7 @@ object Queries {
         |  SELECT doc_id, lang, plang, score,
         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang ASC) AS rn
         |  FROM scored)
-        |SELECT doc_id, lang, CASE WHEN score <= 0 THEN 'und' ELSE plang END AS lang_pred
+        |SELECT doc_id, lang, CASE WHEN score > 0 THEN plang ELSE 'und' END AS lang_pred
         |FROM ranked WHERE rn = 1""".stripMargin,
 
     "m1_multimodal" ->

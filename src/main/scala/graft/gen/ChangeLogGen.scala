@@ -105,8 +105,11 @@ object ChangeLogGen {
   }
 
   def commitId(seed: Long, repo: String, path: String, seq: Long): String =
-    f"${h(seed, seq, repo.hashCode.toLong)}%016x${h(seed, seq, path.hashCode.toLong)}%016x" * 1 +
-      f"${mix64(seed ^ seq)}%08x".take(8) // 40-hex commit id
+    // 16 + 16 hex chars from the two keyed hashes + 8 from the seq mix
+    // (take(8) clips the %08x rendering, which widens past 8 chars for
+    // values over 32 bits) = the 40-hex git-shaped commit id
+    f"${h(seed, seq, repo.hashCode.toLong)}%016x${h(seed, seq, path.hashCode.toLong)}%016x" +
+      f"${mix64(seed ^ seq)}%08x".take(8)
 
   private val langs = Array("scala", "java", "py", "ts", "go", "rs", "md")
 

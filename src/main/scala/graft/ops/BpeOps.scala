@@ -108,7 +108,8 @@ object BpeOps {
         var best: ((String, String), Long) = null
         counts.forEach { (p, n) =>
           if (best == null || n > best._2 ||
-            (n == best._2 && (p._1 + "\u0000" + p._2) < (best._1._1 + "\u0000" + best._1._2)))
+            (n == best._2 && (p._1 < best._1._1 ||
+              (p._1 == best._1._1 && p._2 < best._1._2))))
             best = (p, n)
         }
         val (a, b) = best._1
@@ -171,8 +172,17 @@ object BpeOps {
         out.append(EndOfWord); j += 2
       } else { out.append(s.charAt(j)); j += 1 }
     }
-    out.toString.trim
+    // exactly one trailing space exists (the final word's marker) unless
+    // the token stream was empty; Java trim here would also eat boundary
+    // control chars that are legitimate text
+    val s2 = out.toString
+    if (s2.endsWith(" ")) s2.substring(0, s2.length - 1) else s2
   }
+
+  /** Unambiguous (a, b) symbol-pair key: length-prefixed, so symbols that
+    * contain any delimiter char can never collide two distinct pairs. */
+  private[ops] def pairKey(a: String, b: String): String =
+    a.length.toString + ":" + a + b
 }
 
 /** Catalyst expression: invert [[BpeTokenize]] — concatenate the subword
@@ -185,11 +195,25 @@ case class BpeDecode(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "bpe_decode"
 
+  // analysis-time type error beats an executor-side ClassCastException:
+  // decode is a public Column API and may be pointed at arbitrary columns
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bpe_decode needs array<string>, got ${other.simpleString}")
+    }
+
   def decodeTokens(arr: ArrayData): UTF8String = {
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i < arr.numElements()) {
-      sb.append(arr.getUTF8String(i).toString); i += 1
+      // null elements (containsNull inputs from storage) decode as absent
+      val e = arr.getUTF8String(i)
+      if (e != null) sb.append(e.toString)
+      i += 1
     }
     UTF8String.fromString(BpeOps.decodeConcat(sb.toString))
   }
@@ -221,13 +245,19 @@ case class BpeTokenize(child: Expression, merges: Seq[(String, String)])
   @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](merges.size * 2)
     merges.zipWithIndex.foreach { case ((a, b), i) =>
-      m.putIfAbsent(a + "\u0000" + b, Integer.valueOf(i))
+      m.putIfAbsent(BpeOps.pairKey(a, b), Integer.valueOf(i))
     }
     m
   }
 
   def tokenizeText(input: UTF8String): ArrayData = {
-    val words = input.toString.toLowerCase.trim.split("\\s+")
+    // Locale.ROOT: tokenization must agree with the Spark-`lower`-trained
+    // vocabulary on every executor JVM, whatever its default locale (the
+    // Turkish-I problem). No Java trim: it strips ALL chars <= U+0020,
+    // but only regex \s runs delimit words — a boundary \u0001 must
+    // survive into its word (split already yields no boundary empties
+    // beyond the leading one, which the nonEmpty guard drops).
+    val words = input.toString.toLowerCase(java.util.Locale.ROOT).split("\\s+")
     val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
     words.foreach { w =>
       if (w.nonEmpty) {
@@ -242,7 +272,7 @@ case class BpeTokenize(child: Expression, merges: Seq[(String, String)])
           var bestIdx = -1
           var j = 0
           while (j < syms.size - 1) {
-            val r = ranks.get(syms.get(j) + "\u0000" + syms.get(j + 1))
+            val r = ranks.get(BpeOps.pairKey(syms.get(j), syms.get(j + 1)))
             if (r != null && r.intValue() < bestRank) { bestRank = r.intValue(); bestIdx = j }
             j += 1
           }

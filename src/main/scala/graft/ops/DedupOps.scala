@@ -342,6 +342,12 @@ object DedupOps {
         labels = next.drop("old")
         iter += 1
       }
+      // unconverged labels are WRONG labels (a component still split across
+      // group_ids) — surviving silently would leak duplicates downstream
+      if (!converged) throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter iterations — " +
+          "the label-jump contraction halves long chains each round, so " +
+          "raise maxIter (components of diameter d need ~log2(d) rounds)")
       labels.select(col("node").as("doc_id"), col("label").as("group_id"))
     } finally edges.unpersist()
   }

@@ -100,14 +100,35 @@ object SimilarityOps {
     * with the query, reranked exactly by cosine; top-k per query.
     */
   /** Embedding width, read from the first row (one tiny driver action —
-    * hyperplane literals need the dimension at plan time).
+    * hyperplane literals need the dimension at plan time). Loud errors
+    * beat the silent alternatives: an empty corpus has no dimension (the
+    * LSH plan cannot be built), and a null first vector would NPE deep in
+    * an executor.
     */
-  private def dimOf(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol)).as("d")).head().getInt(0)
+  private def dimOf(df: DataFrame, vecCol: String): Int = {
+    val head = df.select(size(col(vecCol)).as("d")).limit(1).collect()
+    require(head.nonEmpty,
+      s"cannot infer embedding dimension from an empty frame ('$vecCol')")
+    require(!head.head.isNullAt(0) && head.head.getInt(0) > 0,
+      s"first '$vecCol' row is null/empty — cannot infer embedding dimension")
+    head.head.getInt(0)
+  }
+
+  /** Query/corpus width agreement, checked from one query row (a width
+    * mismatch would otherwise hit HyperplaneSig's dimension-guard arm and
+    * silently bucket every query to signature 0). Empty query frames are
+    * legal — they simply return no results.
+    */
+  private def requireSameDim(queries: DataFrame, vecCol: String, dim: Int): Unit = {
+    val q = queries.select(size(col(vecCol)).as("d")).limit(1).collect()
+    q.headOption.filterNot(_.isNullAt(0)).foreach(r => require(r.getInt(0) == dim,
+      s"query '$vecCol' width ${r.getInt(0)} != corpus width $dim"))
+  }
 
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int = 5, bits: Int = 12, tables: Int = 6, seed: Long = 42L): DataFrame = {
     val dim = dimOf(corpus, vecCol)
+    requireSameDim(queries, vecCol, dim)
     val hp = hyperplanes(dim, bits, tables, seed)
     def withSigs(df: DataFrame, id: String, vec: String, n: String) =
       // norm sits in the SAME projection as the generator, so it is

@@ -101,7 +101,10 @@ object TextOps {
         lit(langs.size - 1 - i).as("prio"), lit(lang).as("lang"))
     }
     val best = greatest(scored: _*)
-    when(best.getField("score") <= 0, lit("und")).otherwise(best.getField("lang"))
+    // positive-gate, not a <=0 check: with NULL text every score is null,
+    // `null <= 0` is null, and the otherwise-arm would hand a null
+    // document to the tie-break winner ("de") instead of "und"
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
   /** Quality score in [0,1]: blends length band, mean word length sanity,

@@ -94,7 +94,10 @@ object Sinks {
   def fasta(df: DataFrame, idCol: String, seqCol: String, path: String): Unit =
     df.select(concat(
         lit(">"), col(idCol), lit("\n"),
-        regexp_replace(col(seqCol), "(.{60})", "$1\n")).as("value"))
+        // (?!$): no wrap after the FINAL 60-char group — a sequence whose
+        // length is an exact multiple of 60 must not emit a blank line
+        // (strict FASTA parsers read that as a record separator)
+        regexp_replace(col(seqCol), "(.{60})(?!$)", "$1\n")).as("value"))
       .write.mode("overwrite").text(path)
 
   /** K8: XML sink (reference phyloXML writes, Util.java:157-176) — one

@@ -74,10 +74,19 @@ object StreamingOps {
   final case class Session(user_id: Long, start: java.sql.Timestamp,
                            end: java.sql.Timestamp, n: Long)
   final case class SessionState(start: Long, end: Long, n: Long)
+  final case class OpenSessions(sessions: Seq[SessionState])
 
-  /** Event-time sessionization with a gap timeout via flatMapGroupsWithState:
-    * a session closes when the event-time watermark passes (last event +
-    * gap); closed sessions are emitted in append mode.
+  /** Event-time sessionization with a gap timeout via flatMapGroupsWithState.
+    *
+    * Sessions are split by GAP, not by micro-batch: a key's events inside
+    * one batch (the availableNow/backfill shape delivers a whole history
+    * at once) are sweep-merged into gap-separated sessions, so the result
+    * is the same whether the data arrives live or replayed — batch timing
+    * only decides WHEN a session is emitted, never its boundaries. A
+    * session is emitted once the event-time watermark passes its end +
+    * gap (earlier emission could miss late within-watermark events that
+    * extend it); the rest stay in state behind a timeout clamped above
+    * the current watermark (setTimeoutTimestamp rejects stale stamps).
     */
   def sessionize(events: Dataset[KeyedEvent], gapMs: Long): Dataset[Session] = {
     val spark = events.sparkSession
@@ -85,24 +94,32 @@ object StreamingOps {
     events
       .withWatermark("ts", "10 seconds")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[OpenSessions, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (user, evs, state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(Session(user, new java.sql.Timestamp(s.start),
-              new java.sql.Timestamp(s.end), s.n))
-          } else {
-            val times = evs.map(e => e.ts.getTime).toSeq
-            val prev = state.getOption
-            val start = (times ++ prev.map(_.start)).min
-            val end = (times ++ prev.map(_.end)).max
-            val n = prev.map(_.n).getOrElse(0L) + times.size
-            state.update(SessionState(start, end, n))
-            state.setTimeoutTimestamp(end + gapMs)
-            Iterator.empty
+        (user, evs, state: GroupState[OpenSessions]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prior = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+          val incoming = evs.map(e =>
+            SessionState(e.ts.getTime, e.ts.getTime, 1L)).toSeq
+          // sweep-merge intervals whose gap is within gapMs
+          val merged = (prior ++ incoming).sortBy(s => (s.start, s.end))
+            .foldLeft(List.empty[SessionState]) { (acc, s) =>
+              acc match {
+                case h :: t if s.start - h.end <= gapMs =>
+                  SessionState(math.min(h.start, s.start),
+                    math.max(h.end, s.end), h.n + s.n) :: t
+                case _ => s :: acc
+              }
+            }.reverse
+          val (closed, open) = merged.partition(_.end + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(OpenSessions(open))
+            state.setTimeoutTimestamp(
+              math.max(open.map(_.end + gapMs).min, wm + 1))
           }
+          closed.iterator.map(s => Session(user,
+            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end), s.n))
       }
   }
 }

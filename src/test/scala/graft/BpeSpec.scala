@@ -31,7 +31,7 @@ class BpeSpec extends SparkSpec {
     // lossless: decode(tokenize(x)) reconstructs the normalized text,
     // for every document
     val bad = docs.select(
-        regexp_replace(lower(trim($"text")), "\\s+", " ").as("norm"),
+        trim(regexp_replace(lower($"text"), "\\s+", " ")).as("norm"),
         BpeOps.tokenize($"text", m1).as("toks"))
       .select(($"norm" === BpeOps.decode($"toks")).as("ok"))
       .filter(!$"ok").count()
@@ -52,12 +52,16 @@ class BpeSpec extends SparkSpec {
       "fake\u0001m escape lookalike",  // pre-escaped-looking sequence
       "double\u0001\u0001m esc",       // escape-char run before lookalike
       "emoji 😀 pair",       // non-BMP (surrogate pair)
-      "mix</w>\u0001😀</w>") // everything at once
+      "mix</w>\u0001😀</w>",    // everything at once
+      "\u0001leading escape-char word",   // boundary control char survives
+      "trailing escape-char word\u0001",  // Java trim would eat this
+      "\ttab-led then spaced  out\n",    // boundary \s: collapse-then-trim
+      "INDEX with I and i")                // locale-independent lowercasing
     val df = adversarial.toDF("text")
     val merges = BpeOps.train(df, "text", numMerges = 30, maxVocabWords = 100)
     for (m <- Seq(Seq.empty[(String, String)], merges)) {
       val rows = df.select(
-          regexp_replace(lower(trim($"text")), "\\s+", " ").as("norm"),
+          trim(regexp_replace(lower($"text"), "\\s+", " ")).as("norm"),
           BpeOps.decode(BpeOps.tokenize($"text", m)).as("rt"))
         .as[(String, String)].collect()
       rows.foreach { case (norm, rt) =>

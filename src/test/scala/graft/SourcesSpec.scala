@@ -89,6 +89,13 @@ class SourcesSpec extends SparkSpec {
     assert(lines(1) === "A" * 60)
     assert(lines(2) === "A" * 60)
     assert(lines(3) === "A" * 10)
+    // exact multiple of the wrap width: no trailing blank line inside the
+    // record (strict parsers read one as a record separator)
+    val dir2 = tmpDir("fasta120")
+    Sinks.fasta(Seq(("P2", "C" * 120)).toDF("id", "seq"), "id", "seq", s"$dir2/out")
+    val l2 = spark.read.text(s"$dir2/out").as[String].collect().flatMap(_.split("\n"))
+    assert(l2.toSeq === Seq(">P2", "C" * 60, "C" * 60),
+      s"120-char sequence must wrap to exactly two full lines, got ${l2.toSeq}")
   }
 
   test("XML sink + record scan round-trip (S4/S5/K8)") {

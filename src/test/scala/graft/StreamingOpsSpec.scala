@@ -106,4 +106,30 @@ class StreamingOpsSpec extends SparkSpec {
       assert(sessions.contains((1L, 2L)), s"got ${sessions.toSeq}")
     } finally q.stop()
   }
+
+  test("sessionization splits by gap WITHIN one micro-batch (backfill shape)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    val q = StreamingOps.sessionize(input.toDS(), gapMs = 60000L)
+      .writeStream.format("memory").queryName("sess2").outputMode(OutputMode.Append())
+      .start()
+    try {
+      // ONE batch carries two clusters 9 minutes apart: a replayed history
+      // must yield the same two sessions a live run would, not one
+      // batch-spanning blob
+      input.addData(
+        KeyedEvent(1L, ts(0), 1.0), KeyedEvent(1L, ts(1), 1.0),
+        KeyedEvent(1L, ts(10), 1.0), KeyedEvent(1L, ts(11), 1.0))
+      q.processAllAvailable()
+      input.addData(KeyedEvent(2L, ts(50), 1.0)) // advance the watermark
+      q.processAllAvailable()
+      input.addData(KeyedEvent(2L, ts(55), 1.0))
+      q.processAllAvailable()
+      val got = spark.table("sess2").filter($"user_id" === 1L)
+        .select($"start", $"end", $"n")
+        .as[(java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+      assert(got === Set((ts(0), ts(1), 2L), (ts(10), ts(11), 2L)),
+        s"two gap-separated sessions expected, got $got")
+    } finally q.stop()
+  }
 }
