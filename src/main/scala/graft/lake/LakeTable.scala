@@ -504,6 +504,11 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     * immutable; the manifest pins the exact file set).
     */
   def readAt(spark: SparkSession, version: Int): DataFrame = {
+    val committed = headVersion()
+    // a crashed writer's stray v<N>.json beyond HEAD was never committed —
+    // time travel must not surface state whose batch fence never advanced
+    require(version <= committed,
+      s"readAt: snapshot v$version is not committed (head: v$committed)")
     val snap = readSnapshot(metaDir.resolve(s"v$version.json"))
     liveRows(readFiles(spark, filesOf(snap)), snap.mode)
   }
@@ -528,7 +533,13 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
   def changesBetween(spark: SparkSession, fromVersion: Int, toVersion: Int): DataFrame = {
     require(fromVersion < toVersion,
       s"changesBetween: fromVersion $fromVersion must be < toVersion $toVersion")
+    val committed = headVersion()
     Seq(fromVersion, toVersion).foreach { v =>
+      // v > HEAD: a crashed writer's stray v<N>.json may EXIST without ever
+      // having committed — reading it would emit phantom changes
+      if (v > committed)
+        throw new IllegalStateException(
+          s"changesBetween: snapshot v$v is not committed (head: v$committed)")
       if (!Files.exists(metaDir.resolve(s"v$v.json")))
         throw new IllegalStateException(
           s"changesBetween: snapshot v$v has been expired (oldest retained: " +
@@ -598,15 +609,24 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
   def snapshotAt(version: Int): Snapshot =
     readSnapshot(metaDir.resolve(s"v$version.json"))
 
-  /** All snapshot versions present in meta/ (ascending). */
-  def versions(): Seq[Int] =
+  /** All COMMITTED snapshot versions (ascending): the v*.json listing
+    * capped at HEAD. A writer that died between creating v(head+1).json
+    * and the HEAD flip leaves a stray snapshot file that was NEVER
+    * committed — time travel, changesBetween, and retention must not see
+    * it (the next commit attempt at that version reclaims it; vacuum's
+    * age guard protects its pending data files meanwhile).
+    */
+  def versions(): Seq[Int] = {
+    val h = if (Files.exists(headFile)) headVersion() else -1
     scala.util.Using.resource(Files.list(metaDir)) { stream =>
       stream.iterator.asScala
         .map(_.getFileName.toString)
         .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
           s.stripPrefix("v").stripSuffix(".json").toInt }
+        .filter(_ <= h)
         .toSeq.sorted
     }
+  }
 
   private def readFiles(spark: SparkSession, files: Seq[DataFile]): DataFrame =
     if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -748,8 +768,10 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
       require(updateColumns.isEmpty,
         "column-subset merge needs the target row — COW mode only")
       // duplicate keys per append batch are sound in MOR (log semantics:
-      // read-time LWW resolves) — no cardinality requirement
-      return mergeAppend(spark, batch, batchId, h0, retries)
+      // read-time LWW resolves by seq) — but duplicate (key, seq) with
+      // different payloads inside ONE batch is ambiguous even for LWW
+      return mergeAppend(spark, batch, batchId, h0, retries,
+        srcKeyUnique = srcKeyUnique)
     }
     val src = batch.withColumn("_b", bucketExpr).persist()
     try {
@@ -763,7 +785,8 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
       val touched = bucketCounts.keySet
       val srcRows = bucketCounts.values.sum
-      val (touchedRefs, carried) = h0.manifests.partition(r => touched.contains(r.bucket))
+      // same carry-set note as mergeSql: recomputed per rebase, never captured
+      val touchedRefs = h0.manifests.filter(r => touched.contains(r.bucket))
       val tgt = readFiles(spark, touchedRefs.flatMap(loadManifest))
 
       val s = src.select(
@@ -845,8 +868,11 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
           // between data write and CAS — rebasing would commit dangling
           // references; recompute re-writes fresh files
           if (conflict || pendingVanished(newRefs))
+            // already key-validated on the first attempt; acceptEqualSeq
+            // must survive the recompute or a replication sink's equal-seq
+            // payload mutation silently loses exactly when contention hits
             return merge(spark, batch, batchId, updateColumns, attempts,
-              srcKeyUnique = true) // already validated on the first attempt
+              srcKeyUnique = true, acceptEqualSeq = acceptEqualSeq)
           base = h1 // disjoint (or compaction-only): manifest rebase
         }
       }
@@ -861,9 +887,25 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     * batches). Fence semantics identical to COW.
     */
   private def mergeAppend(spark: SparkSession, batch: DataFrame, batchId: Long,
-                          h0: Snapshot, retries: Int = 3): MergeStats = {
+                          h0: Snapshot, retries: Int = 3,
+                          srcKeyUnique: Boolean = false): MergeStats = {
     val src = batch.withColumn("_b", bucketExpr).persist()
     try {
+      // Same-key rows with DIFFERENT seqs are the MOR log shape (read-time
+      // LWW resolves); equal (key, seq) with different payloads in one
+      // batch would land in ONE data file where no tie-break is defined —
+      // the ambiguity resolve()'s cross-file file-path rule cannot reach.
+      // Skipped when the caller guarantees key-uniqueness (which implies
+      // (key, seq)-uniqueness) — the streaming hot paths all do.
+      if (!srcKeyUnique) {
+        val dup = src.groupBy(col("repo"), col("path"), col("seq"))
+          .count().filter(col("count") > 1).limit(1).collect()
+        if (dup.nonEmpty)
+          throw new IllegalArgumentException(
+            s"MOR append carries ${dup.head.getLong(3)} rows with the same " +
+              s"(repo, path, seq) = (${dup.head.get(0)}, ${dup.head.get(1)}, " +
+              s"${dup.head.get(2)}) — LWW cannot order them; dedupe the batch first")
+      }
       val bucketCounts = src.groupBy("_b").count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
       val isDel = col("op") === "D"
@@ -906,11 +948,17 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
           if (attempts <= 0) throw e
           attempts -= 1
           commitBackoff(attempts, retries)
-          val h1 = head()
+          // checkedHead, not head: a concurrent REBUCKET changes the key
+          // modulus — our pending files were bucketed with the old one, so
+          // rebasing onto the new head would mis-bucket them silently
+          // (every later lookup prunes to the wrong manifest). Fail loudly
+          // with the re-open guidance instead.
+          val h1 = checkedHead()
           if (batchId <= h1.lastBatchId)
             return MergeStats(applied = false, h1.version, 0L, 0, h1.totalRows)
           if (newFiles.exists(f => !Files.exists(Paths.get(root, f.path))))
-            return mergeAppend(spark, batch, batchId, h1, attempts) // vacuum raced us
+            return mergeAppend(spark, batch, batchId, h1, attempts,
+              srcKeyUnique = true) // vacuum raced us; already validated
           base = h1
         }
       }
@@ -999,7 +1047,10 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
         if (notBySource.isEmpty) srcTouched
         else (0 until numBuckets).map(b => b -> srcTouched.getOrElse(b, 0L)).toMap
       val srcRows = srcTouched.values.sum
-      val (touchedRefs, carried) = h0.manifests.partition(r => touched.contains(r.bucket))
+      // NOTE: the carry-set is NOT captured here — a rebase recomputes it
+      // against the rebased base (the `keep` filter in the commit loop);
+      // capturing h0's untouched manifests would resurrect stale ones
+      val touchedRefs = h0.manifests.filter(r => touched.contains(r.bucket))
       val tgt = readFiles(spark, touchedRefs.flatMap(loadManifest))
       val live = tgt.filter(!col("deleted")).drop("deleted")
         .withColumn("_t_exists", lit(true)).alias(tAlias)

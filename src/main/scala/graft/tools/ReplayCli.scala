@@ -45,7 +45,15 @@ object ReplayCli {
       val mode = rest.drop(3).headOption.getOrElse(
         sys.env.getOrElse("GRAFT_TABLE_MODE", graft.lake.LakeTable.Cow))
       val compactEvery = rest.drop(4).headOption.map(_.toInt).filter(_ > 0)
-      val targetRows = rest.drop(5).headOption.map(_.toLong).filter(_ > 0)
+      // 0/negative would silently mean "no limit" downstream
+      // (maxRecordsPerFile) — reject, same policy as compact's arg
+      val targetRows = rest.drop(5).headOption.map { a =>
+        a.toLongOption.filter(_ > 0).getOrElse {
+          System.err.println(
+            s"usage: ReplayCli replay <logDir> <workDir> [cores salt buckets mode compactEvery targetFileRows>0]; got '$a'")
+          sys.exit(2)
+        }
+      }
       val maxFiles = sys.env.get("GRAFT_MAX_FILES_PER_TRIGGER").map(_.toInt)
       val spark = Sessions.local(cores, "graft-replay")
       val cfg = TailerConfig(
@@ -66,6 +74,9 @@ object ReplayCli {
         f"physicalRows=${h.totalRows}%,d (incl. tombstones) " +
         f"snapshots=${h.version} lastBatchId=${h.lastBatchId} " +
         f"secs=$secs%.1f eventsPerSec=${nEvents / secs}%,.0f cores=$cores")
+      // like every other subcommand — under GRAFT_MASTER=local-cluster the
+      // forked executor JVMs need a clean shutdown, not a JVM-exit teardown
+      spark.stop()
 
     case "compact" :: workDir :: rest =>
       val gc = rest.contains("gc") // GC tombstones: end-of-stream only

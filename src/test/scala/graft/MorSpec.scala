@@ -403,4 +403,24 @@ class MorSpec extends SparkSpec {
     table.vacuum(olderThanMs = 0L)
     assert(!Files.exists(young), "exclusive-mode vacuum must prune young empty dirs")
   }
+
+  test("MOR append rejects duplicate (key, seq) with different payloads in one batch") {
+    val base = tmpDir("mor-dupseq")
+    val t = LakeTable(s"$base/t", 2, LakeTable.Mor)
+    val cols = Seq("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes")
+    // same (key, seq), different payloads, ONE batch: both rows would land
+    // in one data file where the cross-file path tie-break cannot order
+    // them — ambiguous, must be rejected up front
+    val dup = Seq(
+      ("r1", "p1", "U", 5L, "c5", "scala", "payload-A", Option(1L)),
+      ("r1", "p1", "U", 5L, "c5", "scala", "payload-B", Option(1L))).toDF(cols: _*)
+    val e = intercept[IllegalArgumentException](t.merge(spark, dup, 0L))
+    assert(e.getMessage.contains("LWW cannot order"), e.getMessage)
+    // same KEY at different seqs stays legal (the MOR log shape)
+    val ok = Seq(
+      ("r1", "p1", "U", 5L, "c5", "scala", "v5", Option(1L)),
+      ("r1", "p1", "U", 6L, "c6", "scala", "v6", Option(1L))).toDF(cols: _*)
+    t.merge(spark, ok, 0L)
+    assert(t.read(spark).select("content").as[String].head() === "v6")
+  }
 }

@@ -297,4 +297,63 @@ class MultiWriterSpec extends SparkSpec {
     assert(t1.readAt(spark, 1).select("content").as[String].head() === "v1")
     assert(t1.readAt(spark, 2).select("content").as[String].head() === "v2")
   }
+
+  test("acceptEqualSeq survives a lost-CAS RECOMPUTE (replication under contention)") {
+    val base = tmpDir("mw-eqseq")
+    // ONE bucket: any interleaved data commit conflicts → forced recompute
+    val t1 = LakeTable(s"$base/t", 1)
+    val t2 = new LakeTable(s"$base/t", 1)
+    t1.merge(spark, rows(("r1", "p1", 5L, "old")), 0L)
+    // contender lands a DIFFERENT key in the same (only) bucket just
+    // before t1's CAS — t1 must recompute, and the recompute must keep
+    // honoring equal-seq source wins or the mirror silently diverges
+    t1.preCommitHook = () => { t2.merge(spark, rows(("r2", "p2", 6L, "other")), 1L); () }
+    val stats = t1.merge(spark, rows(("r1", "p1", 5L, "mutated")), 2L,
+      updateColumns = None, retries = 3, srcKeyUnique = true, acceptEqualSeq = true)
+    assert(stats.applied)
+    val state = t1.read(spark).select("repo", "seq", "content")
+      .as[(String, Long, String)].collect().toSet
+    assert(state === Set(("r1", 5L, "mutated"), ("r2", 6L, "other")),
+      s"equal-seq mutation must survive the recompute: $state")
+  }
+
+  test("MOR append losing the CAS to a REBUCKET fails loudly (stale modulus)") {
+    val base = tmpDir("mw-rebucket")
+    val t1 = LakeTable(s"$base/t", 4, LakeTable.Mor)
+    t1.merge(spark, rows(("r1", "p1", 1L, "v1")), 0L)
+    // the rebucket changes the key modulus while t1's files (bucketed mod
+    // 4) await their CAS — rebasing them onto the mod-8 head would
+    // mis-bucket silently; the writer must fail with re-open guidance
+    t1.preCommitHook = () => { LakeTable.open(s"$base/t").rebucket(spark, 8); () }
+    val e = intercept[IllegalStateException](
+      t1.merge(spark, rows(("r2", "p2", 2L, "v2")), 1L))
+    assert(e.getMessage.contains("re-open"), e.getMessage)
+    // and a fresh handle applies the write cleanly at the new modulus
+    val fresh = LakeTable.open(s"$base/t")
+    fresh.merge(spark, rows(("r2", "p2", 2L, "v2")), 1L)
+    assert(fresh.read(spark).count() === 2)
+  }
+
+  test("a crashed writer's stray v<N>.json beyond HEAD is invisible to reads") {
+    val base = tmpDir("mw-stray")
+    val t = LakeTable(s"$base/t", 4)
+    t.merge(spark, rows(("r1", "p1", 1L, "v1")), 0L)
+    t.merge(spark, rows(("r1", "p1", 2L, "v2")), 1L)
+    // simulate a writer that died between creating v3.json and the HEAD
+    // flip: a fully-stamped snapshot file exists but was never committed
+    val meta = java.nio.file.Paths.get(s"$base/t/meta")
+    val stray = java.nio.file.Files.readString(meta.resolve("v2.json"))
+      .replaceAll("\"version\"\\s*:\\s*2", "\"version\" : 3")
+      .replaceAll("\"parent\"\\s*:\\s*1", "\"parent\" : 2")
+    java.nio.file.Files.writeString(meta.resolve("v3.json"), stray)
+
+    val fresh = LakeTable.open(s"$base/t")
+    assert(fresh.versions().max === 2, "versions() must cap at HEAD")
+    assert(fresh.versionAt(System.currentTimeMillis) === 2,
+      "TIMESTAMP AS OF must never resolve to an uncommitted stray")
+    val e1 = intercept[IllegalArgumentException](fresh.readAt(spark, 3))
+    assert(e1.getMessage.contains("not committed"), e1.getMessage)
+    val e2 = intercept[IllegalStateException](fresh.changesBetween(spark, 2, 3))
+    assert(e2.getMessage.contains("not committed"), e2.getMessage)
+  }
 }
