@@ -123,10 +123,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     */
   def tableMode: String = head().mode
 
-  def head(): Snapshot = {
-    val name = Files.readString(headFile).trim
-    readSnapshot(metaDir.resolve(name))
-  }
+  def head(): Snapshot = snapshotAt(headVersion())
 
   /** head() + bucket-modulus guard: every path that HASHES a key (merge
     * write planning, point-lookup pruning) must agree with the modulus the
@@ -146,7 +143,12 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
   }
 
   /** Newest snapshot committed at or before `tsMillis` (TIMESTAMP AS OF).
-    * Legacy snapshots without a recorded commit time never match.
+    * Legacy snapshots without a recorded commit time never match. Stamp
+    * histories with regressions (written by pre-clamp binaries under clock
+    * skew) are MONOTONIZED before resolving — effective stamp = running
+    * max in version order, the same presentation rule Delta applies — so
+    * the answer is always the newest version whose effective stamp
+    * qualifies, and `versionAt(now)` is always head.
     *
     * Commit timestamps are monotone non-decreasing across versions (clamped
     * at [[commitSnapshot]]), so this is a BINARY SEARCH for the rightmost
@@ -160,16 +162,33 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     val vs = versions()
     def tsOf(v: Int): Long =
       Option(commitTsCache.get(v)).map(_.longValue)
-        .getOrElse(readSnapshot(metaDir.resolve(s"v$v.json")).committedAtMs)
+        .getOrElse(snapshotAt(v).committedAtMs)
     // Exact scan — correct under ANY stamp history, including snapshots
     // written before the monotone clamp by writers with regressed clocks.
+    // Rule: stamps are MONOTONIZED first (effective stamp = running max in
+    // version order — commit ORDER is version order, serialized by the
+    // HEAD CAS; the same rule Delta applies when presenting regressed
+    // commit timestamps), then the newest version with effective stamp
+    // <= tsMillis wins. Picking the max RAW stamp instead would make
+    // `versionAt(now)` silently skip every commit stamped behind a clock
+    // regression — time travel to "now" must always resolve to head. On a
+    // monotone history effective == raw, so this is exactly the binary
+    // search's rightmost-eligible rule and the two paths cannot disagree.
     def linear(): Int = {
-      val at = vs.map(v => v -> tsOf(v)).filter { case (_, ts) => ts >= 0 && ts <= tsMillis }
-      if (at.isEmpty)
+      var eff = -1L
+      var ans = -1
+      vs.foreach { v =>
+        val ts = tsOf(v)
+        if (ts >= 0) {
+          eff = math.max(eff, ts)
+          if (eff <= tsMillis) ans = v
+        }
+      }
+      if (ans < 0)
         throw new IllegalArgumentException(
           s"no snapshot committed at or before ${java.time.Instant.ofEpochMilli(tsMillis)} " +
             s"(oldest retained: v${vs.headOption.getOrElse(-1)})")
-      at.maxBy { case (v, ts) => (ts, v) }._1
+      ans
     }
     // Small retained histories (the expireSnapshots steady state) always
     // take the exact scan; big histories take the O(log n) binary search —
@@ -215,8 +234,11 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     * moved?) costs exactly ONE small file read. [[CdfMicroBatchStream]]
     * polls this; it reads the snapshot bodies only when planning a batch.
     */
-  def headVersion(): Int =
-    Files.readString(headFile).trim.stripPrefix("v").stripSuffix(".json").toInt
+  def headVersion(): Int = {
+    val v = Files.readString(headFile).trim.stripPrefix("v").stripSuffix(".json").toInt
+    if (v > committedThrough) committedThrough = v
+    v
+  }
 
   /** Snapshot-JSON reads performed by this handle (test seam: IO-count
     * assertions for the versionAt binary search / headVersion fast path).
@@ -228,6 +250,20 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     */
   private val commitTsCache =
     new java.util.concurrent.ConcurrentHashMap[Integer, java.lang.Long]()
+
+  /** Snapshot BODIES by version — immutable once committed, so a hit never
+    * goes stale. Admission is gated on `committedThrough` (the highest
+    * HEAD this handle has observed): a stray v<N>.json BEYOND head can
+    * still be overwritten when the next commit reclaims it, so only
+    * known-committed versions are cached. This closes the repeated
+    * metadata-IO hole on the CDF path — a rows-limited stream's admission
+    * walk and every batch plan re-read and re-parsed the same immutable
+    * summaries from storage each tick otherwise. [[expireSnapshots]]
+    * evicts what it deletes, keeping the cache bounded by retention.
+    */
+  private val snapshotCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Snapshot]()
+  @volatile private var committedThrough: Int = -1
 
   /** [[versionAt]] binary-search gate: highest version through which the
     * retained stamp sequence has been VERIFIED non-decreasing (a legacy
@@ -322,22 +358,31 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     * retries) must not collide on disk. Losers' blobs become orphans that
     * no committed manifest references.
     */
-  /** Write-token for snapshot data/manifest names: a zero-padded,
-    * per-JVM-monotone millisecond stamp, then a random suffix. Byte-order
-    * of two tokens from the SAME writer therefore follows write order,
-    * which upgrades the equal-seq tie-break (byte-wise greatest data-file
-    * path wins, [[resolve]]) from merely-deterministic to LATEST-WRITE-WINS
-    * on any sequentially-written table — what lets a replication sink
-    * apply a primary's seq-unchanged payload mutation to a MOR mirror as a
-    * plain append ([[graft.stream.Tailer.applyChanges]]). Cross-writer
-    * clock skew can still invert order for CONCURRENT equal-seq dupes of
-    * the same key — already a documented ingest anomaly; the break stays
+  /** Write-token for snapshot data/manifest names: an epoch prefix, a
+    * zero-padded per-JVM-monotone millisecond stamp, then a random suffix.
+    * Byte-order of two tokens from the SAME writer therefore follows write
+    * order, which upgrades the equal-seq tie-break (byte-wise greatest
+    * data-file path wins, [[resolve]]) from merely-deterministic to
+    * LATEST-WRITE-WINS on any sequentially-written table — what lets a
+    * replication sink apply a primary's seq-unchanged payload mutation to
+    * a MOR mirror as a plain append ([[graft.stream.Tailer.applyChanges]]).
+    *
+    * The `z` epoch prefix keeps that invariant across BINARY upgrades:
+    * tables written by earlier builds carry 8-random-hex tokens
+    * (`[0-9a-f]{8}`, ~15/16 of which sort ABOVE a bare zero-padded stamp)
+    * — without the prefix, an equal-seq append onto such a file would
+    * silently LOSE the path tie-break and the stale payload would keep
+    * winning at read time. `z` sorts above every hex char, so every
+    * post-upgrade write outranks every pre-upgrade file, which is the
+    * correct LWW order (the new write IS later). Cross-writer clock skew
+    * can still invert order for CONCURRENT equal-seq dupes of the same
+    * key — already a documented ingest anomaly; the break stays
     * deterministic there.
     */
   private def newToken(): String = {
     val ts = LakeTable.tokenClock.updateAndGet(
       prev => math.max(prev + 1, System.currentTimeMillis))
-    f"$ts%013d-${java.util.UUID.randomUUID.toString.substring(0, 8)}"
+    f"z$ts%013d-${java.util.UUID.randomUUID.toString.substring(0, 8)}"
   }
 
   /** Write one manifest per bucket present in `files`; returns their refs. */
@@ -453,6 +498,10 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     Files.writeString(headTmp, s"v${s.version}.json")
     Files.move(headTmp, headFile, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     if (stampedTs >= 0) commitTsCache.put(s.version, stampedTs)
+    // the CAS won: this version is committed. Only the watermark advances —
+    // the body is cached lazily from disk on first read, so the cache can
+    // never diverge from what other handles parse out of the file.
+    if (s.version > committedThrough) committedThrough = s.version
   }
 
   // --- reads --------------------------------------------------------------
@@ -509,7 +558,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     // time travel must not surface state whose batch fence never advanced
     require(version <= committed,
       s"readAt: snapshot v$version is not committed (head: v$committed)")
-    val snap = readSnapshot(metaDir.resolve(s"v$version.json"))
+    val snap = snapshotAt(version)
     liveRows(readFiles(spark, filesOf(snap)), snap.mode)
   }
 
@@ -546,8 +595,8 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
             s"v${versions().headOption.getOrElse(-1)}) — incremental history is gone; " +
             "bootstrap the consumer with a full read() and seed its cursor at head")
     }
-    val sFrom = readSnapshot(metaDir.resolve(s"v$fromVersion.json"))
-    val sTo = readSnapshot(metaDir.resolve(s"v$toVersion.json"))
+    val sFrom = snapshotAt(fromVersion)
+    val sTo = snapshotAt(toVersion)
     val refsFrom = sFrom.manifests.map(r => r.bucket -> r).toMap
     val refsTo = sTo.manifests.map(r => r.bucket -> r).toMap
     val changed = (refsFrom.keySet ++ refsTo.keySet).toSeq.sorted
@@ -595,19 +644,31 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     // snapshot-JSON IO (same contract as the streaming source's tick)
     val to = headVersion()
     if (to <= from) None
-    else Some(ChangeWindow(from, to, changesBetween(spark, from, to), () => {
-      val tmp = cursorFile.resolveSibling(s".${cursorFile.getFileName}.tmp")
-      Files.writeString(tmp, to.toString)
-      Files.move(tmp, cursorFile, StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
-    }))
+    else Some(ChangeWindow(from, to, changesBetween(spark, from, to),
+      () => LakeTable.writeCursor(cursorFile, to)))
   }
 
   /** Snapshot metadata of a RETAINED version (history/metadata surface —
     * the snapshot JSON only, no data IO).
     */
   def snapshotAt(version: Int): Snapshot =
-    readSnapshot(metaDir.resolve(s"v$version.json"))
+    if (version <= committedThrough) {
+      val hit = snapshotCache.get(version)
+      if (hit != null) hit
+      else {
+        val s = readSnapshot(metaDir.resolve(s"v$version.json"))
+        snapshotCache.put(version, s)
+        s
+      }
+    } else readSnapshot(metaDir.resolve(s"v$version.json"))
+
+  /** Is `version`'s snapshot JSON still on disk (not expired)? Pure
+    * metadata-existence check — the CDF planner uses it to keep its
+    * curated expired-checkpoint error now that snapshot bodies are cached
+    * (a cached body can outlive retention).
+    */
+  private[graft] def snapshotRetained(version: Int): Boolean =
+    Files.exists(metaDir.resolve(s"v$version.json"))
 
   /** All COMMITTED snapshot versions (ascending): the v*.json listing
     * capped at HEAD. A writer that died between creating v(head+1).json
@@ -1255,8 +1316,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     */
   private def onlyCompactions(fromV: Int, toV: Int): Boolean =
     (fromV + 1 to toV).forall { v =>
-      val p = metaDir.resolve(s"v$v.json")
-      Files.exists(p) && readSnapshot(p).summary.contains("compaction")
+      snapshotRetained(v) && snapshotAt(v).summary.contains("compaction")
     }
 
   /** True when any of this writer's PENDING (not yet committed) manifest
@@ -1461,7 +1521,11 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     require(keepLast >= 1, "must keep at least HEAD")
     val keep = versions().takeRight(keepLast).toSet + head().version
     val expired = versions().filterNot(keep)
-    expired.foreach(v => Files.deleteIfExists(metaDir.resolve(s"v$v.json")))
+    expired.foreach { v =>
+      Files.deleteIfExists(metaDir.resolve(s"v$v.json"))
+      snapshotCache.remove(v)
+      commitTsCache.remove(v)
+    }
     expired
   }
 
@@ -1477,7 +1541,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     */
   def vacuum(olderThanMs: Long = 600000L): Int = {
     val cutoff = System.currentTimeMillis - olderThanMs
-    val snaps = versions().map(v => readSnapshot(metaDir.resolve(s"v$v.json")))
+    val snaps = versions().map(snapshotAt)
     val refManifests = snaps.flatMap(_.manifests.map(_.path))
       .filterNot(_.startsWith("inline:")).toSet
     val refData = snaps.flatMap(s => filesOf(s).map(_.path)).toSet
@@ -1640,6 +1704,19 @@ object LakeTable {
     * concurrent writer; commit paths catch it and rebase/retry.
     */
   final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
+
+  /** Atomically persist a consumer cursor (tmp file + ATOMIC_MOVE +
+    * REPLACE_EXISTING): a reader never observes a torn write — the ONE
+    * cursor protocol, shared by [[LakeTable.drainChanges]]' commit and
+    * [[graft.stream.Tailer.resyncInto]]'s re-seed so their crash behavior
+    * can never diverge.
+    */
+  private[graft] def writeCursor(cursorFile: Path, version: Int): Unit = {
+    val tmp = cursorFile.resolveSibling(s".${cursorFile.getFileName}.tmp")
+    Files.writeString(tmp, version.toString)
+    Files.move(tmp, cursorFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** `minRepo`/`maxRepo`/`minPath`/`maxPath` are per-file key bounds
     * harvested from the parquet footer column statistics at commit time

@@ -270,9 +270,11 @@ final class CdfMicroBatchStream(root: String, startVersion: Int,
     case _ => target
   }
 
-  /** Change rows a version contributed, from its snapshot summary (cached
-    * after first read — snapshots are immutable). Merge-shaped commits
-    * record `srcRows`; compaction/rebucket/truncate record none → 0.
+  /** Change rows a version contributed, from its snapshot summary (served
+    * from the table handle's snapshot cache after the first read —
+    * snapshots are immutable, so a rows-limited admission walk costs no
+    * repeated metadata IO). Merge-shaped commits record `srcRows`;
+    * compaction/rebucket/truncate record none → 0.
     */
   private def changeRowsOf(v: Int): Long =
     try table.snapshotAt(v).summary.get("srcRows").map(_.toLong).getOrElse(0L)
@@ -284,6 +286,15 @@ final class CdfMicroBatchStream(root: String, startVersion: Int,
     val from = math.max(ver(start), startVersion)
     val to = ver(end)
     if (to <= from) return Array.empty
+    // existence is checked EXPLICITLY (not via the read throwing): snapshot
+    // bodies are cached in the table handle, so a cached endpoint could
+    // otherwise outlive retention and mask the curated expired error
+    if (!table.snapshotRetained(from) || !table.snapshotRetained(to))
+      throw new IllegalStateException(
+        s"graft-cdf: snapshot window [$from, $to] has been expired " +
+          "(expireSnapshots ran past the checkpoint) — incremental history " +
+          "is gone; bootstrap the consumer with a full read() and a fresh " +
+          "checkpoint seeded at head")
     val (sFrom, sTo) =
       try (table.snapshotAt(from), table.snapshotAt(to))
       catch { case _: java.nio.file.NoSuchFileException =>

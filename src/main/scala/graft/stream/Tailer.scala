@@ -140,13 +140,7 @@ object Tailer {
   def resyncInto(spark: SparkSession, primaryRoot: String, derived: LakeTable,
                  cursorFile: java.nio.file.Path): Boolean = {
     val primary = LakeTable.open(primaryRoot)
-    def seed(v: Int): Unit = {
-      val tmp = cursorFile.resolveSibling(s".${cursorFile.getFileName}.tmp")
-      java.nio.file.Files.writeString(tmp, v.toString)
-      java.nio.file.Files.move(tmp, cursorFile,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    def seed(v: Int): Unit = LakeTable.writeCursor(cursorFile, v)
     try {
       primary.drainChanges(spark, cursorFile).foreach { w =>
         applyChanges(derived, w.feed, batchId = derived.head().lastBatchId + 1)
@@ -193,18 +187,28 @@ object Tailer {
     * under a changed core count), so attempts are NOT row-for-row
     * duplicates — rows of the newest `attempt` stamp win wholesale, then
     * (batchId, partitionId) dedupe collapses any identical re-writes
-    * within that attempt (and is the whole rule for legacy dirs written
-    * before the stamp existed). Two hash aggregates, O(batches ×
-    * partitions) rows — metadata scale.
+    * within that attempt. Legacy rows (written before the stamp existed —
+    * whole dirs or a pre-upgrade prefix of a mixed dir) read as one
+    * synthetic oldest attempt, so they keep the plain dedupe rule and lose
+    * to any stamped re-delivery of the same batch. Two hash aggregates,
+    * O(batches × partitions) rows — metadata scale.
     */
   def readLineage(spark: SparkSession, lineageDir: String): DataFrame = {
-    val df = spark.read.parquet(lineageDir)
+    val df0 = spark.read.parquet(lineageDir)
     val latest =
-      if (df.columns.contains("attempt"))
+      if (df0.columns.contains("attempt")) {
+        // a dir MIXING pre-stamp and stamped files surfaces the union
+        // schema: legacy rows read attempt = NULL, and an equi-join on a
+        // null key would silently drop every all-legacy batch — coalesce
+        // to MinValue so legacy rows join (and lose to any stamped
+        // re-delivery of the same batch, which is the correct winner: the
+        // stamped attempt is the newer delivery)
+        val df = df0.withColumn("attempt",
+          coalesce(col("attempt"), lit(Long.MinValue)))
         df.join(df.groupBy("batchId").agg(max("attempt").as("attempt")),
             Seq("batchId", "attempt"))
           .drop("attempt")
-      else df
+      } else df0
     latest
       .groupBy("batchId", "partitionId")
       .agg(

@@ -111,7 +111,14 @@ object StreamingOps {
                 case _ => s :: acc
               }
             }.reverse
-          val (closed, open) = merged.partition(_.end + gapMs <= wm)
+          // STRICT close: an in-watermark event at exactly ts = end+gapMs
+          // (ts >= wm is deliverable) still merges into this session
+          // (merge rule start - end <= gapMs), so closing at equality
+          // could split one session in live mode that a replay would
+          // merge — close only once no mergeable event can still arrive.
+          // Timeout firing guarantees wm > the end+gapMs it was set to,
+          // so strictness never strands a session open.
+          val (closed, open) = merged.partition(_.end + gapMs < wm)
           if (open.isEmpty) state.remove()
           else {
             state.update(OpenSessions(open))

@@ -527,6 +527,41 @@ class CdfStreamSpec extends SparkSpec {
     assert(viaFeed === Seq(winner), "the DSv2 feed must agree with the Dataset paths")
   }
 
+  test("equal-seq tie-break survives a binary upgrade: post-upgrade write outranks a legacy random-hex-token file") {
+    val base = tmpDir("cdf-tie-epoch")
+    val primary = LakeTable(s"$base/t", 1, LakeTable.Mor)
+    def row(content: String) =
+      Seq(("r1", "p1", "U", 5L, "c", "scala", content, Option(5L))).toDF(cols: _*)
+    primary.merge(spark, row("stale-pre-upgrade"), 0L)
+
+    // Rewrite the write token to the PRE-upgrade format: 8 random hex
+    // chars, here the worst case 'ffffffff' (sorts above every bare
+    // zero-padded millis stamp — the shape that silently inverted the
+    // equal-seq LWW tie-break before the 'z' epoch prefix)
+    val dataDir = java.nio.file.Paths.get(s"$base/t/data")
+    val snapDir = java.nio.file.Files.list(dataDir).iterator().next()
+    val legacyTok = "ffffffff"
+    val oldTok = snapDir.getFileName.toString.stripPrefix("snap-")
+    java.nio.file.Files.move(snapDir, dataDir.resolve(s"snap-$legacyTok"))
+    val manDir = java.nio.file.Paths.get(s"$base/t/meta/manifests")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(manDir).iterator().asScala.foreach { m =>
+      java.nio.file.Files.writeString(m,
+        java.nio.file.Files.readString(m).replace(oldTok, legacyTok))
+    }
+
+    // fresh handle (the writer's manifest cache predates the rewrite)
+    val fresh = LakeTable.open(s"$base/t")
+    fresh.merge(spark, row("fresh-post-upgrade"), 1L)
+    val got = fresh.read(spark).select("content").as[String].collect().toSeq
+    assert(got === Seq("fresh-post-upgrade"),
+      s"the post-upgrade equal-seq write must win the path tie-break, got $got")
+    // and the DSv2/changesBetween after-image agrees
+    val viaCdc = fresh.changesBetween(spark, 0, fresh.headVersion())
+      .filter($"op" =!= "D").select("content").as[String].collect().toSeq
+    assert(viaCdc === Seq("fresh-post-upgrade"))
+  }
+
   for (mode <- Seq(LakeTable.Cow, LakeTable.Mor))
   test(s"resyncInto recovers an expired-history follower exactly (incl. gap deletions + equal-seq mutation, $mode mirror)") {
     val base = tmpDir(s"cdf-resync-$mode")

@@ -118,6 +118,20 @@ class ReplaySpec extends SparkSpec {
     val leg = Tailer.readLineage(spark, legacyDir)
     assert(leg.count() === 8L &&
       leg.agg(sum("rowsApplied")).head.getLong(0) === 800L)
+    // a MIXED dir (pre-upgrade batches without the stamp + stamped
+    // batches) surfaces the union schema with attempt = NULL on legacy
+    // rows — those batches must survive (a null-keyed equi-join would
+    // silently drop the entire pre-upgrade history)
+    val mixedDir = s"${tmpDir("lineage-mixed")}/lineage"
+    rows(0 until 8, 100L, attempt = 0L).drop("attempt")
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(mixedDir) // legacy batch 0
+    rows(0 until 4, 50L, attempt = 3000L)
+      .withColumn("batchId", lit(1L))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(mixedDir) // stamped batch 1
+    val mixed = Tailer.readLineage(spark, mixedDir)
+    assert(mixed.count() === 12L,
+      s"legacy batch 0 (8 partitions) + stamped batch 1 (4) must both survive, got ${mixed.count()}")
+    assert(mixed.agg(sum("rowsApplied")).head.getLong(0) === 1000L)
   }
 
   test("exactly-once: replaying the same batch is a no-op (batchId fence)") {

@@ -571,6 +571,16 @@ class SqlSpec extends SparkSpec {
     val b2 = fresh.snapshotReads.get()
     assert(fresh.headVersion() === 100)
     assert(fresh.snapshotReads.get() === b2, "headVersion must not read any snapshot JSON")
+    // snapshot BODIES are cached too: a CDF admission walk / batch plan
+    // re-reading the same committed versions costs zero snapshot-JSON IO
+    fresh.snapshotAt(60)
+    val b3 = fresh.snapshotReads.get()
+    (1 to 10).foreach { _ =>
+      assert(fresh.snapshotAt(60).version === 60)
+      assert(fresh.head().version === 100)
+    }
+    assert(fresh.snapshotReads.get() === b3,
+      "snapshotAt/head must serve committed versions from the body cache")
   }
 
   test("versionAt: pre-clamp non-monotone stamps take the exact scan, not the search") {
@@ -591,11 +601,18 @@ class SqlSpec extends SparkSpec {
       java.nio.file.Files.writeString(p, s)
     }
     val fresh = lake.LakeTable.open(s"$base/t")
-    // a monotonicity-trusting binary search over these stamps would land
-    // on v80 (stamp 580); the exact answer is v40 (stamp 1040)
-    assert(fresh.versionAt(1040L) === 40)
-    // and the regressed band itself resolves exactly too
-    assert(fresh.versionAt(590L) === 80)
+    // stamps are monotonized (effective = running max in version order,
+    // the Delta rule): v41..v80's regressed 541..580 all clamp to 1040, so
+    // ts=1040 resolves to the newest version — NOT to v40 (max raw stamp),
+    // which would make time travel to "now" silently drop the whole
+    // regressed suffix
+    assert(fresh.versionAt(1040L) === 80)
+    assert(fresh.versionAt(System.currentTimeMillis) === 80,
+      "versionAt(now) must be head under ANY stamp history")
+    // inside the clean prefix the scan stays version-exact
+    assert(fresh.versionAt(1039L) === 39)
+    // before the first effective stamp: nothing existed
+    intercept[IllegalArgumentException](fresh.versionAt(590L))
   }
 
   test("versionAt: ONE regressed mid-history stamp (mixed-version writers) still takes the exact scan") {
@@ -617,11 +634,16 @@ class SqlSpec extends SparkSpec {
       java.nio.file.Files.writeString(p, s)
     }
     val fresh = lake.LakeTable.open(s"$base/t")
-    // stamps: 1000,1001,…,1059, 900, 1061,…,1080 — the exact answer for
-    // ts=1059 is v59; a search trusting order could land short or on v60
-    assert(fresh.versionAt(1059L) === 59)
-    // the regressed commit itself is still reachable exactly
-    assert(fresh.versionAt(999L) === 60)
+    // stamps: 1000,1001,…,1059, 900, 1061,…,1080 — monotonization gives
+    // v60 the effective stamp 1059 (its predecessor's), so ts=1059
+    // resolves to v60 (newest version at that effective time); a search
+    // trusting raw order could land short or miss the band entirely
+    assert(fresh.versionAt(1059L) === 60)
+    // strictly inside the clean prefix the scan stays version-exact
+    assert(fresh.versionAt(1058L) === 58)
+    // the regressed RAW stamp is not an addressable instant (nothing
+    // committed effectively at 999 — v0 already claims 1000)
+    intercept[IllegalArgumentException](fresh.versionAt(999L))
     // and queries above the band resolve to the true newest-eligible
     assert(fresh.versionAt(1080L) === 80)
   }
