@@ -472,10 +472,17 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     val tok = newToken()
     val tmp = metaDir.resolve(s".v${s.version}.json.$tok.tmp")
     Files.writeString(tmp, mapper.writerWithDefaultPrettyPrinter.writeValueAsString(node))
-    // no REPLACE_EXISTING: a concurrent writer that produced the same
-    // version number loses here rather than clobbering the committed file
+    // createLink, NOT Files.move-without-REPLACE: this CREATE is the
+    // version-number arbitration, so it must be atomic-EXCLUSIVE. JDK's
+    // move without REPLACE_EXISTING is check-then-rename (TOCTOU): two
+    // same-version racers in the window both pass the existence check and
+    // rename(2) silently clobbers — both "commit", both flip HEAD, and the
+    // first writer's batch is silently LOST (caught by ConcurrencyStress:
+    // 47 of 48 writer merges on the committed chain, zero errors).
+    // link(2) fails EEXIST in the kernel — exactly one racer wins, and the
+    // fully-written tmp keeps the appear-complete-or-not-at-all property.
     def moveIntoPlace(retryStray: Boolean): Unit =
-      try Files.move(tmp, snapPath)
+      try { Files.createLink(snapPath, tmp); Files.deleteIfExists(tmp) }
       catch { case e: java.nio.file.FileAlreadyExistsException =>
         // an existing vN.json while HEAD still points at the parent is
         // either an IN-FLIGHT racer (young file — back off, CAS decides)

@@ -356,4 +356,51 @@ class MultiWriterSpec extends SparkSpec {
     val e2 = intercept[IllegalStateException](fresh.changesBetween(spark, 2, 3))
     assert(e2.getMessage.contains("not committed"), e2.getMessage)
   }
+
+  test("same-version CAS storm: every applied merge is on the committed chain (no silent clobber)") {
+    // Regression canary for the snapshot-create TOCTOU: Files.move without
+    // REPLACE_EXISTING is check-then-rename, so two same-version racers in
+    // a tight window could BOTH "commit" (rename clobbers) and the first
+    // writer's batch silently vanished — every merge returned applied,
+    // zero errors, one snapshot missing (caught live by ConcurrencyStress:
+    // 47 of 48 merges on the chain). With createLink arbitration exactly
+    // one racer can ever win a version. Barrier-started writers maximize
+    // the same-parent window; with the fix this is deterministic-pass,
+    // without it a clobber shows up as a missing key.
+    val base = tmpDir("mw-casstorm")
+    LakeTable(s"$base/t", 4)
+    val n = 8
+    val barrier = new java.util.concurrent.CyclicBarrier(n)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (0 until n).foreach { w =>
+      pool.submit(new Runnable {
+        override def run(): Unit = try {
+          val t = new LakeTable(s"$base/t", 4)
+          val src = Seq((s"r$w", s"p$w", "U", 1L, "c", "scala", s"w$w", Option(1L)))
+            .toDF(cols: _*).drop("op").alias("s")
+          barrier.await()
+          t.mergeSql(spark, src, "t", "s",
+            "`t`.`repo` = `s`.`repo` AND `t`.`path` = `s`.`path`",
+            Map("repo" -> "`s`.`repo`", "path" -> "`s`.`path`"),
+            matched = Seq(LakeTable.SqlMergeClause("update", None, Nil,
+              star = true, starAlias = "s")),
+            notMatched = Seq(LakeTable.SqlMergeClause("insert", None, Nil,
+              star = true, starAlias = "s")),
+            retries = 50)
+        } catch { case t: Throwable => errs.add(t) } finally ()
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS))
+    assert(errs.isEmpty, {
+      import scala.jdk.CollectionConverters._
+      s"writers failed: ${errs.asScala.toSeq}"
+    })
+    val t = LakeTable.open(s"$base/t")
+    val got = t.read(spark).select("repo").as[String].collect().toSet
+    assert(got === (0 until n).map(w => s"r$w").toSet,
+      s"every applied merge must be durably on the chain, got $got")
+    assert(t.headVersion() === n, s"$n merges → $n commits, got v${t.headVersion()}")
+  }
 }
