@@ -1637,6 +1637,26 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
       refData.contains(rel) ||
         (!rel.endsWith(".parquet") && refDirs.contains(rel.split('/').take(2).mkString("/"))))
     sweep(metaDir.resolve("manifests"), refManifests.contains)
+    // commit-protocol tmp debris: every meta-dir tmp (.vN.json.<tok>.tmp
+    // from a writer that died inside snapshot arbitration, .HEAD.<tok>.tmp,
+    // .table.json.<tok>.tmp) is dot-prefixed, .tmp-suffixed, and lives for
+    // milliseconds in a healthy commit — one older than the grace window is
+    // always a dead writer's orphan (never re-read by anyone: the commit
+    // paths only ever consume the tmp they just wrote). Reclaimed here so
+    // crashed commits can't grow the meta dir unboundedly.
+    if (Files.exists(metaDir)) {
+      scala.util.Using.resource(Files.list(metaDir)) { st =>
+        st.iterator().asScala.foreach { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith(".") && n.endsWith(".tmp")) {
+            try {
+              if (Files.getLastModifiedTime(p).toMillis < cutoff &&
+                  Files.deleteIfExists(p)) deleted += 1
+            } catch { case _: java.nio.file.NoSuchFileException => () }
+          }
+        }
+      }
+    }
     deleted
   }
 

@@ -182,6 +182,35 @@ class MultiWriterSpec extends SparkSpec {
     assert(t1.vacuum(olderThanMs = 0) === 0)
   }
 
+  test("vacuum reclaims dead-writer meta tmp debris, spares young tmps") {
+    // a writer that dies inside commitSnapshot (between writeString and the
+    // createLink arbitration, or between createLink and the tmp delete)
+    // orphans a dot-prefixed .tmp in the meta dir; nothing ever re-reads
+    // one, so vacuum reclaims them once they outlive the grace window —
+    // without it every crashed commit grows the meta dir forever
+    val base = tmpDir("mw-metatmp")
+    val t = LakeTable(s"$base/t", 4)
+    t.merge(spark, rows(("r1", "p1", 1L, "v1")), 0L)
+    val meta = java.nio.file.Paths.get(s"$base/t/meta")
+    val dead = meta.resolve(".v9.json.zdeadbeef01.tmp")
+    val deadHead = meta.resolve(".HEAD.zdeadbeef02.tmp")
+    java.nio.file.Files.writeString(dead, "{}")
+    java.nio.file.Files.writeString(deadHead, "v9.json")
+    // young tmps are possibly an in-flight commit: default grace spares them
+    assert(t.vacuum() === 0)
+    assert(java.nio.file.Files.exists(dead) && java.nio.file.Files.exists(deadHead))
+    val aged = java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis - 3600000L)
+    java.nio.file.Files.setLastModifiedTime(dead, aged)
+    java.nio.file.Files.setLastModifiedTime(deadHead, aged)
+    assert(t.vacuum() === 2, "aged tmp debris must be reclaimed")
+    assert(!java.nio.file.Files.exists(dead) && !java.nio.file.Files.exists(deadHead))
+    // committed metadata and state untouched
+    assert(t.headVersion() === 1)
+    assert(t.read(spark).count() === 1L)
+    assert(t.vacuum(olderThanMs = 0) === 0) // fixpoint
+  }
+
   test("vacuum(0) racing a loser's rebase: retry recomputes, never dangling refs") {
     val base = tmpDir("mw-vacrace")
     val t1 = LakeTable(s"$base/t", 4)
