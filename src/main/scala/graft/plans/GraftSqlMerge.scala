@@ -683,6 +683,24 @@ object GraftMetaTvf {
       rows.toDF("bucket", "file", "row_count", "size_bytes", "sorted",
         "min_repo", "max_repo", "min_path", "max_path"))
   }
+
+  val lineageIdent: FunctionIdentifier = FunctionIdentifier("graft_lineage")
+  val lineageInfo = new ExpressionInfo(GraftMetaTvf.getClass.getCanonicalName,
+    null, "graft_lineage", "graft_lineage(dir) - per-(batch, partition) " +
+      "lineage rows of a tailer/replication lineage directory, deduped to " +
+      "exactly one delivery attempt per batch (the canonical at-least-once " +
+      "read — raw parquet can carry re-delivered batches)",
+    "", "", "", "", "", "", "built-in")
+
+  /** [[graft.stream.Tailer.readLineage]] as a TVF — the lineage dir is
+    * appended at-least-once (crash between merge commit and lineage write
+    * re-delivers a batch), so reading the raw parquet double-counts; this
+    * is the SQL spelling of the one correct read.
+    */
+  def buildLineage(args: Seq[Expression]): LogicalPlan = {
+    val dir = rootArg(args, "graft_lineage")
+    GraftTvf.analyzed(graft.stream.Tailer.readLineage(GraftTvf.session, dir))
+  }
 }
 
 /** `spark.sql.extensions` entry point. Order matters: the MERGE rule must
@@ -698,6 +716,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftMetaTvf.buildHistory _))
     ext.injectTableFunction((GraftMetaTvf.filesIdent, GraftMetaTvf.filesInfo,
       GraftMetaTvf.buildFiles _))
+    ext.injectTableFunction((GraftMetaTvf.lineageIdent, GraftMetaTvf.lineageInfo,
+      GraftMetaTvf.buildLineage _))
     ext.injectTableFunction((GraftChunkTvf.chunksIdent, GraftChunkTvf.chunksInfo,
       GraftChunkTvf.buildChunks _))
     ext.injectTableFunction((GraftChunkTvf.packIdent, GraftChunkTvf.packInfo,

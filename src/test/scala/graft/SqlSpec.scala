@@ -710,6 +710,37 @@ class SqlSpec extends SparkSpec {
     assert(n.head.getLong(0) === n.head.getLong(1), n.mkString)
   }
 
+  test("graft_lineage TVF is the canonical deduped lineage read") {
+    // the lineage dir is appended at-least-once: a re-delivered batch
+    // (crash between merge commit and cursor/lineage write) re-splits the
+    // same input, so raw parquet double-counts; the TVF must surface
+    // exactly Tailer.readLineage's one-attempt-per-batch view
+    val dir = s"${tmpDir("sqllineage")}/lineage"
+    def rows(pids: Range, rowsEach: Long, attempt: Long) =
+      pids.map(p => (0L, p, 0L, 799L, rowsEach, rowsEach * 10, attempt))
+        .toDF("batchId", "partitionId", "firstOffset", "lastOffset",
+          "rowsApplied", "bytesIn", "attempt")
+    rows(0 until 8, 100L, attempt = 1000L)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
+    rows(0 until 4, 200L, attempt = 2000L) // re-delivery, re-partitioned
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
+    val got = spark.sql(
+      s"SELECT sum(rowsApplied) AS r, count(*) AS n FROM graft_lineage('$dir')")
+      .as[(Long, Long)].head()
+    assert(got === ((800L, 4L)),
+      "TVF must keep only the newest attempt's 4 partitions x 200 rows")
+    assert(spark.read.parquet(dir).count() === 12L, "raw dir carries both attempts")
+    // row-for-row equal to the Scala reader
+    val tvf = spark.sql(s"SELECT * FROM graft_lineage('$dir')").collect().toSet
+    val scala0 = graft.stream.Tailer.readLineage(spark, dir)
+      .select("batchId", "partitionId", "firstOffset", "lastOffset",
+        "rowsApplied", "bytesIn").collect().toSet
+    assert(tvf === scala0)
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM graft_lineage()").collect())
+    assert(e.getMessage.contains("usage"), e.getMessage)
+  }
+
   test("lww aggregate callable from SQL via registered function") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lww", exprs => graft.cdc.LwwAgg(exprs(0), exprs(1)).toAggregateExpression(),
