@@ -703,6 +703,111 @@ object GraftMetaTvf {
   }
 }
 
+/** Table-maintenance procedures as TVFs (Iceberg's
+  * `CALL system.rewrite_data_files` / `expire_snapshots` /
+  * `remove_orphan_files` analogs, reachable from plain SQL):
+  *
+  *  - `graft_compact('<root>')` — full rewrite: fold every bucket to its
+  *    LWW-resolved latest row per key, one sorted file per bucket.
+  *  - `graft_compact('<root>', maxFilesPerBucket)` — incremental: rewrite
+  *    ONLY buckets whose manifests list more files than the bound (the MOR
+  *    read-amplification trigger); untouched manifests carry by reference.
+  *  - `graft_expire_snapshots('<root>', keepLast)` — drop snapshot JSONs
+  *    older than the newest `keepLast`; one output row per expired version.
+  *  - `graft_vacuum('<root>'[, olderThanMs])` — delete data/manifest files
+  *    no surviving snapshot references and older than the grace window
+  *    (default 10 min — never pass 0 with concurrent writers active).
+  *
+  * Like Iceberg's `CALL`, these execute EAGERLY — at analysis time, once
+  * per statement — and return a summary relation. (Consequence: EXPLAIN
+  * of a maintenance TVF also runs it. All three are idempotent, so a
+  * re-run is a no-op, not corruption.) Each delegates to the corresponding
+  * tested [[LakeTable]] API, so retry/backoff/CAS semantics are identical
+  * to the Scala surface: a compaction that loses the commit race to live
+  * ingest recomputes against the new head (ingest always wins).
+  */
+object GraftMaintTvf {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+  val compactIdent: FunctionIdentifier = FunctionIdentifier("graft_compact")
+  val compactInfo = new ExpressionInfo(GraftMaintTvf.getClass.getCanonicalName,
+    null, "graft_compact", "graft_compact(root[, maxFilesPerBucket]) - " +
+      "compact the graft lake table at `root` (full rewrite, or only " +
+      "buckets over the file-count bound); returns the new head version " +
+      "and rewrite stats", "", "", "", "", "", "", "built-in")
+  val expireIdent: FunctionIdentifier = FunctionIdentifier("graft_expire_snapshots")
+  val expireInfo = new ExpressionInfo(GraftMaintTvf.getClass.getCanonicalName,
+    null, "graft_expire_snapshots", "graft_expire_snapshots(root, keepLast)" +
+      " - drop retained snapshots older than the newest keepLast; one row " +
+      "per expired version", "", "", "", "", "", "", "built-in")
+  val vacuumIdent: FunctionIdentifier = FunctionIdentifier("graft_vacuum")
+  val vacuumInfo = new ExpressionInfo(GraftMaintTvf.getClass.getCanonicalName,
+    null, "graft_vacuum", "graft_vacuum(root[, olderThanMs]) - delete " +
+      "unreferenced data/manifest files older than the grace window; " +
+      "returns the deleted count", "", "", "", "", "", "", "built-in")
+
+  def buildCompact(args: Seq[Expression]): LogicalPlan = {
+    val session = GraftTvf.session
+    import session.implicits._
+    val (root, bound) = args match {
+      case Seq(r) if GraftTvf.strLit(r).isDefined =>
+        (GraftTvf.strLit(r).get, None)
+      case Seq(r, b) if GraftTvf.strLit(r).isDefined &&
+          GraftTvf.intLit(b).isDefined =>
+        (GraftTvf.strLit(r).get, Some(GraftTvf.intLit(b).get))
+      case _ => fail("graft_compact",
+        "usage: graft_compact('<table root>'[, <maxFilesPerBucket>])")
+    }
+    val table = LakeTable.open(root)
+    val before = table.head()
+    val compacted = bound match {
+      case Some(maxFiles) => table.compactBuckets(session, maxFiles)
+      case None => table.compact(session); before.manifests.size
+    }
+    val after = table.head()
+    val rows = Seq((after.version, compacted, after.totalRows, after.totalFiles))
+    GraftTvf.analyzed(rows.toDF(
+      "version", "compacted_buckets", "total_rows", "total_files"))
+  }
+
+  def buildExpire(args: Seq[Expression]): LogicalPlan = {
+    val session = GraftTvf.session
+    import session.implicits._
+    args match {
+      case Seq(r, k) if GraftTvf.strLit(r).isDefined &&
+          GraftTvf.intLit(k).isDefined =>
+        val expired = LakeTable.open(GraftTvf.strLit(r).get)
+          .expireSnapshots(GraftTvf.intLit(k).get)
+        GraftTvf.analyzed(expired.toDF("expired_version"))
+      case _ => fail("graft_expire_snapshots",
+        "usage: graft_expire_snapshots('<table root>', <keepLast>)")
+    }
+  }
+
+  def buildVacuum(args: Seq[Expression]): LogicalPlan = {
+    val session = GraftTvf.session
+    import session.implicits._
+    val (root, grace) = args match {
+      case Seq(r) if GraftTvf.strLit(r).isDefined =>
+        (GraftTvf.strLit(r).get, None)
+      case Seq(r, g) if GraftTvf.strLit(r).isDefined &&
+          GraftTvf.longLit(g).isDefined =>
+        (GraftTvf.strLit(r).get, Some(GraftTvf.longLit(g).get))
+      case _ => fail("graft_vacuum",
+        "usage: graft_vacuum('<table root>'[, <olderThanMs>])")
+    }
+    val table = LakeTable.open(root)
+    val deleted = grace match {
+      case Some(ms) => table.vacuum(ms)
+      case None => table.vacuum()
+    }
+    GraftTvf.analyzed(Seq(deleted).toDF("deleted_files"))
+  }
+
+  private def fail(fn: String, msg: String): Nothing =
+    throw new UnsupportedOperationException(s"$fn: $msg")
+}
+
 /** `spark.sql.extensions` entry point. Order matters: the MERGE rule must
   * claim its target relation before the read rule expands relations.
   */
@@ -718,6 +823,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftMetaTvf.buildFiles _))
     ext.injectTableFunction((GraftMetaTvf.lineageIdent, GraftMetaTvf.lineageInfo,
       GraftMetaTvf.buildLineage _))
+    ext.injectTableFunction((GraftMaintTvf.compactIdent, GraftMaintTvf.compactInfo,
+      GraftMaintTvf.buildCompact _))
+    ext.injectTableFunction((GraftMaintTvf.expireIdent, GraftMaintTvf.expireInfo,
+      GraftMaintTvf.buildExpire _))
+    ext.injectTableFunction((GraftMaintTvf.vacuumIdent, GraftMaintTvf.vacuumInfo,
+      GraftMaintTvf.buildVacuum _))
     ext.injectTableFunction((GraftChunkTvf.chunksIdent, GraftChunkTvf.chunksInfo,
       GraftChunkTvf.buildChunks _))
     ext.injectTableFunction((GraftChunkTvf.packIdent, GraftChunkTvf.packInfo,

@@ -752,4 +752,59 @@ class SqlSpec extends SparkSpec {
       .as[(String, String)].collect().toMap
     assert(got === Map("k1" -> "new", "k2" -> "only"))
   }
+
+  test("maintenance TVFs: graft_compact / graft_expire_snapshots / graft_vacuum") {
+    val base = tmpDir("sqlmaint")
+    val table = lake.LakeTable(s"$base/t", 2, lake.LakeTable.Mor)
+    def put(seq: Long, op: String): Unit = table.merge(spark,
+      Seq(("r", "p1", op, seq, s"c$seq", "scala", s"v$seq", Option(seq)),
+        ("r", "p2", op, seq, s"c$seq", "scala", s"w$seq", Option(seq)))
+        .toDF("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes"),
+      seq)
+    put(1, "I"); (2L to 4L).foreach(put(_, "U")) // MOR: 4 append files/bucket
+    val expected = table.read(spark).collect().toSet
+
+    // incremental (read-amplification bound 1): the appended buckets rewrite
+    val inc = spark.sql(s"SELECT * FROM graft_compact('$base/t', 1)")
+      .as[(Int, Int, Long, Long)].head()
+    assert(inc._2 > 0, s"incremental compact must pick appended buckets: $inc")
+    assert(inc._3 === 2L, s"2 live rows after LWW fold: $inc")
+    // full rewrite commits a fresh snapshot on top
+    val full = spark.sql(s"SELECT * FROM graft_compact('$base/t')")
+      .as[(Int, Int, Long, Long)].head()
+    assert(full._1 === inc._1 + 1, s"full compact commits the next version: $full")
+    assert(table.read(spark).collect().toSet === expected, "compaction is read-invariant")
+
+    // expire to the newest 2 snapshots; returned rows are the expired ids
+    val retained0 = spark.sql(s"SELECT count(*) FROM graft_history('$base/t')")
+      .as[Long].head()
+    val expired = spark.sql(
+      s"SELECT expired_version FROM graft_expire_snapshots('$base/t', 2)")
+      .as[Int].collect().toSeq
+    assert(expired.length === (retained0 - 2).toInt, s"$expired of $retained0")
+    assert(spark.sql(s"SELECT count(*) FROM graft_history('$base/t')")
+      .as[Long].head() === 2L)
+
+    // vacuum (grace 0: no concurrent writers here) reclaims the files only
+    // expired snapshots referenced — the pre-compaction MOR appends
+    val deleted = spark.sql(s"SELECT deleted_files FROM graft_vacuum('$base/t', 0)")
+      .as[Int].head()
+    assert(deleted > 0, "pre-compaction append files must be reclaimed")
+    assert(table.read(spark).collect().toSet === expected,
+      "full maintenance cycle is read-invariant")
+
+    // re-running the cycle is a no-op, not corruption (TVFs are idempotent)
+    assert(spark.sql(s"SELECT deleted_files FROM graft_vacuum('$base/t', 0)")
+      .as[Int].head() === 0)
+
+    // curated usage errors, same style as the other TVFs
+    Seq(
+      "SELECT * FROM graft_compact()",
+      s"SELECT * FROM graft_expire_snapshots('$base/t')",
+      "SELECT * FROM graft_vacuum()"
+    ).foreach { q =>
+      val e = intercept[Exception](spark.sql(q).collect())
+      assert(e.getMessage.contains("usage"), s"$q → ${e.getMessage}")
+    }
+  }
 }
