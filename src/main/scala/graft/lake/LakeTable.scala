@@ -824,11 +824,19 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     * Losers' data/manifest files are unreferenced orphans (tokened paths,
     * no collisions). Exercised under real contention by
     * [[graft.tools.ConcurrencyStress]].
+    *
+    * `backoffBase` (internal): attempts already consumed by an earlier
+    * recompute incarnation of this call — commitBackoff must see the TRUE
+    * cumulative attempt number or the jittered escalation restarts at
+    * 25 ms on every recompute and contending writers convoy (the compact()
+    * pathology, fixed there with a loop; recursion here re-runs the whole
+    * derivation so the budget is threaded instead).
     */
   def merge(spark: SparkSession, batch: DataFrame, batchId: Long,
             updateColumns: Option[Seq[String]], retries: Int,
             srcKeyUnique: Boolean = false,
-            acceptEqualSeq: Boolean = false): MergeStats = {
+            acceptEqualSeq: Boolean = false,
+            backoffBase: Int = 0): MergeStats = {
     val h0 = checkedHead()
     if (batchId <= h0.lastBatchId)
       return MergeStats(applied = false, h0.version, 0L, 0, h0.totalRows)
@@ -839,7 +847,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
       // read-time LWW resolves by seq) — but duplicate (key, seq) with
       // different payloads inside ONE batch is ambiguous even for LWW
       return mergeAppend(spark, batch, batchId, h0, retries,
-        srcKeyUnique = srcKeyUnique)
+        srcKeyUnique = srcKeyUnique, backoffBase = backoffBase)
     }
     val src = batch.withColumn("_b", bucketExpr).persist()
     try {
@@ -926,8 +934,16 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
         } catch { case e: ConcurrentCommitException =>
           if (attempts <= 0) throw e
           attempts -= 1
-          commitBackoff(attempts, retries)
-          val h1 = head()
+          // backoffBase carries attempts consumed by earlier recompute
+          // incarnations, so escalation never restarts at 25 ms mid-convoy
+          commitBackoff(attempts, retries + backoffBase)
+          // checkedHead, not head: a concurrent REBUCKET changes the key
+          // modulus — our touched-set and pending files were bucketed with
+          // the old one, so a rebase (all-empty touched buckets compare
+          // equal across the rebucket) would commit old-modulus files AND
+          // stamp the stale modulus back into the snapshot. Fail loudly
+          // with the re-open guidance instead (same rule as mergeAppend).
+          val h1 = checkedHead()
           if (batchId <= h1.lastBatchId) // our batch won through another writer
             return MergeStats(applied = false, h1.version, 0L, 0, h1.totalRows)
           val conflict = touched.exists(b => refOf(base, b) != refOf(h1, b)) &&
@@ -940,7 +956,8 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
             // must survive the recompute or a replication sink's equal-seq
             // payload mutation silently loses exactly when contention hits
             return merge(spark, batch, batchId, updateColumns, attempts,
-              srcKeyUnique = true, acceptEqualSeq = acceptEqualSeq)
+              srcKeyUnique = true, acceptEqualSeq = acceptEqualSeq,
+              backoffBase = backoffBase + (retries - attempts))
           base = h1 // disjoint (or compaction-only): manifest rebase
         }
       }
@@ -956,7 +973,8 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     */
   private def mergeAppend(spark: SparkSession, batch: DataFrame, batchId: Long,
                           h0: Snapshot, retries: Int = 3,
-                          srcKeyUnique: Boolean = false): MergeStats = {
+                          srcKeyUnique: Boolean = false,
+                          backoffBase: Int = 0): MergeStats = {
     val src = batch.withColumn("_b", bucketExpr).persist()
     try {
       // Same-key rows with DIFFERENT seqs are the MOR log shape (read-time
@@ -1015,7 +1033,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
         } catch { case e: ConcurrentCommitException =>
           if (attempts <= 0) throw e
           attempts -= 1
-          commitBackoff(attempts, retries)
+          commitBackoff(attempts, retries + backoffBase)
           // checkedHead, not head: a concurrent REBUCKET changes the key
           // modulus — our pending files were bucketed with the old one, so
           // rebasing onto the new head would mis-bucket them silently
@@ -1026,7 +1044,8 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
             return MergeStats(applied = false, h1.version, 0L, 0, h1.totalRows)
           if (newFiles.exists(f => !Files.exists(Paths.get(root, f.path))))
             return mergeAppend(spark, batch, batchId, h1, attempts,
-              srcKeyUnique = true) // vacuum raced us; already validated
+              srcKeyUnique = true, // vacuum raced us; already validated
+              backoffBase = backoffBase + (retries - attempts))
           base = h1
         }
       }
@@ -1088,7 +1107,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
                matched: Seq[SqlMergeClause],
                notMatched: Seq[SqlMergeClause],
                notBySource: Seq[SqlMergeClause] = Nil,
-               retries: Int = 3): MergeStats = {
+               retries: Int = 3, backoffBase: Int = 0): MergeStats = {
     val h0 = checkedHead()
     require(h0.mode == Cow, "SQL MERGE INTO targets copy-on-write tables")
     val dataCols = schema.fieldNames.filterNot(_ == "deleted").toSeq
@@ -1204,14 +1223,18 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
         } catch { case e: ConcurrentCommitException =>
           if (attempts <= 0) throw e
           attempts -= 1
-          commitBackoff(attempts, retries)
-          val h1 = head()
+          commitBackoff(attempts, retries + backoffBase)
+          // checkedHead, not head: a rebase across a concurrent REBUCKET
+          // would commit old-modulus files and stamp the stale modulus
+          // back into the snapshot (see the COW merge loop) — fail loudly
+          val h1 = checkedHead()
           val conflict = touched.keySet.exists(b => refOf(base, b) != refOf(h1, b)) &&
             !onlyCompactions(base.version, h1.version)
           if (conflict || pendingVanished(newRefs)) // stale target rows (or a
             // concurrent vacuum reclaimed our pending files) → recompute
             return mergeSql(spark, source, tAlias, sAlias, onSql, srcKeySql,
-              matched, notMatched, notBySource, attempts)
+              matched, notMatched, notBySource, attempts,
+              backoffBase = backoffBase + (retries - attempts))
           base = h1
         }
       }

@@ -70,7 +70,7 @@ object GraftSqlMergeRule extends Rule[LogicalPlan] {
     // shuffle shape at scale) sound. Record the source-side expression
     // each key is equated to.
     val srcKey = scala.collection.mutable.Map[String, String]()
-    splitConjuncts(m.mergeCondition).foreach {
+    GraftTvf.splitConjuncts(m.mergeCondition).foreach {
       case EqualTo(l, r) =>
         (keyOf(l, tAlias), keyOf(r, tAlias)) match {
           case (Some(k), None) => srcKey(k) = r.sql
@@ -163,11 +163,6 @@ object GraftSqlMergeRule extends Rule[LogicalPlan] {
         KeyCols.contains(a.nameParts(1).toLowerCase) =>
       Some(a.nameParts(1).toLowerCase)
     case _ => None
-  }
-
-  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
-    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
-    case x => Seq(x)
   }
 
   private def clause(a: MergeAction, sAlias: String): SqlMergeClause = a match {
@@ -352,11 +347,7 @@ final class GraftSqlReadRule(session: SparkSession) extends Rule[LogicalPlan] {
         Some(a.nameParts.last.toLowerCase)
       case _ => None
     }
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case x => Seq(x)
-    }
-    conjuncts(cond).flatMap {
+    GraftTvf.splitConjuncts(cond).flatMap {
       case EqualTo(l, r) =>
         key(l).zip(lit(r)).orElse(key(r).zip(lit(l)))
       case _ => None
@@ -375,11 +366,7 @@ final class GraftSqlReadRule(session: SparkSession) extends Rule[LogicalPlan] {
             (a.nameParts.length == 2 && alias.exists(_.equalsIgnoreCase(a.nameParts.head)))) => true
       case _ => false
     }
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case x => Seq(x)
-    }
-    conjuncts(cond).collectFirst {
+    GraftTvf.splitConjuncts(cond).collectFirst {
       case Like(l, Literal(pat: UTF8String, StringType), '\\') if isPath(l) &&
           pat.toString.endsWith("%") &&
           !pat.toString.dropRight(1).exists(c => c == '%' || c == '_' || c == '\\') =>
@@ -483,6 +470,15 @@ private[plans] object GraftTvf {
   def strLit(e: Expression): Option[String] = e match {
     case Literal(v: UTF8String, StringType) => Some(v.toString)
     case _ => None
+  }
+
+  /** Top-level AND-conjuncts of a condition — the ONE splitter shared by
+    * MERGE ON validation and the read rule's pruning extractors, so they
+    * can never disagree about what counts as a conjunct.
+    */
+  def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case x => Seq(x)
   }
 
   def intLit(e: Expression): Option[Int] = e match {

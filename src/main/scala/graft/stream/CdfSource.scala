@@ -20,6 +20,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   spark.readStream.format("graft-cdf")
   *     .option("path", tableRoot)              // required
   *     .option("startVersion", "0")            // optional: feed begins AFTER it
+  *                                             // (fresh checkpoints only — an
+  *                                             // existing checkpoint's offset wins)
   *     .option("maxVersionsPerBatch", "10")    // optional: bounded catch-up
   *     .load()                                 // op/repo/path/… change rows
   * }}}
@@ -228,7 +230,13 @@ final class CdfMicroBatchStream(root: String, startVersion: Int,
     "latestOffset(Offset, ReadLimit) is the admission-control entry point")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val base = math.max(ver(start), startVersion)
+    // ver(start), NOT max(ver(start), startVersion): startVersion only
+    // seeds initialOffset. Once a checkpoint exists its offset is the
+    // contract — clamping to a raised startVersion would silently skip
+    // the (checkpoint, startVersion] window (deletes included) and
+    // diverge a mirror permanently. Kafka's startingOffsets behaves the
+    // same way: ignored once a checkpoint exists.
+    val base = ver(start)
     // ONE small-file read per tick (the HEAD pointer line names the version)
     val target = availableNowTarget.getOrElse(table.headVersion())
     val capped0 =
@@ -283,7 +291,7 @@ final class CdfMicroBatchStream(root: String, startVersion: Int,
   override def reportLatestOffset(): Offset = CdfOffset(table.headVersion())
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = math.max(ver(start), startVersion)
+    val from = ver(start) // checkpoint offset wins over startVersion (see latestOffset)
     val to = ver(end)
     if (to <= from) return Array.empty
     // existence is checked EXPLICITLY (not via the read throwing): snapshot

@@ -64,14 +64,18 @@ object Tailer {
         col("firstOffset"), col("lastOffset"), col("rowsApplied"), col("bytesIn"),
         lit(System.currentTimeMillis).as("attempt"))
 
-    // lineage is independent of the merge — run it as a concurrent Spark
-    // job so its latency hides behind the merge compute
+    // The lineage AGGREGATION is independent of the merge — run it as a
+    // concurrent Spark job so its latency hides behind the merge compute.
+    // The WRITE is deferred until after the merge commits: lineage rows
+    // claiming rowsApplied for a batch whose merge failed or crashed would
+    // stand forever if the stream never reprocesses the batch (the
+    // newest-attempt-wins self-heal only fires on redelivery). Collecting
+    // is O(input partitions) rows — driver-trivial at any scale.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val lineageF = Future {
-      lineage.write.mode(SaveMode.Append).parquet(cfg.lineageDir)
-    }
+    val lineageSchema = lineage.schema
+    val lineageRowsF = Future { lineage.collect() }
 
     // Dedupe BEFORE decode: LWW needs only (key, seq), so the raw payload
     // rides opaquely through the aggregation and from_json runs on the
@@ -116,6 +120,13 @@ object Tailer {
           current_timestamp().as("ts"))
         .coalesce(1)
         .write.mode(SaveMode.Append).parquet(cfg.metricsDir)
+    }
+    // commit-then-append: only reached after table.merge returned — a
+    // failed/crashed merge leaves NO lineage rows for the batch
+    val lineageF = lineageRowsF.map { rows =>
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), lineageSchema)
+        .coalesce(1)
+        .write.mode(SaveMode.Append).parquet(cfg.lineageDir)
     }
     Await.result(Future.sequence(Seq(lineageF, metricsF)), Duration.Inf)
   }
@@ -212,7 +223,11 @@ object Tailer {
     latest
       .groupBy("batchId", "partitionId")
       .agg(
-        max("firstOffset").as("firstOffset"),
+        // min, not max: firstOffset is a minimum — collapsing legacy
+        // multi-attempt rows with max would report an offset range
+        // belonging to no actual delivery (max of mins); stamped rows are
+        // identical within an attempt so min == max there
+        min("firstOffset").as("firstOffset"),
         max("lastOffset").as("lastOffset"),
         max("rowsApplied").as("rowsApplied"),
         max("bytesIn").as("bytesIn"))
@@ -273,7 +288,16 @@ object Tailer {
     */
   def run(spark: SparkSession, cfg: TailerConfig): StreamingQuery = {
     graft.Sessions.tune(spark) // defensively, for sessions we didn't build
-    val table = LakeTable(cfg.tableRoot, cfg.numBuckets, cfg.tableMode)
+    // open-or-create by HEAD existence: an existing table's bucket modulus
+    // and mode come from its own snapshot (LakeTable.open), never from
+    // cfg — hashing keys mod cfg.numBuckets against files written under a
+    // different modulus would mis-bucket every key (legacy tables
+    // silently, current ones with a misleading rebucket error)
+    val table =
+      if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get(cfg.tableRoot, "meta", "HEAD")))
+        LakeTable.open(cfg.tableRoot)
+      else LakeTable(cfg.tableRoot, cfg.numBuckets, cfg.tableMode)
     val reader = spark.readStream
       .schema(graft.model.Model.changeLogSchema)
     val withOpt = cfg.maxFilesPerTrigger
@@ -323,6 +347,18 @@ object Tailer {
     */
   def applyChanges(derived: LakeTable, feed: DataFrame, batchId: Long,
                    lineageDir: Option[String] = None): Unit = {
+    // The feed subtree is the EXPENSIVE part of a replication batch (an
+    // executor-side bucket diff: two parquet scans of every changed bucket
+    // + LWW fold) and it is consumed up to three times below (isEmpty
+    // probe, merge, lineage stats) — persist so the diff runs once; the
+    // window is admission-bounded so the cache is micro-batch-sized.
+    val cached = feed.persist()
+    try { applyChangesCached(derived, cached, batchId, lineageDir) }
+    finally cached.unpersist()
+  }
+
+  private def applyChangesCached(derived: LakeTable, feed: DataFrame, batchId: Long,
+                                 lineageDir: Option[String]): Unit = {
     if (feed.isEmpty) return
     val batch = feed.select(
       col("repo"), col("path"), col("op"),

@@ -608,6 +608,35 @@ class CdfStreamSpec extends SparkSpec {
     assert(state(derived) === state(primary), "post-resync incremental parity")
   }
 
+  test("an existing checkpoint's offset wins over a raised startVersion (no skipped window)") {
+    // Kafka-source contract: startingOffsets only seed a FRESH checkpoint.
+    // Before the fix, latestOffset/planInputPartitions clamped the restored
+    // offset with math.max(checkpoint, startVersion) — restarting a
+    // follower with a raised startVersion silently skipped the
+    // (checkpoint, startVersion] window (deletes included) and the mirror
+    // diverged permanently.
+    val base = tmpDir("cdf-startver-ckpt")
+    val primary = LakeTable(s"$base/p", 4)
+    val derived = LakeTable(s"$base/d", 4)
+    val ckpt = s"$base/ckpt"
+    def mk(r: String, s: Long, op: String = "U") =
+      (r, "p", op, s, s"c$s", "scala", if (op == "D") null else s"v$s", Option(s))
+
+    primary.merge(spark, Seq(mk("r1", 1), mk("r2", 2)).toDF(cols: _*), 0L)
+    Tailer.followInto(spark, s"$base/p", derived, ckpt) // checkpoint now at v1
+    assert(state(derived) === state(primary), "bootstrap parity")
+
+    // changes the raised startVersion would have skipped — including a D
+    primary.merge(spark, Seq(mk("r1", 10, "D"), mk("r3", 11)).toDF(cols: _*), 1L)
+    val headV = primary.headVersion()
+    Tailer.followInto(spark, s"$base/p", derived, ckpt,
+      sourceOptions = Map("startVersion" -> headV.toString))
+    assert(state(derived) === state(primary),
+      s"the (checkpoint, startVersion] window must still be delivered: " +
+        s"${state(derived)} vs ${state(primary)}")
+    assert(!state(derived).exists(_._1 == "r1"), "the delete inside the window must land")
+  }
+
   test("graft-cdf source: startVersion skips history; missing path fails loudly") {
     val base = tmpDir("cdf-opts")
     val primary = LakeTable(s"$base/t", 4)

@@ -129,6 +129,40 @@ class MultiWriterSpec extends SparkSpec {
     assert(t1.head().lastBatchId === 1L)
   }
 
+  test("COW: a rebucket racing a merge fails loudly — a stale modulus never rebases") {
+    // The dangerous interleaving: t1's touched buckets are all EMPTY at its
+    // base, a concurrent rebucket wins the CAS, and the rebase conflict
+    // check (refOf over touched buckets) compares None == None across the
+    // rebucket — without the checkedHead guard in the retry loop, t1 would
+    // silently commit old-modulus data files AND stamp the stale modulus
+    // back into the snapshot, mis-bucketing every later lookup and merge.
+    val base = tmpDir("mw-rebucket-race")
+    val t1 = LakeTable(s"$base/t", 4)
+    val t2 = new LakeTable(s"$base/t", 4)
+    t1.merge(spark, rows(("r1", "p1", 1L, "v1")), 0L)
+    // a key whose mod-4 bucket is empty at base AND whose bucket id holds
+    // no manifest in the rebucketed (mod-8) layout either — the pure-rebase
+    // interleaving (no ref difference on any touched bucket)
+    val b1mod4 = t1.bucketOf("r1", "p1")
+    val b1mod8 = new LakeTable(s"$base/t", 8).bucketOf("r1", "p1")
+    val (r, p) = (2 to 200).map(i => (s"r$i", s"p$i"))
+      .find { case (rr, pp) =>
+        val b = t1.bucketOf(rr, pp); b != b1mod4 && b != b1mod8
+      }.get
+    t1.preCommitHook = () => { t2.rebucket(spark, 8); () }
+    val e = intercept[IllegalStateException] {
+      t1.merge(spark, rows((r, p, 2L, "v2")), 1L)
+    }
+    assert(e.getMessage.contains("rebucket"), s"curated stale-handle error, got: ${e.getMessage}")
+    // a fresh handle sees the new modulus and the retry lands correctly
+    val t3 = LakeTable.open(s"$base/t")
+    assert(t3.head().numBuckets === 8)
+    t3.merge(spark, rows((r, p, 2L, "v2")), 1L)
+    val state = t3.read(spark).select("repo", "path", "seq", "content")
+      .as[(String, String, Long, String)].collect().toSet
+    assert(state === Set(("r1", "p1", 1L, "v1"), (r, p, 2L, "v2")))
+  }
+
   test("compaction loses to an interleaved merge and retries cleanly") {
     val base = tmpDir("mw-compact")
     val t1 = LakeTable(s"$base/t", 4)

@@ -408,4 +408,76 @@ class ReplaySpec extends SparkSpec {
     assert(t64.lookup(spark, "zz-new", "pp").count() === 1)
     assert(t64.readAt(spark, preVersion).count() === golden.size.toLong)
   }
+
+  test("readLineage collapses legacy multi-attempt offsets with min(firstOffset)") {
+    // two pre-stamp deliveries of the same batch with DIFFERENT offset
+    // splits: max(firstOffset) would report a range belonging to no actual
+    // delivery (max of mins); the collapsed row must span the union
+    val dir = s"${tmpDir("lineage-minoff")}/lineage"
+    def legacy(first: Long, last: Long) =
+      Seq((0L, 0, first, last, 700L, 7000L))
+        .toDF("batchId", "partitionId", "firstOffset", "lastOffset",
+          "rowsApplied", "bytesIn")
+    legacy(100L, 799L).write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
+    legacy(0L, 699L).write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
+    val row = Tailer.readLineage(spark, dir).collect()
+    assert(row.length === 1)
+    assert(row.head.getAs[Long]("firstOffset") === 0L, "firstOffset is a MIN")
+    assert(row.head.getAs[Long]("lastOffset") === 799L, "lastOffset is a MAX")
+  }
+
+  test("Tailer.run opens an existing table with ITS modulus — cfg.numBuckets seeds creation only") {
+    // the table was created with 8 buckets; a tailer configured with the
+    // default 16 must hash keys mod 8 (LakeTable.open), not mod cfg — a
+    // cfg-built handle would refuse every merge with a misleading
+    // "rebucket ran" error (and silently mis-bucket legacy tables)
+    val d = tmpDir("modulus-log")
+    val small = GenConfig(seed = 7L, nEvents = 1000L, nFiles = 2)
+    ChangeLogGen.write(spark, small, d)
+    val base = tmpDir("modulus")
+    LakeTable(s"$base/table", 8) // pre-created ahead of the tailer
+    val tc = TailerConfig(logDir = d, tableRoot = s"$base/table",
+      checkpointDir = s"$base/ckpt", lineageDir = s"$base/lineage",
+      metricsDir = s"$base/metrics", numBuckets = 16)
+    Tailer.replay(spark, tc)
+    val t = LakeTable.open(s"$base/table")
+    assert(t.head().numBuckets === 8, "the table keeps its own modulus")
+    val evs = spark.read.schema(changeLogSchema).parquet(d)
+      .as[ChangeEvent].collect().toSeq
+    val oracle = ChangeLogGen.oracle(evs)
+    val actual = t.read(spark).select($"repo", $"path", $"seq", $"content")
+      .as[(String, String, Long, String)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(actual.size === oracle.size, "row-count parity under the opened modulus")
+    oracle.foreach { case (k, g) => assert(actual(k) === ((g.seq, g.content)), s"@$k") }
+  }
+
+  test("a failed merge commit writes NO lineage rows (commit-then-append ordering)") {
+    // the lineage AGGREGATION overlaps the merge, but the WRITE must wait
+    // for the commit: rows claiming rowsApplied for a batch that never
+    // applied would stand forever if the stream never redelivers it
+    import graft.model.SchemaRegistry
+    val base = tmpDir("lineage-order")
+    val table = LakeTable(s"$base/table", 4)
+    val tc = TailerConfig(logDir = "unused", tableRoot = s"$base/table",
+      checkpointDir = s"$base/ckpt", lineageDir = s"$base/lineage",
+      metricsDir = s"$base/metrics", numBuckets = 4)
+    val sid = SchemaRegistry.latest.schemaId
+    val raw = Seq((1L, "U", "r1", "p1", sid, new java.sql.Timestamp(0L),
+      ChangeLogGen.payloadJson(sid, "c1", "scala", "v1")))
+      .toDF("seq", "op", "repo", "path", "schema_id", "ts", "payload")
+    // hard failure after the data write, before the CAS (not a retryable
+    // lost-CAS): applyBatch must propagate and leave no lineage behind
+    table.preCommitHook = () => throw new RuntimeException("deliberate commit failure")
+    intercept[RuntimeException] { Tailer.applyBatch(table, tc)(raw, 0L) }
+    val lineagePath = java.nio.file.Paths.get(s"$base/lineage")
+    assert(!java.nio.file.Files.exists(lineagePath) ||
+      spark.read.parquet(s"$base/lineage").count() === 0L,
+      "no lineage rows for an unapplied batch")
+    // the hook is one-shot — the redelivery applies and THEN writes lineage
+    Tailer.applyBatch(table, tc)(raw, 0L)
+    assert(spark.read.parquet(s"$base/lineage")
+      .agg(sum("rowsApplied")).head.getLong(0) === 1L)
+    assert(table.read(spark).count() === 1L)
+  }
 }
