@@ -26,13 +26,21 @@ import org.apache.spark.sql.functions._
   */
 object Dedupe {
 
+  /** Resolve a column by its LITERAL name (backtick-quoted, with embedded
+    * backticks doubled) — `col("a.b")` parses a dotted name as a nested
+    * field path, so a payload column named `meta.size` would break every
+    * variant of this otherwise schema-generic API.
+    */
+  private def q(name: String): org.apache.spark.sql.Column =
+    col("`" + name.replace("`", "``") + "`")
+
   /** max_by(struct(payload...), seq) per key. */
   def lww(df: DataFrame, keys: Seq[String], seqCol: String): DataFrame = {
     val payload = df.columns.filterNot(keys.contains)
-    df.groupBy(keys.map(col): _*)
-      .agg(max_by(struct(payload.map(col): _*), col(seqCol)).as("_w"))
-      .select(keys.map(col) ++ payload.map(c => col(s"_w.$c").as(c)): _*)
-      .select(df.columns.map(col): _*) // original column order
+    df.groupBy(keys.map(q): _*)
+      .agg(max_by(struct(payload.map(q): _*), q(seqCol)).as("_w"))
+      .select(keys.map(q) ++ payload.map(c => col("_w").getField(c).as(c)): _*)
+      .select(df.columns.map(q).toIndexedSeq: _*) // original column order
   }
 
   /** Two-phase salted LWW: partial reduce per (key, salt) → final per key.
@@ -40,19 +48,19 @@ object Dedupe {
     */
   def lwwSalted(df: DataFrame, keys: Seq[String], seqCol: String, saltBuckets: Int = 16): DataFrame = {
     val payload = df.columns.filterNot(keys.contains)
-    val keyCols = keys.map(col)
-    val salted = df.withColumn("_salt", pmod(hash(col(seqCol)), lit(saltBuckets)))
+    val keyCols = keys.map(q)
+    val salted = df.withColumn("_salt", pmod(hash(q(seqCol)), lit(saltBuckets)))
     // The groupBy's exchange hash-partitions on (key, salt) — that IS the
     // salted-key repartition, and it moves only the map-side-combined rows
     // (an explicit .repartition here would shuffle the full raw payload).
     val partial = salted
       .groupBy((keyCols :+ col("_salt")): _*)
-      .agg(max_by(struct(payload.map(col): _*), col(seqCol)).as("_w"))
+      .agg(max_by(struct(payload.map(q): _*), q(seqCol)).as("_w"))
     partial
       .groupBy(keyCols: _*)
-      .agg(max_by(col("_w"), col(s"_w.$seqCol")).as("_w"))
-      .select(keyCols ++ payload.map(c => col(s"_w.$c").as(c)): _*)
-      .select(df.columns.map(col): _*)
+      .agg(max_by(col("_w"), col("_w").getField(seqCol)).as("_w"))
+      .select(keyCols ++ payload.map(c => col("_w").getField(c).as(c)): _*)
+      .select(df.columns.map(q).toIndexedSeq: _*)
   }
 
   /** Hash-aggregate LWW via the custom [[LwwAgg]] TypedImperativeAggregate:
@@ -63,10 +71,10 @@ object Dedupe {
     */
   def lwwTyped(df: DataFrame, keys: Seq[String], seqCol: String): DataFrame = {
     val payload = df.columns.filterNot(keys.contains)
-    df.groupBy(keys.map(col): _*)
-      .agg(LwwAgg.lww(struct(payload.map(col): _*), col(seqCol)).as("_w"))
-      .select(keys.map(col) ++ payload.map(c => col(s"_w.$c").as(c)): _*)
-      .select(df.columns.map(col): _*)
+    df.groupBy(keys.map(q): _*)
+      .agg(LwwAgg.lww(struct(payload.map(q): _*), q(seqCol)).as("_w"))
+      .select(keys.map(q) ++ payload.map(c => col("_w").getField(c).as(c)): _*)
+      .select(df.columns.map(q).toIndexedSeq: _*)
   }
 
   /** Salted two-phase variant of [[lwwTyped]] (north-rule hot-key path):
@@ -76,16 +84,16 @@ object Dedupe {
   def lwwTypedSalted(df: DataFrame, keys: Seq[String], seqCol: String,
                      saltBuckets: Int = 16): DataFrame = {
     val payload = df.columns.filterNot(keys.contains)
-    val keyCols = keys.map(col)
+    val keyCols = keys.map(q)
     val partial = df
-      .withColumn("_salt", pmod(hash(col(seqCol)), lit(saltBuckets)))
+      .withColumn("_salt", pmod(hash(q(seqCol)), lit(saltBuckets)))
       .groupBy((keyCols :+ col("_salt")): _*)
-      .agg(LwwAgg.lww(struct(payload.map(col): _*), col(seqCol)).as("_w"))
+      .agg(LwwAgg.lww(struct(payload.map(q): _*), q(seqCol)).as("_w"))
     partial
       .groupBy(keyCols: _*)
-      .agg(LwwAgg.lww(col("_w"), col(s"_w.$seqCol")).as("_w"))
-      .select(keyCols ++ payload.map(c => col(s"_w.$c").as(c)): _*)
-      .select(df.columns.map(col): _*)
+      .agg(LwwAgg.lww(col("_w"), col("_w").getField(seqCol)).as("_w"))
+      .select(keyCols ++ payload.map(c => col("_w").getField(c).as(c)): _*)
+      .select(df.columns.map(q).toIndexedSeq: _*)
   }
 
   /** Argmax-join variant: max(seq) per key (fixed-width buffer → pure
@@ -93,13 +101,18 @@ object Dedupe {
     * the data but no wide agg buffer; kept for benchmarking.
     */
   def lwwJoin(df: DataFrame, keys: Seq[String], seqCol: String): DataFrame = {
-    val winners = df.groupBy(keys.map(col): _*).agg(max(col(seqCol)).as(seqCol))
-    df.join(winners, keys :+ seqCol).select(df.columns.map(col): _*)
+    val winners = df.groupBy(keys.map(q): _*).agg(max(q(seqCol)).as(seqCol))
+    // a re-delivered idempotent write carries an identical (key, max-seq)
+    // pair and the join-back keeps BOTH copies — collapse to one row per
+    // key (arbitrary among equal-seq rows, same contract as LwwAgg's
+    // first-seen tie) so every variant upholds the dedupe contract
+    df.join(winners, keys :+ seqCol).dropDuplicates(keys)
+      .select(df.columns.map(q).toIndexedSeq: _*)
   }
 
   /** Window-function variant (row_number desc = 1) for benchmarking. */
   def lwwWindow(df: DataFrame, keys: Seq[String], seqCol: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
+    val w = Window.partitionBy(keys.map(q): _*).orderBy(q(seqCol).desc)
     df.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn")

@@ -52,6 +52,23 @@ case class LwwAgg(
   override def nullable: Boolean = true
   override def dataType: DataType = value.dataType
 
+  // analysis-time type errors beat executor-side ClassCastExceptions
+  // mid-job (same pattern as KmvAgg): lwwTyped is a public API and the
+  // seq column of an arbitrary DataFrame is plausibly int, not long
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (!value.dataType.isInstanceOf[StructType])
+      TypeCheckFailure(s"lww needs a STRUCT value (wrap payload columns in " +
+        s"struct(...)); got ${value.dataType.catalogString}")
+    else if (seq.dataType != LongType)
+      TypeCheckFailure(s"lww needs a BIGINT seq column (cast it explicitly); " +
+        s"got ${seq.dataType.catalogString}")
+    else if (tie.dataType != StringType)
+      TypeCheckFailure(s"lww tie-break must be a STRING column; " +
+        s"got ${tie.dataType.catalogString}")
+    else TypeCheckSuccess
+  }
+
   private lazy val valueType = value.dataType.asInstanceOf[StructType]
   // buffer wire format: (set: bool, seq: long, tie: string, value: struct)
   private lazy val bufSchema = StructType(Seq(

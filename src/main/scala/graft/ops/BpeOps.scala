@@ -242,6 +242,18 @@ case class BpeTokenize(child: Expression, merges: Seq[(String, String)])
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "bpe_tokenize"
 
+  // same rationale as BpeDecode: tokenize is a public Column API and may
+  // be pointed at arbitrary columns — fail at analysis, not with an
+  // executor-side ClassCastException mid-job
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bpe_tokenize needs a string column, got ${other.simpleString}")
+    }
+
   @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](merges.size * 2)
     merges.zipWithIndex.foreach { case ((a, b), i) =>
@@ -251,13 +263,17 @@ case class BpeTokenize(child: Expression, merges: Seq[(String, String)])
   }
 
   def tokenizeText(input: UTF8String): ArrayData = {
-    // Locale.ROOT: tokenization must agree with the Spark-`lower`-trained
-    // vocabulary on every executor JVM, whatever its default locale (the
-    // Turkish-I problem). No Java trim: it strips ALL chars <= U+0020,
-    // but only regex \s runs delimit words — a boundary \u0001 must
-    // survive into its word (split already yields no boundary empties
-    // beyond the leading one, which the nonEmpty guard drops).
-    val words = input.toString.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    // Lowercase through UTF8String.toLowerCase — the SAME code path the
+    // Spark `lower()` that trained the vocabulary runs — so encode and
+    // training agree byte-for-byte on every JVM. (Locale.ROOT here would
+    // DIVERGE on non-ASCII: UTF8String.toLowerCaseSlow delegates to the
+    // default-locale String.toLowerCase, so a tr_TR executor lowers 'I'
+    // to dotless-ı in training but 'i' under ROOT — vocabulary mismatch.)
+    // No Java trim: it strips ALL chars <= U+0020, but only regex \s runs
+    // delimit words — a boundary \u0001 must survive into its word (split
+    // already yields no boundary empties beyond the leading one, which
+    // the nonEmpty guard drops).
+    val words = input.toLowerCase.toString.split("\\s+")
     val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
     words.foreach { w =>
       if (w.nonEmpty) {

@@ -63,7 +63,19 @@ case class KmvAgg(
 
   override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
     val h = hash.eval(input)
-    if (h != null) buf.add(h.asInstanceOf[Long])
+    if (h != null) {
+      val hl = h.asInstanceOf[Long]
+      // the estimator is only meaningful over the [0, 2^60) hash space the
+      // md5-derived h60 produces — a full-range 64-bit hash (xxhash64)
+      // passes the bigint type check but yields silently absurd estimates
+      // (negative kth-min clamps to 1 → ~2.9e20); fail loudly instead
+      if (hl < 0L || hl.toDouble >= HashSpace)
+        throw new IllegalArgumentException(
+          s"kmv_distinct hash value $hl outside [0, 2^60) — use a 60-bit " +
+            "hash, e.g. cast(conv(substring(md5(x),1,15),16,10) as bigint) " +
+            "(xxhash64 is full-range 64-bit and will not work)")
+      buf.add(hl)
+    }
     buf
   }
 

@@ -105,6 +105,25 @@ case class SquaredDistance(left: Expression, right: Expression) extends VecFold 
 case class HyperplaneSig(child: Expression, planes: Array[Array[Double]])
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
+  // plan-time rejection: the dim guard below checks only planes(0), so a
+  // ragged matrix would AIOOBE deep inside janino-generated code
+  require(planes.forall(_.length == planes.headOption.map(_.length).getOrElse(0)),
+    "hyperplane matrix must be rectangular (every plane the same dimension)")
+
+  // case-class equality on Array is REFERENCE equality — without a
+  // content-based override, two structurally-identical instances (e.g.
+  // after an expression serialization round-trip) are never semanticEqual,
+  // so CSE / exchange reuse / cached-plan matching silently miss
+  override def equals(o: Any): Boolean = o match {
+    case h: HyperplaneSig => child == h.child &&
+      planes.length == h.planes.length &&
+      planes.indices.forall(b => java.util.Arrays.equals(planes(b), h.planes(b)))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(planes.asInstanceOf[Array[AnyRef]])
+
   override def prettyName: String = "vec_hyperplane_sig"
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def nullable: Boolean = false

@@ -92,4 +92,43 @@ class BpeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("*(1)"), s"expected a codegen span:\n$p")
   }
+
+  test("tokenize lowering matches Spark's lower() on every JVM locale (Turkish-I)") {
+    // training lowercases via Spark lower() = UTF8String.toLowerCase,
+    // whose slow path delegates to the DEFAULT-locale String.toLowerCase
+    // for non-ASCII strings; encode must take the SAME path or the
+    // vocabulary and the t5 losslessness invariant break on e.g. tr_TR
+    // executors (Locale.ROOT here lowers 'I'→'i'; Spark lowers 'I'→'ı'
+    // when the string is non-ASCII under tr). Pure-JVM check: flip the
+    // default locale and compare the decode(tokenize(x)) reconstruction
+    // against the UTF8String lowering for a mixed ASCII/non-ASCII text.
+    import graft.ops.{BpeDecode, BpeTokenize}
+    import org.apache.spark.unsafe.types.UTF8String
+    val prev = java.util.Locale.getDefault
+    try {
+      for (loc <- Seq(java.util.Locale.forLanguageTag("tr-TR"), java.util.Locale.ENGLISH)) {
+        java.util.Locale.setDefault(loc)
+        val dummy = org.apache.spark.sql.catalyst.expressions.Literal
+          .create("", org.apache.spark.sql.types.StringType)
+        val text = UTF8String.fromString("İSTANBUL IBM CafÉ I")
+        val sparkLowered = text.toLowerCase.toString
+          .replaceAll("\\s+", " ").trim
+        val toks = BpeTokenize(dummy, Nil).tokenizeText(text)
+        val decoded = BpeDecode(dummy).decodeTokens(toks).toString
+        assert(decoded === sparkLowered,
+          s"under $loc: decode(tokenize) '$decoded' != Spark lower '$sparkLowered'")
+      }
+    } finally java.util.Locale.setDefault(prev)
+  }
+
+  test("bpe_tokenize and bpe_decode reject wrong column types at analysis time") {
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      docs.select(BpeOps.tokenize($"text".cast("long"), Nil)).collect()
+    }
+    assert(e1.getMessage.contains("bpe_tokenize"), e1.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      docs.select(BpeOps.decode($"text")).collect() // string, not array<string>
+    }
+    assert(e2.getMessage.contains("bpe_decode"), e2.getMessage)
+  }
 }

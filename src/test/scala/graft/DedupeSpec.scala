@@ -37,6 +37,38 @@ class DedupeSpec extends SparkSpec {
     assert(a === lwwKeys(Dedupe.lwwJoin(normalized, Seq("repo", "path"), "seq")))
   }
 
+  test("lwwJoin collapses re-delivered identical (key, max-seq) rows to one row per key") {
+    // a re-delivered idempotent write duplicates the winning (key, seq)
+    // pair — the join-back would keep both copies without the collapse
+    val df = Seq(("r1", "p1", 5L, "v5"), ("r1", "p1", 5L, "v5"), ("r1", "p1", 3L, "v3"))
+      .toDF("repo", "path", "seq", "content")
+    val out = Dedupe.lwwJoin(df, Seq("repo", "path"), "seq")
+    assert(out.count() === 1L, "one row per key, even with a duplicated winner")
+    assert(out.select("seq", "content").as[(Long, String)].head() === ((5L, "v5")))
+  }
+
+  test("every variant resolves payload/key columns with dots in the name literally") {
+    val df = Seq(("r1", 1L, 10), ("r1", 2L, 20), ("r2", 7L, 70))
+      .toDF("id", "seq", "meta.size")
+    val fns: Seq[(org.apache.spark.sql.DataFrame, Seq[String], String) => org.apache.spark.sql.DataFrame] =
+      Seq(Dedupe.lww, Dedupe.lwwTyped, Dedupe.lwwJoin, Dedupe.lwwWindow,
+        Dedupe.lwwSalted(_, _, _, 4), Dedupe.lwwTypedSalted(_, _, _, 4))
+    fns.foreach { f =>
+      val out = f(df, Seq("id"), "seq")
+      assert(out.columns.toSeq === df.columns.toSeq, "original column order")
+      val got = out.select($"id", col("`meta.size`")).as[(String, Int)].collect().toMap
+      assert(got === Map("r1" -> 20, "r2" -> 70))
+    }
+  }
+
+  test("lwwTyped rejects a non-bigint seq column at analysis time") {
+    val df = Seq(("r1", 1, "v")).toDF("id", "seq", "content") // seq is INT
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Dedupe.lwwTyped(df, Seq("id"), "seq").collect()
+    }
+    assert(e.getMessage.contains("BIGINT"), e.getMessage)
+  }
+
   test("lwwTyped preserves full payload content (vs lww reference impl)") {
     def full(df: org.apache.spark.sql.DataFrame) =
       df.select($"repo", $"path", $"seq", $"op", $"commit", $"language", $"content", $"size_bytes")

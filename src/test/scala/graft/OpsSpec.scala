@@ -272,6 +272,40 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("kmv_distinct fails loudly on out-of-range hashes (xxhash64 misuse)") {
+    // xxhash64 passes the BIGINT type check but is full-range 64-bit —
+    // negative kth-mins made the estimator return silently absurd counts;
+    // the range guard turns that into a curated error
+    import graft.ops.KmvAgg
+    val e = intercept[Exception] {
+      (1L to 100L).toDF("v").select(xxhash64(col("v")).as("h"))
+        .agg(KmvAgg.kmvDistinct(col("h"), 16)).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => Option(c.getMessage).exists(_.contains("2^60"))),
+      s"want the range-guard error, got: ${e.getMessage}")
+  }
+
+  test("hyperplane signature: content equality for plan reuse; ragged matrix rejected") {
+    import graft.ops.HyperplaneSig
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val c = Literal.create(null, ArrayType(DoubleType))
+    val m1 = Array(Array(1.0, 2.0), Array(3.0, 4.0))
+    val m2 = Array(Array(1.0, 2.0), Array(3.0, 4.0)) // equal content, distinct arrays
+    // Array fields default to reference equality, which silently defeats
+    // CSE / exchange reuse / cached-plan matching on re-built plans
+    assert(HyperplaneSig(c, m1) === HyperplaneSig(c, m2))
+    assert(HyperplaneSig(c, m1).semanticEquals(HyperplaneSig(c, m2)))
+    assert(HyperplaneSig(c, m1).hashCode === HyperplaneSig(c, m2).hashCode)
+    assert(HyperplaneSig(c, m1) !== HyperplaneSig(c, Array(Array(1.0, 2.0), Array(3.0, 5.0))))
+    // a ragged matrix would AIOOBE inside generated code — reject at build
+    intercept[IllegalArgumentException] {
+      HyperplaneSig(c, Array(Array(1.0, 2.0), Array(3.0)))
+    }
+  }
+
   test("chunkByTokens: windows bounded, overlap honored, lossless coverage, shuffle-free") {
     import graft.ops.ChunkOps
     val docs = Seq(
