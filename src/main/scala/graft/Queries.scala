@@ -949,7 +949,7 @@ object Queries {
         |  CAST(start // 24 AS BIGINT) AS chunk_id,
         |  array_to_string(toks[start+1 : start+32], ' ') AS chunk,
         |  CAST(least(len(toks) - start, 32) AS BIGINT) AS n_tokens
-        |FROM tk, LATERAL unnest(generate_series(0, greatest(len(toks)-1, 0), 24)) AS g(start)""".stripMargin,
+        |FROM tk, LATERAL unnest(generate_series(0, greatest(len(toks) - 32 + 23, 0), 24)) AS g(start)""".stripMargin,
 
     // packing: same running-offset window rule (exclusive prefix sum)
     "t8_pack_offsets" ->
@@ -959,7 +959,7 @@ object Queries {
         |FROM (SELECT lang, doc_id,
         |        CAST(len(string_split_regex(trim(coalesce(text, '')), '\s+')) AS BIGINT) AS n_tokens
         |      FROM documents)
-        |WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+        |WINDOW w AS (PARTITION BY lang ORDER BY doc_id, n_tokens
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin,
 
     "x1_hash_sample" ->
@@ -1128,7 +1128,8 @@ object Queries {
 
     "t2_quality" ->
       """SELECT doc_id, round(
-        |  least(CASE WHEN nw >= 10 AND nw <= 100000 THEN 1.0 ELSE nw/10.0 END, 1.0)*0.25 +
+        |  least(CASE WHEN nw >= 10 AND nw <= 100000 THEN 1.0
+        |             WHEN nw > 100000 THEN 100000.0/nw ELSE nw/10.0 END, 1.0)*0.25 +
         |  (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.25 END)*0.25 +
         |  least(ar, 1.0)*0.25 + least(dr*2.0, 1.0)*0.25, 4) AS quality
         |FROM (SELECT doc_id,

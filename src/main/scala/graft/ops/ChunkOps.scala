@@ -42,10 +42,16 @@ object ChunkOps {
     val step = maxTokens - overlap
     df.select(col(idCol), toks(col(textCol)).as("_toks"))
       .withColumn("_n", size(col("_toks")))
-      // window starts 0, step, 2·step … ≤ n−1 (empty docs still yield one
-      // window: split("") is a single empty token in both engines)
+      // window starts 0, step, 2·step …, stopping at the FIRST start whose
+      // window reaches the document end (inclusive bound n − maxTokens +
+      // step − 1; for overlap = 0 that is n − 1, the old bound). Running
+      // past it would emit trailing windows fully CONTAINED in the
+      // previous one — duplicated training text that double-weights the
+      // document tail. Empty docs still yield one window (split("") is a
+      // single empty token in both engines).
       .select(col(idCol), col("_toks"), col("_n"),
-        explode(sequence(lit(0), greatest(col("_n") - 1, lit(0)), lit(step)))
+        explode(sequence(lit(0),
+          greatest(col("_n") - maxTokens + (step - 1), lit(0)), lit(step)))
           .as("_start"))
       .select(
         col(idCol),
@@ -67,7 +73,11 @@ object ChunkOps {
   def packByTokens(df: DataFrame, idCol: String, textCol: String,
                    groupCol: String, targetTokens: Long): DataFrame = {
     require(targetTokens > 0, s"targetTokens must be positive, got $targetTokens")
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+    // n_tokens joins the sort key: with DUPLICATE ids, ordering by id
+    // alone leaves the running sum free to assign tie rows different
+    // offsets per run — (id, n_tokens) makes the OUTPUT deterministic
+    // (rows tying on both are interchangeable in every output column)
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol), col("n_tokens"))
       .rowsBetween(Window.unboundedPreceding, -1)
     df.select(col(groupCol), col(idCol),
         size(toks(col(textCol))).cast("long").as("n_tokens"))

@@ -37,7 +37,11 @@ object DedupOps {
     conv(substring(md5(c), 16, 13), 16, 10).cast("long")
 
   /** Exact-duplicate groups by normalized-text fingerprint:
-    * (fingerprint, n_dups, canonical_id = min id).
+    * (fingerprint, n_docs, canonical_id = min id). Singleton groups are
+    * INCLUDED by design — the output is the corpus KEEP-LIST (join it back
+    * on canonical_id to rewrite the corpus one-doc-per-fingerprint);
+    * filter n_docs > 1 for a dup-groups-only view (what
+    * [[connectedComponents]] emits for near-dups).
     */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), TextOps.fingerprint(col(textCol)).as("fingerprint"))
@@ -163,8 +167,11 @@ object DedupOps {
     val p = postings(df, idCol, textCol, n).persist()
     try {
       // counts is doc-scale (one row per doc) — joined, not force-broadcast;
-      // AQE broadcasts it by runtime stats when the corpus is small
-      val counts = shingleCounts(df, idCol, textCol, n)
+      // AQE broadcasts it by runtime stats when the corpus is small. Read
+      // it FROM the persisted postings (one row per distinct shingle per
+      // doc, so the group count IS n_sh) — shingleCounts(df, ...) would
+      // re-run the whole split/shingle stage the cache exists to avoid.
+      val counts = p.groupBy("id").agg(count(lit(1)).as("n_sh"))
       val freq = p.groupBy("shingle").agg(count(lit(1)).as("df"))
       val ranked = p.join(freq, "shingle")
         .join(counts, Seq("id"))

@@ -35,13 +35,34 @@ object SimilarityOps {
     * same arithmetic (identical doubles) at 1/3 the kernel work.
     */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    cosFrom(dot(a, b), norm(a), norm(b))
 
   /** cos from a pair dot and two precomputed norms — value-identical to
     * [[cosine]] (norm(a) and norm(b) are the same doubles wherever they
     * are computed; the multiply/divide order is unchanged).
+    *
+    * Zero-norm vectors (failed-embedding artifacts) define cos = 0, the
+    * standard no-direction convention — the raw 0/0 is NaN, which Spark's
+    * NaN-aware comparison treats as LARGER than every double: NaN pairs
+    * would pass every `>= threshold` filter and rank FIRST in every
+    * top-k window, displacing real neighbors.
     */
-  private def cosFrom(d: Column, na: Column, nb: Column): Column = d / (na * nb)
+  private def cosFrom(d: Column, na: Column, nb: Column): Column =
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / (na * nb))
+
+  /** Shared exact-rerank tail: score candidates carrying (query_id, qv,
+    * qn, neighbor_id, cv, cn), keep top-k per query by (cos desc,
+    * neighbor_id) — ONE definition so the three ANN paths can never
+    * diverge in rounding or tie-break.
+    */
+  private def rerankTopK(cand: DataFrame, k: Int): DataFrame = {
+    val scored = cand.withColumn("cos",
+      round(cosFrom(dot(col("qv"), col("cv")), col("qn"), col("cn")), 5))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
 
   /** Exact top-k neighbors for each query row. `queries` must be small
     * enough to broadcast (the typical ANN-batch shape).
@@ -59,13 +80,7 @@ object SimilarityOps {
       .withColumn("qn", norm(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), asD(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
-    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos",
-        round(cosFrom(dot(col("qv"), col("cv")), col("qn"), col("cn")), 5))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos")
+    rerankTopK(c.join(broadcast(q), col("neighbor_id") =!= col("query_id")), k)
   }
 
   /** Deterministic random hyperplanes: `tables` independent signatures of
@@ -144,12 +159,7 @@ object SimilarityOps {
     val cand = cSig.join(broadcast(qSig), Seq("t", "sig"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn").distinct()
-    val scored = cand.withColumn("cos",
-      round(cosFrom(dot(col("qv"), col("cv")), col("qn"), col("cn")), 5))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos")
+    rerankTopK(cand, k)
   }
 
   /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
@@ -198,16 +208,16 @@ object SimilarityOps {
       .withColumn("cell",
         explode(slice(array_sort(array(qScored: _*)), 1, nProbe).getField("cell")))
 
+    // no distinct(): unlike the multi-table LSH join, a (query, neighbor)
+    // pair can match on at most ONE cell — each corpus row is assigned
+    // exactly one cell and a query's nProbe probed cells are distinct by
+    // construction, so deduping would be a redundant wide shuffle over
+    // rows carrying both embedding vectors
     val cand = c.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "qv", "neighbor_id", "cv").distinct()
+      .select("query_id", "qv", "neighbor_id", "cv")
       .withColumn("qn", norm(col("qv"))).withColumn("cn", norm(col("cv")))
-    val scored = cand.withColumn("cos",
-      round(cosFrom(dot(col("qv"), col("cv")), col("qn"), col("cn")), 5))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos")
+    rerankTopK(cand, k)
   }
 
   /** Embedding near-duplicate pairs: all (a < b) with cosine ≥ threshold.

@@ -119,7 +119,11 @@ object TextOps {
     val distinctRatio = size(array_distinct(words)).cast("double") / greatest(nWords, lit(1.0))
     val alphaRatio = (length(regexp_replace(text, "[^\\p{L}\\p{Nd}\\s]", "")) .cast("double")) /
       greatest(nChars, lit(1.0))
+    // over-long docs degrade as 100000/n (the otherwise-arm alone would
+    // be n/10 > 1 for long docs and the least() cap below would hand
+    // them full score — the upper band was dead code)
     val lenScore = when(nWords.between(10, 100000), lit(1.0))
+      .when(nWords > 100000, lit(100000.0) / nWords)
       .otherwise(nWords / lit(10.0))
     val wordLenScore = when(meanWordLen.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.25))
     round(least(lenScore, lit(1.0)) * lit(0.25) +

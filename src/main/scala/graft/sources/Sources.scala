@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
 object Sources {
 
   /** S9: delimited dimension scan (the reference's locus→AGI / organism
-    * CSVs, PantherLocalWrapper.java:106-149). Header + type inference off
-    * by default for determinism; pass an explicit schema when known.
+    * CSVs, PantherLocalWrapper.java:106-149). Header ON by default (the
+    * reference dims carry one); type inference off for determinism —
+    * pass an explicit schema when known.
     */
   def csvDim(spark: SparkSession, path: String, delimiter: String = ",",
              header: Boolean = true): DataFrame =

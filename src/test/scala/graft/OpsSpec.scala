@@ -309,7 +309,7 @@ class OpsSpec extends SparkSpec {
   test("chunkByTokens: windows bounded, overlap honored, lossless coverage, shuffle-free") {
     import graft.ops.ChunkOps
     val docs = Seq(
-      (1L, (1 to 75).map(i => s"w$i").mkString(" ")), // 4 windows at stride 24
+      (1L, (1 to 75).map(i => s"w$i").mkString(" ")), // 3 windows at stride 24
       (2L, "a b c"),                                  // shorter than one window
       (3L, "")                                        // degenerate: one empty-token window
     ).toDF("doc_id", "text")
@@ -321,8 +321,15 @@ class OpsSpec extends SparkSpec {
       cs.foreach(c => assert(c._4 <= 32 && c._4 === c._3.split(" ", -1).length.toLong))
     }
     val d1 = out.filter(_._1 == 1L)
-    assert(d1.length === 4) // starts 0, 24, 48, 72 over 75 tokens
-    assert(d1.last._4 === 3L)
+    // starts 0, 24, 48: window@48 reaches the end (tokens 49-75), so no
+    // start-72 window is emitted — it would be fully contained in it
+    assert(d1.length === 3)
+    assert(d1.last._4 === 27L)
+    // no window's token span is contained in the previous window's span
+    d1.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 * 24 + b._4 > a._2 * 24 + a._4,
+        s"window ${b._2} adds no new tokens over ${a._2}")
+    }
     // overlap: each window's leading tokens == the previous window's
     // tokens from the stride point (8 for full windows; fewer when the
     // final window is clipped by the document end)
@@ -366,6 +373,57 @@ class OpsSpec extends SparkSpec {
         assert(end >= (p + 1) * 100L, s"pack $p closed before reaching the target")
       }
     }
+  }
+
+  test("zero-norm embeddings score cos = 0 — never NaN-topping every ranking") {
+    import graft.ops.SimilarityOps
+    // a failed-embedding artifact: NaN (0/0) compares LARGER than any
+    // double in Spark, so without the guard the zero vector passes every
+    // threshold and ranks first for every query
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f))) // zero-norm
+      .toDF("doc_id", "emb")
+    val top = SimilarityOps.bruteForceTopK(rows, rows.filter($"doc_id" === 1L),
+        "doc_id", "emb", k = 2)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2)
+    assert(top.head._3 === 2L, s"real neighbor must outrank the zero vector: ${top.toSeq}")
+    assert(top.forall(r => !r._4.isNaN), s"no NaN cos may surface: ${top.toSeq}")
+    assert(top.find(_._3 == 3L).forall(_._4 === 0.0))
+    val pairs = SimilarityOps.cosineNearDupPairs(rows, "doc_id", "emb",
+      threshold = 0.9, exact = true).as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)),
+      s"zero-norm pairs must not pass the threshold: ${pairs.toSeq}")
+  }
+
+  test("packByTokens output is deterministic under duplicate ids and repartition") {
+    import graft.ops.ChunkOps
+    // duplicate doc_id with different token counts: the (id, n_tokens)
+    // sort key pins the running offsets; id-only ordering left them to
+    // partition luck
+    val docs = Seq(
+      ("en", "dup", (1 to 100).map(_ => "t").mkString(" ")),
+      ("en", "dup", (1 to 900).map(_ => "t").mkString(" ")),
+      ("en", "zzz", "t t t")).toDF("lang", "doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      ChunkOps.packByTokens(df, "doc_id", "text", "lang", targetTokens = 500L)
+        .as[(String, String, Long, Long, Long)].collect().sortBy(r => (r._2, r._3))
+    val a = run(docs.repartition(1))
+    val b = run(docs.repartition(7))
+    assert(a.toSeq === b.toSeq, "output must not depend on partitioning")
+    // the 100-token dup sorts first: offsets 0, 100, 1000
+    assert(a.map(r => (r._3, r._4, r._5)).toSeq ===
+      Seq((100L, 0L, 0L), (900L, 100L, 0L), (3L, 1000L, 2L)))
+  }
+
+  test("quality score penalizes over-long documents (upper length band live)") {
+    val inBand = Seq(((1 to 50).map(i => s"w$i").mkString(" "))).toDF("text")
+      .select(TextOps.qualityScore($"text")).as[Double].head()
+    val overLong = Seq(((1 to 200001).map(i => s"w${i % 97}").mkString(" "))).toDF("text")
+      .select(TextOps.qualityScore($"text")).as[Double].head()
+    assert(overLong < inBand,
+      s"a 200k-word doc must score below an in-band doc: $overLong !< $inBand")
   }
 
   test("KMV sketch callable from SQL via registered function") {
