@@ -101,6 +101,13 @@ class PlanSpec extends SparkSpec {
     assert(!p3.contains("BroadcastNestedLoopJoin") && !p3.contains("CartesianProduct"),
       s"IVF ANN must not plan a product join: $p3")
     assert(p3.contains("BroadcastHashJoin"), s"probe side should broadcast: $p3")
+    // a (query, neighbor) pair can match on at most ONE cell, so the
+    // candidate set needs no distinct() and the rerank is a pure window:
+    // the whole s3 plan carries no aggregate (a dedup aggregate here would
+    // shuffle rows carrying BOTH embedding vectors)
+    assert(!p3.contains("HashAggregate") && !p3.contains("SortAggregate") &&
+      !p3.contains("ObjectHashAggregate"),
+      s"s3 must stay aggregate-free — join straight into the rerank window: $p3")
     // the vector kernels are native codegen expressions — the HOF
     // formulation they replaced was CodegenFallback (interpreted lambdas).
     // (The executed plans are AQE-wrapped pre-execution, so assert on the
