@@ -151,6 +151,51 @@ object Queries {
         .select(col("c_custkey"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
     }),
 
+    // J13: as-of join — for each click, the user's latest view at or
+    // before it (point-in-time lookup; union+window, NO join node — the
+    // non-equi formulation Spark would otherwise plan is a product).
+    // Right side pre-deduped to one row per (user_id, ts) so the asof
+    // winner is engine-independent even under timestamp ties.
+    "j13_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy("user_id", "ts").orderBy(col("event_id").desc)))
+        .filter(col("_rn") === 1)
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_id"), col("value").as("view_value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      graft.ops.JoinOps.asofJoin(clicks, views, Seq("user_id"), "ts",
+          Seq("view_id", "view_value"))
+        .select("click_id", "user_id", "view_id", "view_value")
+    }),
+
+    // J14: interval (range) join — clicks landing in the 30 minutes after
+    // each purchase by the same user, counted per purchase (binned
+    // equi-join on (user_id, time-bucket); a pair meets in exactly one
+    // bin, so no dedup pass)
+    "j14_range_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      // parquet ts is TIMESTAMP_NTZ; the session tz is pinned UTC, so the
+      // cast to (LTZ) timestamp is the exact epoch mapping unix_micros needs
+      val micros = unix_micros(col("ts").cast("timestamp"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          micros.as("lo"))
+        .withColumn("hi", col("lo") + lit(1800000000L)) // +30 min
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), micros.as("v"),
+          col("event_id").as("click_id"))
+      val hits = graft.ops.JoinOps.rangeJoin(clicks, purchases,
+        Seq("user_id"), "v", "lo", "hi", binWidth = 1800000000L)
+      purchases.select("purchase_id")
+        .join(hits.groupBy("purchase_id").agg(count(lit(1)).as("n_clicks")),
+          Seq("purchase_id"), "left")
+        .select(col("purchase_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+    }),
+
     // =======================================================================
     // SURVEY §2.2 filters / predicates (validator-style multi-predicate)
     // =======================================================================
@@ -721,6 +766,28 @@ object Queries {
       """SELECT c_custkey, coalesce(o.n_orders, 0) AS n_orders FROM customer
         |LEFT JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) o
         |ON c_custkey = o_custkey""".stripMargin,
+
+    // DuckDB has native ASOF JOIN — the oracle states the semantics
+    // directly; the right side is deduped per (user_id, ts) exactly as in
+    // the Spark query so ties cannot make the asof winner engine-specific
+    "j13_asof_join" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, event_id AS view_id, value AS view_value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ts
+        |                                     ORDER BY event_id DESC) AS rn
+        |        FROM events WHERE event_type = 'view') WHERE rn = 1),
+        |c AS (SELECT event_id AS click_id, user_id, ts
+        |      FROM events WHERE event_type = 'click')
+        |SELECT c.click_id, c.user_id, v.view_id, v.view_value
+        |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
+
+    "j14_range_join" ->
+      """SELECT p.event_id AS purchase_id, count(c.event_id) AS n_clicks
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id
+        | AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 30 MINUTE
+        |GROUP BY 1""".stripMargin,
 
     "f1_validator" ->
       """SELECT event_id, user_id, event_type FROM events

@@ -426,6 +426,64 @@ class OpsSpec extends SparkSpec {
       s"a 200k-word doc must score below an in-band doc: $overLong !< $inBand")
   }
 
+  test("asofJoin: latest at-or-before right row per left row, exactly once, tie-deterministic") {
+    import graft.ops.JoinOps
+    val left = Seq(
+      (1L, 5L, "l-early"),   // before any right row → null payload
+      (1L, 10L, "l-eq"),     // ties a right ts → <= includes it
+      (1L, 25L, "l-mid"),    // between right rows → earlier one
+      (1L, 40L, "l-late"),   // after all → latest
+      (2L, 100L, "l-k2"),    // other key: its own timeline
+      (3L, 7L, "l-k3")       // key with NO right rows at all
+    ).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, 10L, "r10"), (1L, 30L, "r30"), (2L, 90L, "r90")
+    ).toDF("k", "ts", "v")
+    def run(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+      JoinOps.asofJoin(l, r, Seq("k"), "ts", Seq("v"))
+        .select("k", "ts", "tag", "v")
+        .as[(Long, Long, String, Option[String])].collect().sortBy(r => (r._1, r._2))
+    val out = run(left, right)
+    assert(out.toSeq === Seq(
+      (1L, 5L, "l-early", None), (1L, 10L, "l-eq", Some("r10")),
+      (1L, 25L, "l-mid", Some("r10")), (1L, 40L, "l-late", Some("r30")),
+      (2L, 100L, "l-k2", Some("r90")), (3L, 7L, "l-k3", None)))
+    // exactly one output row per left row — asof never duplicates or drops
+    assert(out.length === 6)
+    // equal-(key, ts) right rows: the largest payload struct wins,
+    // independent of partitioning
+    val tied = Seq((1L, 10L, "rA"), (1L, 10L, "rZ")).toDF("k", "ts", "v")
+    val probe = Seq((1L, 11L, "l")).toDF("k", "ts", "tag")
+    assert(run(probe.repartition(1), tied.repartition(1)).head._4 === Some("rZ"))
+    assert(run(probe.repartition(5), tied.repartition(3)).head._4 === Some("rZ"))
+  }
+
+  test("rangeJoin: inclusive bounds, multi-bin spans match once, negative domain bins correctly") {
+    import graft.ops.JoinOps
+    val intervals = Seq(
+      (1L, 100L, 0L, 50L),    // spans 6 bins at width 10
+      (1L, 200L, 45L, 55L),   // overlaps the first → a point can hit both
+      (1L, 300L, 70L, 60L),   // hi < lo: matches nothing
+      (2L, 400L, -15L, 5L)    // crosses zero: floor (not truncate) binning
+    ).toDF("k", "iid", "lo", "hi")
+    val points = Seq(
+      (1L, 0L, 10L), (1L, 50L, 11L),   // boundary points: both inclusive
+      (1L, 48L, 12L),                   // inside both overlapping intervals
+      (1L, 51L, 13L),                   // only the second
+      (1L, 65L, 14L),                   // inside [60,70] — but that row is hi<lo
+      (2L, -15L, 20L), (2L, -11L, 21L), // negative bin −2
+      (2L, 5L, 22L), (2L, 6L, 23L)      // hi boundary in / out
+    ).toDF("k", "v", "pid")
+    val out = JoinOps.rangeJoin(points, intervals, Seq("k"), "v", "lo", "hi", binWidth = 10L)
+      .select("pid", "iid").as[(Long, Long)].collect().sorted
+    assert(out.toSeq === Seq(
+      (10L, 100L), (11L, 100L), (11L, 200L), (12L, 100L), (12L, 200L),
+      (13L, 200L), (20L, 400L), (21L, 400L), (22L, 400L)))
+    // a pair meets in exactly one bin: no (pid, iid) duplicates even for
+    // the 6-bin-span interval
+    assert(out.length === out.distinct.length)
+  }
+
   test("KMV sketch callable from SQL via registered function") {
     import graft.ops.KmvAgg
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -131,6 +131,19 @@ class PlanSpec extends SparkSpec {
       "vector kernels must implement doGenCode, not fall back to interpretation")
   }
 
+  test("asof join is a window over a union (NO join node); range join stays equi-shaped") {
+    // the non-equi asof predicate would plan as BroadcastNestedLoopJoin —
+    // the union+window restatement must contain no join node at all
+    val p13 = plan(Queries.sparkQueries("j13_asof_join")(spark, sf))
+    assert(!p13.contains("Join"),
+      s"asof must be join-free (union + window, one key shuffle):\n$p13")
+    assert(p13.contains("Window"), s"expected the fill window:\n$p13")
+    // range join: binned equi-join + residual BETWEEN filter, never a product
+    val p14 = plan(Queries.sparkQueries("j14_range_join")(spark, sf))
+    assert(!p14.contains("BroadcastNestedLoopJoin") && !p14.contains("CartesianProduct"),
+      s"interval join must bin to an equi-join, never a product:\n$p14")
+  }
+
   test("semi/anti joins plan as joins, not subquery re-scans") {
     val anti = optimized(Queries.sparkQueries("j11_anti")(spark, sf))
     assert(anti.contains("LeftAnti"), s"expected LeftAnti join:\n$anti")
