@@ -76,6 +76,13 @@ object Queries {
         length(col("text")).cast("long").as("len_chars"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))),
 
+    // A12: EXACT heavy hitters (users with > 0.08% of all events) via the
+    // two-pass plan: one Misra–Gries pass (bounded O(1/phi) state, a
+    // guaranteed candidate superset — a plain groupBy would shuffle the
+    // whole distinct tail) + one exact recount of the broadcast candidates
+    "a12_heavy_hitters" -> ((s, d) =>
+      graft.ops.FreqOps.heavyHitters(t(s, d, "events"), "user_id", phi = 0.0008)),
+
     // =======================================================================
     // SURVEY §2.3 joins
     // =======================================================================
@@ -395,6 +402,15 @@ object Queries {
       ChunkOps.packByTokens(t(s, d, "documents"), "doc_id", "text",
         "lang", targetTokens = 256L)),
 
+    // BM25 relevance score of every document against a bag-of-words query
+    // (Robertson ln(1+·) idf, Lucene defaults k1=1.2 b=0.75). Corpus never
+    // shuffles wide: term filter BEFORE the tf groupBy, df + stats
+    // broadcast back. tf/df/N/dl are exact ints; ln rounds at 1e-10
+    // per-term and the sum at 1e-6 (the repo's double-oracle treatment).
+    "t9_bm25" -> ((s, d) =>
+      graft.ops.RankOps.bm25(t(s, d, "documents"), "doc_id", "text",
+        query = "hash join merge stream")),
+
     // Spark-only (no SQL oracle): heuristic scores
     "t3_langid" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"), col("lang"),
@@ -712,6 +728,14 @@ object Queries {
         |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
         |FROM documents""".stripMargin,
 
+    // exact heavy hitters: the oracle is the direct declarative statement;
+    // the threshold is the same double product (0.0008 · exact bigint n)
+    // both engines compute identically
+    "a12_heavy_hitters" ->
+      """SELECT CAST(user_id AS VARCHAR) AS item, count(*) AS freq
+        |FROM events, (SELECT count(*) AS n FROM events) t
+        |GROUP BY 1, t.n HAVING count(*) > 0.0008 * t.n""".stripMargin,
+
     "j1_enrichment" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         |CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
@@ -1000,6 +1024,24 @@ object Queries {
         |  round(count(*)::DOUBLE / any_value(c.n_sh), 6) AS overlap_frac
         |FROM corp c JOIN bench b USING (shingle)
         |GROUP BY c.doc_id""".stripMargin,
+
+    // BM25: every count (tf, df, N, dl) is an exact integer, so the oracle
+    // reproduces the identical arithmetic tree; ln rounds per-term at
+    // 1e-10 and the document sum at 1e-6 (standard double treatment)
+    "t9_bm25" ->
+      """WITH base AS (
+        |  SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, ws
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents)),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl FROM base),
+        |p AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+        |      FROM (SELECT doc_id, dl, unnest(ws) AS term FROM base)
+        |      WHERE term IN ('hash','join','merge','stream') GROUP BY 1, 2, 3),
+        |d AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM p GROUP BY 1)
+        |SELECT p.doc_id, round(sum(round(
+        |    ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * p.tf * (1.2 + 1.0) /
+        |    (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / (s.sumdl / s.n))), 10)), 6) AS bm25
+        |FROM p JOIN d USING (term) CROSS JOIN stats s
+        |GROUP BY 1""".stripMargin,
 
     "t6_repetition" ->
       """SELECT doc_id,

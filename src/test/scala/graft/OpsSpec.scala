@@ -484,6 +484,64 @@ class OpsSpec extends SparkSpec {
     assert(out.length === out.distinct.length)
   }
 
+  test("heavyHitters: exact result over a long tail, partitioning-invariant, empty when nothing qualifies") {
+    import graft.ops.FreqOps
+    // 3 heavy items + 100-singleton tail; phi=0.05 → threshold 9.6 over
+    // n=192, so exactly {a:50, b:30, c:12} qualify. 103 distinct items vs
+    // ⌈1/phi⌉=20 MG counters forces the decrement path; repartitioning
+    // forces real sketch merges.
+    val rows = Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(12)("c") ++
+      (0 until 100).map(i => s"x$i")
+    val expected = Set(("a", 50L), ("b", 30L), ("c", 12L))
+    for (parts <- Seq(1, 7)) {
+      val df = rows.toDF("v").repartition(parts)
+      val out = FreqOps.heavyHitters(df, "v", phi = 0.05)
+        .as[(String, Long)].collect().toSet
+      assert(out === expected, s"parts=$parts")
+    }
+    // nothing above threshold → empty, not an error
+    assert(FreqOps.heavyHitters(rows.toDF("v"), "v", phi = 0.5).count() === 0L)
+    // nulls count toward n but are never items
+    val withNulls = (rows.map(Option(_)) ++ Seq.fill(20)(Option.empty[String])).toDF("v")
+    assert(FreqOps.heavyHitters(withNulls, "v", phi = 0.05)
+      .as[(String, Long)].collect().toSet === expected)
+  }
+
+  test("MG sketch candidates are a superset of true heavy items under tiny k") {
+    import graft.ops.MgAgg
+    // adversarial: k=3 counters, heavy item interleaved with churn
+    val rows = (0 until 300).flatMap(i => Seq("hot", s"cold$i", s"cold${i}b"))
+    val cand = rows.toDF("v").repartition(5)
+      .agg(MgAgg.mgCandidates(col("v"), 3)).as[Seq[String]].head()
+    // hot has freq 300 > n/(k+1) = 900/4 — MUST survive
+    assert(cand.contains("hot"), s"MG lost the guaranteed heavy item: $cand")
+    assert(cand.size <= 3)
+    // output is sorted (deterministic array)
+    assert(cand === cand.sorted)
+  }
+
+  test("bm25: hand-computed scores, non-matching docs absent") {
+    import graft.ops.RankOps
+    val docs = Seq(
+      (1L, "hash join hash"),  // tf(hash)=2, dl=3
+      (2L, "merge sort"),      // tf(merge)=1, dl=2
+      (3L, "the quick fox")    // no query terms → absent
+    ).toDF("doc_id", "text")
+    val out = RankOps.bm25(docs, "doc_id", "text", "hash merge")
+      .as[(Long, Double)].collect().toMap
+    // mirror the engine's arithmetic exactly (N=3, sumdl=8, df=1 each)
+    def score(tf: Double, dl: Double): Double = {
+      val idf = math.log(1.0 + (3.0 - 1.0 + 0.5) / (1.0 + 0.5))
+      val s = idf * tf * (1.2 + 1.0) /
+        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (8.0 / 3.0)))
+      BigDecimal(BigDecimal(s).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L) === score(2.0, 3.0))
+    assert(out(2L) === score(1.0, 2.0))
+  }
+
   test("KMV sketch callable from SQL via registered function") {
     import graft.ops.KmvAgg
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -144,6 +144,27 @@ class PlanSpec extends SparkSpec {
       s"interval join must bin to an equi-join, never a product:\n$p14")
   }
 
+  test("heavy hitters: bounded-state sketch agg, broadcast recount; bm25 never a product") {
+    // pass 1: the MG sketch must run as ObjectHashAggregate (hash-based,
+    // map-side combinable), never a sort-agg over the item column
+    val sketch = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id").cast("string").as("item"))
+      .agg(graft.ops.MgAgg.mgCandidates(col("item"), 100))
+    assert(plan(sketch).contains("ObjectHashAggregate"),
+      s"MG sketch must be an ObjectHashAggregate:\n${plan(sketch)}")
+    // pass 2 (what the catalog query returns): candidates broadcast back
+    val p12 = plan(Queries.sparkQueries("a12_heavy_hitters")(spark, sf))
+    assert(p12.contains("BroadcastHashJoin"),
+      s"recount must broadcast the candidate set:\n$p12")
+    assert(!p12.contains("SortAggregate"), s"recount must hash-agg:\n$p12")
+    // bm25: df/stats broadcast onto postings; no unbounded product
+    val p9 = plan(Queries.sparkQueries("t9_bm25")(spark, sf))
+    assert(p9.contains("BroadcastHashJoin"),
+      s"bm25 df join must broadcast:\n$p9")
+    assert(!p9.contains("CartesianProduct"),
+      s"bm25 must never plan a cartesian product:\n$p9")
+  }
+
   test("semi/anti joins plan as joins, not subquery re-scans") {
     val anti = optimized(Queries.sparkQueries("j11_anti")(spark, sf))
     assert(anti.contains("LeftAnti"), s"expected LeftAnti join:\n$anti")
