@@ -804,6 +804,124 @@ object GraftMaintTvf {
     throw new UnsupportedOperationException(s"$fn: $msg")
 }
 
+/** Analysis TVFs — the round-5 corpus operators from plain SQL, over a
+  * parquet path or a graft lake table root ([[GraftTvf.sourceOf]]):
+  *
+  *  - `graft_hh(src, itemCol, phi)` — EXACT heavy hitters
+  *    ([[graft.ops.FreqOps.heavyHitters]]): every value with frequency
+  *    > phi·n, with its exact count.
+  *  - `graft_bm25(src, idCol, textCol, query)` — BM25 relevance score of
+  *    every document against the bag-of-words `query`
+  *    ([[graft.ops.RankOps.bm25]], Lucene-default k1/b).
+  *  - `graft_asof(leftSrc, rightSrc, keys, tsCol, payload)` — as-of join
+  *    ([[graft.ops.JoinOps.asofJoin]]); `keys`/`payload` are
+  *    comma-separated column lists in one string literal.
+  *  - `graft_range(pointsSrc, intervalsSrc, keys, vCol, loCol, hiCol,
+  *    binWidth)` — interval join ([[graft.ops.JoinOps.rangeJoin]]).
+  *
+  * Arguments must be literals (plan-time source pinning, like the other
+  * TVFs); validation is EXACTLY the Scala API's — the builders delegate
+  * straight to the ops, so the same `require` guards fire with the same
+  * messages.
+  */
+object GraftAnalyzeTvf {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+  val hhIdent: FunctionIdentifier = FunctionIdentifier("graft_hh")
+  val hhInfo = new ExpressionInfo(GraftAnalyzeTvf.getClass.getCanonicalName,
+    null, "graft_hh", "graft_hh(src, itemCol, phi) - exact heavy hitters: " +
+      "every itemCol value with frequency > phi*n and its exact count " +
+      "(two-pass Misra-Gries); src is a parquet path or graft lake table root",
+    "", "", "", "", "", "", "built-in")
+  val bm25Ident: FunctionIdentifier = FunctionIdentifier("graft_bm25")
+  val bm25Info = new ExpressionInfo(GraftAnalyzeTvf.getClass.getCanonicalName,
+    null, "graft_bm25", "graft_bm25(src, idCol, textCol, query) - BM25 " +
+      "relevance score of each document against the bag-of-words query",
+    "", "", "", "", "", "", "built-in")
+  val asofIdent: FunctionIdentifier = FunctionIdentifier("graft_asof")
+  val asofInfo = new ExpressionInfo(GraftAnalyzeTvf.getClass.getCanonicalName,
+    null, "graft_asof", "graft_asof(leftSrc, rightSrc, keys, tsCol, payload)" +
+      " - for each left row, the latest right row with the same keys at or " +
+      "before its timestamp; keys/payload are comma-separated column lists",
+    "", "", "", "", "", "", "built-in")
+  val rangeIdent: FunctionIdentifier = FunctionIdentifier("graft_range")
+  val rangeInfo = new ExpressionInfo(GraftAnalyzeTvf.getClass.getCanonicalName,
+    null, "graft_range", "graft_range(pointsSrc, intervalsSrc, keys, vCol, " +
+      "loCol, hiCol, binWidth) - every (point, interval) pair with equal " +
+      "keys and loCol <= vCol <= hiCol (binned equi-join, never a product)",
+    "", "", "", "", "", "", "built-in")
+
+  /** phi arrives as a SQL decimal literal (`0.05`), not a double. */
+  private def doubleLit(e: Expression): Option[Double] = e match {
+    case Literal(d: org.apache.spark.sql.types.Decimal, _) => Some(d.toDouble)
+    case Literal(d: Double, org.apache.spark.sql.types.DoubleType) => Some(d)
+    case _ => GraftTvf.longLit(e).map(_.toDouble)
+  }
+
+  private def cols(s: String): Seq[String] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  def buildHh(args: Seq[Expression]): LogicalPlan = args match {
+    case Seq(src, item, phi) =>
+      (GraftTvf.strLit(src), GraftTvf.strLit(item), doubleLit(phi)) match {
+        case (Some(p), Some(itemCol), Some(f)) =>
+          GraftTvf.analyzed(graft.ops.FreqOps.heavyHitters(
+            GraftTvf.sourceOf(GraftTvf.session, p), itemCol, f))
+        case _ => fail("graft_hh",
+          "src/itemCol must be string literals and phi a numeric literal")
+      }
+    case _ => fail("graft_hh", "usage: graft_hh('<src>', '<itemCol>', <phi>)")
+  }
+
+  def buildBm25(args: Seq[Expression]): LogicalPlan = args match {
+    case Seq(src, id, text, query) =>
+      (GraftTvf.strLit(src), GraftTvf.strLit(id), GraftTvf.strLit(text),
+        GraftTvf.strLit(query)) match {
+        case (Some(p), Some(idCol), Some(textCol), Some(q)) =>
+          GraftTvf.analyzed(graft.ops.RankOps.bm25(
+            GraftTvf.sourceOf(GraftTvf.session, p), idCol, textCol, q))
+        case _ => fail("graft_bm25", "all four arguments must be string literals")
+      }
+    case _ => fail("graft_bm25",
+      "usage: graft_bm25('<src>', '<idCol>', '<textCol>', '<query words>')")
+  }
+
+  def buildAsof(args: Seq[Expression]): LogicalPlan = args match {
+    case Seq(l, r, keys, ts, payload) =>
+      (GraftTvf.strLit(l), GraftTvf.strLit(r), GraftTvf.strLit(keys),
+        GraftTvf.strLit(ts), GraftTvf.strLit(payload)) match {
+        case (Some(lp), Some(rp), Some(ks), Some(tsCol), Some(ps)) =>
+          val s = GraftTvf.session
+          GraftTvf.analyzed(graft.ops.JoinOps.asofJoin(
+            GraftTvf.sourceOf(s, lp), GraftTvf.sourceOf(s, rp),
+            cols(ks), tsCol, cols(ps)))
+        case _ => fail("graft_asof", "all five arguments must be string literals")
+      }
+    case _ => fail("graft_asof",
+      "usage: graft_asof('<leftSrc>', '<rightSrc>', '<k1,k2,...>', '<tsCol>', '<p1,p2,...>')")
+  }
+
+  def buildRange(args: Seq[Expression]): LogicalPlan = args match {
+    case Seq(pts, ivs, keys, v, lo, hi, bw) =>
+      (GraftTvf.strLit(pts), GraftTvf.strLit(ivs), GraftTvf.strLit(keys),
+        GraftTvf.strLit(v), GraftTvf.strLit(lo), GraftTvf.strLit(hi),
+        GraftTvf.longLit(bw)) match {
+        case (Some(pp), Some(ip), Some(ks), Some(vc), Some(lc), Some(hc), Some(w)) =>
+          val s = GraftTvf.session
+          GraftTvf.analyzed(graft.ops.JoinOps.rangeJoin(
+            GraftTvf.sourceOf(s, pp), GraftTvf.sourceOf(s, ip),
+            cols(ks), vc, lc, hc, w))
+        case _ => fail("graft_range", "sources/columns must be string " +
+          "literals and binWidth an integer literal")
+      }
+    case _ => fail("graft_range",
+      "usage: graft_range('<pointsSrc>', '<intervalsSrc>', '<k1,...>', '<vCol>', '<loCol>', '<hiCol>', <binWidth>)")
+  }
+
+  private def fail(fn: String, msg: String): Nothing =
+    throw new UnsupportedOperationException(s"$fn: $msg")
+}
+
 /** `spark.sql.extensions` entry point. Order matters: the MERGE rule must
   * claim its target relation before the read rule expands relations.
   */
@@ -829,5 +947,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftChunkTvf.buildChunks _))
     ext.injectTableFunction((GraftChunkTvf.packIdent, GraftChunkTvf.packInfo,
       GraftChunkTvf.buildPack _))
+    ext.injectTableFunction((GraftAnalyzeTvf.hhIdent, GraftAnalyzeTvf.hhInfo,
+      GraftAnalyzeTvf.buildHh _))
+    ext.injectTableFunction((GraftAnalyzeTvf.bm25Ident, GraftAnalyzeTvf.bm25Info,
+      GraftAnalyzeTvf.buildBm25 _))
+    ext.injectTableFunction((GraftAnalyzeTvf.asofIdent, GraftAnalyzeTvf.asofInfo,
+      GraftAnalyzeTvf.buildAsof _))
+    ext.injectTableFunction((GraftAnalyzeTvf.rangeIdent, GraftAnalyzeTvf.rangeInfo,
+      GraftAnalyzeTvf.buildRange _))
   }
 }

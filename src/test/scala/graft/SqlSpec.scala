@@ -516,6 +516,64 @@ class SqlSpec extends SparkSpec {
     assert(overLake >= inserted, s"chunking the lake table ($overLake) must cover every doc ($inserted)")
   }
 
+  test("graft_hh / graft_bm25 / graft_asof / graft_range TVFs ≡ Scala API") {
+    val events = s"$sf/events.parquet"
+    val docs = s"$sf/documents.parquet"
+    val ev = spark.read.parquet(events)
+
+    val hhTvf = spark.sql(s"SELECT * FROM graft_hh('$events', 'user_id', 0.0008)")
+    val hhOps = ops.FreqOps.heavyHitters(ev, "user_id", phi = 0.0008)
+    assert(hhTvf.columns.toSeq === hhOps.columns.toSeq)
+    assert(hhTvf.exceptAll(hhOps).isEmpty && hhOps.exceptAll(hhTvf).isEmpty,
+      "graft_hh must equal FreqOps.heavyHitters row-for-row")
+
+    val bmTvf = spark.sql(
+      s"SELECT * FROM graft_bm25('$docs', 'doc_id', 'text', 'hash join')")
+    val bmOps = ops.RankOps.bm25(spark.read.parquet(docs), "doc_id", "text",
+      "hash join")
+    assert(bmTvf.exceptAll(bmOps).isEmpty && bmOps.exceptAll(bmTvf).isEmpty,
+      "graft_bm25 must equal RankOps.bm25 row-for-row")
+
+    // asof / range over two temp parquet sides (comma-list column args)
+    val base = tmpDir("sqlanalyzetvf")
+    ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts")
+      .write.parquet(s"$base/clicks")
+    ev.filter($"event_type" === "view")
+      .groupBy("user_id", "ts").agg(max($"event_id").as("view_id"))
+      .write.parquet(s"$base/views")
+    val asofTvf = spark.sql(
+      s"SELECT * FROM graft_asof('$base/clicks', '$base/views', 'user_id', 'ts', 'view_id')")
+    val asofOps = ops.JoinOps.asofJoin(
+      spark.read.parquet(s"$base/clicks"), spark.read.parquet(s"$base/views"),
+      Seq("user_id"), "ts", Seq("view_id"))
+    assert(asofTvf.exceptAll(asofOps).isEmpty && asofOps.exceptAll(asofTvf).isEmpty,
+      "graft_asof must equal JoinOps.asofJoin row-for-row")
+
+    ev.select($"user_id", unix_micros($"ts".cast("timestamp")).as("v"),
+        $"event_id".as("pid")).write.parquet(s"$base/pts")
+    ev.filter($"event_type" === "purchase")
+      .select($"user_id", unix_micros($"ts".cast("timestamp")).as("lo"),
+        $"event_id".as("iid"))
+      .withColumn("hi", $"lo" + 1800000000L).write.parquet(s"$base/ivs")
+    val rngTvf = spark.sql(
+      s"""SELECT * FROM graft_range('$base/pts', '$base/ivs', 'user_id',
+         |'v', 'lo', 'hi', 1800000000)""".stripMargin)
+    val rngOps = ops.JoinOps.rangeJoin(
+      spark.read.parquet(s"$base/pts"), spark.read.parquet(s"$base/ivs"),
+      Seq("user_id"), "v", "lo", "hi", binWidth = 1800000000L)
+    assert(rngTvf.exceptAll(rngOps).isEmpty && rngOps.exceptAll(rngTvf).isEmpty,
+      "graft_range must equal JoinOps.rangeJoin row-for-row")
+
+    // same validation as the Scala APIs (the TVFs delegate to them)
+    val e1 = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_hh('$events', 'user_id', 1.5)").collect())
+    assert(e1.getMessage.contains("phi"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_asof('$base/clicks', '$base/views', '', 'ts', 'view_id')").collect())
+    assert(e2.getMessage.contains("key column"), e2.getMessage)
+  }
+
   test("BY SOURCE condition with a string literal containing 's.' is accepted") {
     val base = tmpDir("sqlnmbs-lit")
     val table = lake.LakeTable(s"$base/t", 4)
