@@ -575,6 +575,16 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     * downstream consumer can retract). The incremental-read primitive for
     * derived pipelines: re-process only what changed, never the table.
     *
+    * `updatePreimages = true` replaces each U row with a retraction PAIR
+    * (the Flink-CDC -U/+U convention, Delta's update_preimage/postimage):
+    * `U-` carrying the before-image then `U+` the after-image. That is
+    * what makes DOWNSTREAM AGGREGATES incrementally maintainable — an
+    * update that moves a row between groups (e.g. language changes)
+    * retracts from the old group via `U-` and applies to the new via
+    * `U+`; after-image-only feeds cannot restate the old group. Keyed
+    * mirror consumers don't need it (LWW by key replaces whole rows),
+    * hence opt-in, default off.
+    *
     * IO is proportional to CHANGED buckets, not table size: a bucket whose
     * manifest reference is identical in both snapshots cannot differ
     * (manifests are immutable), so only differing buckets are read and
@@ -586,7 +596,8 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     * zero rows, never false changes. Cost at scale: 2 scans of the touched
     * buckets + one key-partitioned shuffle (AQE handles skew).
     */
-  def changesBetween(spark: SparkSession, fromVersion: Int, toVersion: Int): DataFrame = {
+  def changesBetween(spark: SparkSession, fromVersion: Int, toVersion: Int,
+                     updatePreimages: Boolean = false): DataFrame = {
     require(fromVersion < toVersion,
       s"changesBetween: fromVersion $fromVersion must be < toVersion $toVersion")
     val committed = headVersion()
@@ -615,15 +626,34 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     val payloadDiffers = payloadCols
       .map(c => !(col(c) <=> col(s"_b_$c")))
       .reduce(_ || _)
-    after.join(beforeRenamed, Seq("repo", "path"), "full_outer")
+    val joined = after.join(beforeRenamed, Seq("repo", "path"), "full_outer")
       .withColumn("op",
         when(col("_b_seq").isNull, lit("I"))
           .when(col("seq").isNull, lit("D"))
           .when(payloadDiffers, lit("U")))
       .filter(col("op").isNotNull)
-      .select(Seq(col("op"), col("repo"), col("path")) ++
+    if (!updatePreimages)
+      joined.select(Seq(col("op"), col("repo"), col("path")) ++
         payloadCols.map(c =>
           when(col("op") === "D", col(s"_b_$c")).otherwise(col(c)).as(c)): _*)
+    else {
+      // one output row per IMAGE: U explodes to [U- before, U+ after] in a
+      // single pass over the join — no self-union that would re-run the
+      // diff subtree twice
+      def img(op: Column, of: String => Column) =
+        struct(Seq(op.as("op")) ++ payloadCols.map(c => of(c).as(c)): _*)
+      val afterImg =
+        img(when(col("op") === "U", lit("U+")).otherwise(col("op")), col)
+      joined.select(col("repo"), col("path"),
+          explode(
+            when(col("op") === "U",
+              array(img(lit("U-"), c => col(s"_b_$c")), afterImg))
+            .when(col("op") === "D",
+              array(img(lit("D"), c => col(s"_b_$c"))))
+            .otherwise(array(afterImg))).as("_img"))
+        .select(Seq(col("_img.op").as("op"), col("repo"), col("path")) ++
+          payloadCols.map(c => col(s"_img.$c").as(c)): _*)
+    }
   }
 
   /** Drain new changes since the durable cursor: if the head has advanced

@@ -74,6 +74,10 @@ import org.apache.spark.unsafe.types.UTF8String
 object CdfFeed {
   /** One change row: op ∈ I/U/D + the table columns (I/U = after-image,
     * D = before-image). Matches [[LakeTable.changesBetween]] exactly.
+    * With the `updatePreimages` source option, U is replaced by the
+    * retraction pair U- (before-image) / U+ (after-image) — what lets a
+    * downstream AGGREGATE be maintained incrementally (see [[Mv]]);
+    * same schema, two rows.
     */
   val feedSchema: StructType = StructType(Seq(
     StructField("op", StringType),
@@ -147,7 +151,8 @@ final class CdfTable(root: String) extends Table with SupportsRead {
         options.getLong("maxstaterowsperpartition", CdfFeed.DefaultMaxStateRows),
         options.getLong("maxstatebytesperpartition", CdfFeed.DefaultMaxStateBytes),
         maxRowsPerTrigger = longOpt(options, "maxrowspertrigger"),
-        maxFilesPerTrigger = longOpt(options, "maxfilespertrigger"))
+        maxFilesPerTrigger = longOpt(options, "maxfilespertrigger"),
+        updatePreimages = options.getBoolean("updatepreimages", false))
     }
 
   private def longOpt(options: CaseInsensitiveStringMap,
@@ -166,12 +171,14 @@ final class CdfScan(root: String, startVersion: Int, maxVersionsPerBatch: Int,
                     maxStateRows: Long = CdfFeed.DefaultMaxStateRows,
                     maxStateBytes: Long = CdfFeed.DefaultMaxStateBytes,
                     maxRowsPerTrigger: Option[Long] = None,
-                    maxFilesPerTrigger: Option[Long] = None)
+                    maxFilesPerTrigger: Option[Long] = None,
+                    updatePreimages: Boolean = false)
   extends Scan {
   override def readSchema(): StructType = CdfFeed.feedSchema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new CdfMicroBatchStream(root, startVersion, maxVersionsPerBatch,
-      maxStateRows, maxStateBytes, maxRowsPerTrigger, maxFilesPerTrigger)
+      maxStateRows, maxStateBytes, maxRowsPerTrigger, maxFilesPerTrigger,
+      updatePreimages)
   override def description(): String = s"graft-cdf[$root]"
 }
 
@@ -180,7 +187,8 @@ final class CdfMicroBatchStream(root: String, startVersion: Int,
                                 maxStateRows: Long = CdfFeed.DefaultMaxStateRows,
                                 maxStateBytes: Long = CdfFeed.DefaultMaxStateBytes,
                                 maxRowsPerTrigger: Option[Long] = None,
-                                maxFilesPerTrigger: Option[Long] = None)
+                                maxFilesPerTrigger: Option[Long] = None,
+                                updatePreimages: Boolean = false)
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   require(maxStateRows > 0,
@@ -327,7 +335,8 @@ final class CdfMicroBatchStream(root: String, startVersion: Int,
       val kRows = (rows + maxStateRows - 1) / maxStateRows
       val kBytes = (bytes + maxStateBytes - 1) / maxStateBytes
       val k = math.max(1L, math.max(kRows, kBytes)).toInt
-      (0 until k).map(i => CdfInputPartition(bucket, before, after, i, k, afterUnique))
+      (0 until k).map(i => CdfInputPartition(bucket, before, after, i, k,
+        afterUnique, updatePreimages))
     }
     // a rebucket inside the window changes the key→bucket mapping, so
     // per-bucket pairing is unsound — fall back to a whole-state diff
@@ -378,7 +387,8 @@ final class CdfMicroBatchStream(root: String, startVersion: Int,
 final case class CdfInputPartition(bucket: Int, beforeFiles: Array[String],
                                    afterFiles: Array[String],
                                    slice: Int = 0, nSlices: Int = 1,
-                                   afterUnique: Boolean = false)
+                                   afterUnique: Boolean = false,
+                                   updatePreimages: Boolean = false)
   extends InputPartition
 
 final class CdfReaderFactory extends PartitionReaderFactory {
@@ -506,21 +516,24 @@ final class CdfPartitionReader(p: CdfInputPartition)
       content, if (sizeBytes == null) null else sizeBytes.longValue, seq))
 
   /** Streamed scan as an iterator: decode the file list in order, run
-    * `emit` on each row, surface its non-null results one at a time. Only
-    * the reader's own 4k-row columnar batch is ever buffered. The
-    * currently-open file reader is registered in [[activeStreamReader]] so
-    * [[close]] can release it when the iterator is abandoned mid-stream
-    * (task cancellation, a downstream limit, an exception in a later
-    * operator) — draining to the end closes it inline as before.
+    * `emit` on each row, surface its results one at a time (Nil = skip; a
+    * U row under updatePreimages yields the U-/U+ pair — the only >1
+    * case). Only the reader's own 4k-row columnar batch is ever buffered.
+    * The currently-open file reader is registered in
+    * [[activeStreamReader]] so [[close]] can release it when the iterator
+    * is abandoned mid-stream (task cancellation, a downstream limit, an
+    * exception in a later operator) — draining to the end closes it
+    * inline as before.
     */
   private def streamScan(files: Array[String])(
-      emit: (InternalRow, Int, Int) => InternalRow): Iterator[InternalRow] =
+      emit: (InternalRow, Int, Int) => List[InternalRow]): Iterator[InternalRow] =
     new Iterator[InternalRow] {
       private var fi = 0
       private var reader: VectorizedParquetRecordReader = _
       private var batchIt: java.util.Iterator[InternalRow] = _
       private var ri = 0
       private var nextRow: InternalRow = _
+      private var pending: List[InternalRow] = Nil
 
       private def openNext(): Boolean = {
         while (fi < files.length) {
@@ -542,11 +555,13 @@ final class CdfPartitionReader(p: CdfInputPartition)
 
       @annotation.tailrec
       private def advance(): Unit = {
-        if (batchIt != null && batchIt.hasNext) {
+        if (pending.nonEmpty) {
+          nextRow = pending.head; pending = pending.tail
+        } else if (batchIt != null && batchIt.hasNext) {
           val row = batchIt.next()
           val out = emit(row, fi, ri)
           ri += 1
-          if (out != null) { nextRow = out; return }
+          if (out.nonEmpty) { nextRow = out.head; pending = out.tail; return }
           advance()
         } else if (openNext()) advance()
         else nextRow = null
@@ -571,6 +586,18 @@ final class CdfPartitionReader(p: CdfInputPartition)
       row.getLong(SEQ))
   }
 
+  /** Update emission: plain after-image U row, or — with updatePreimages —
+    * the Flink-CDC-style retraction pair [U- before-image, U+ after-image]
+    * (the [[LakeTable.changesBetween]] preimage contract, so the two read
+    * paths stay row-identical). The before Rec's strings are map-owned
+    * clones; only the batch-local key needs cloning.
+    */
+  private def uRows(row: InternalRow, repo: UTF8String, path: UTF8String,
+                    b: Rec): List[InternalRow] =
+    if (!p.updatePreimages) cloneRow("U", row, repo, path) :: Nil
+    else outRow("U-", repo.clone(), path.clone(), b.commit, b.language,
+      b.content, b.sizeBytes, b.seq) :: cloneRow("U+", row, repo, path) :: Nil
+
   /** The streamScan file reader currently holding an open file, if any —
     * owned here so an abandoned iterator still releases it via [[close]].
     */
@@ -592,7 +619,7 @@ final class CdfPartitionReader(p: CdfInputPartition)
       val seen = new java.util.HashSet[(UTF8String, UTF8String)]
       val iu = streamScan(afterFiles) { (row, _, _) =>
         val repo = row.getUTF8String(REPO); val path = row.getUTF8String(PATH)
-        if (!inSlice(repo, path)) null
+        if (!inSlice(repo, path)) Nil
         else {
           val b0 = before.get((repo, path))
           if (b0 != null) seen.add((repo.clone(), path.clone()))
@@ -601,16 +628,16 @@ final class CdfPartitionReader(p: CdfInputPartition)
             // tombstone row killing a live before key → D with before-image
             if (b != null)
               outRow("D", repo.clone(), path.clone(), b.commit, b.language,
-                b.content, b.sizeBytes, b.seq)
-            else null
+                b.content, b.sizeBytes, b.seq) :: Nil
+            else Nil
           } else {
             val commit = str(row, COMMIT); val lang = str(row, LANG)
             val content = str(row, CONTENT)
             val size = if (row.isNullAt(SIZE)) null else java.lang.Long.valueOf(row.getLong(SIZE))
             val seq = row.getLong(SEQ)
-            if (b == null) cloneRow("I", row, repo, path)
-            else if (differs(b, commit, lang, content, size, seq)) cloneRow("U", row, repo, path)
-            else null
+            if (b == null) cloneRow("I", row, repo, path) :: Nil
+            else if (differs(b, commit, lang, content, size, seq)) uRows(row, repo, path, b)
+            else Nil
           }
         }
       }
@@ -654,18 +681,18 @@ final class CdfPartitionReader(p: CdfInputPartition)
 
       val iu = streamScan(afterFiles) { (row, fi, ri) =>
         val repo = row.getUTF8String(REPO); val path = row.getUTF8String(PATH)
-        if (!inSlice(repo, path)) null
+        if (!inSlice(repo, path)) Nil
         else {
           val w = winners.get((repo, path))
-          if (w == null || w.deleted || w.fileIdx != fi || w.rowIdx != ri) null
+          if (w == null || w.deleted || w.fileIdx != fi || w.rowIdx != ri) Nil
           else {
             val b0 = before.get((repo, path))
             val b = if (b0 != null && b0.deleted) null else b0
-            if (b == null) cloneRow("I", row, repo, path)
+            if (b == null) cloneRow("I", row, repo, path) :: Nil
             else if (differs(b, str(row, COMMIT), str(row, LANG), str(row, CONTENT),
               if (row.isNullAt(SIZE)) null else java.lang.Long.valueOf(row.getLong(SIZE)),
-              row.getLong(SEQ))) cloneRow("U", row, repo, path)
-            else null
+              row.getLong(SEQ))) uRows(row, repo, path, b)
+            else Nil
           }
         }
       }

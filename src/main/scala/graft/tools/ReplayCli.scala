@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions._
   * ReplayCli changes <workDir> <fromVersion> <toVersion>
   * ReplayCli drain   <workDir>
   * ReplayCli follow  <workDir> <derivedDir> [maxVersionsPerBatch] [maxStateRowsPerPartition]
+  * ReplayCli mv      <workDir> <viewDir> [groupCol]
   * ReplayCli resync  <workDir> <derivedDir>
   * ReplayCli compact <workDir> [gc] [targetFileRows]
   * ReplayCli rebucket <workDir> <newBuckets> [targetFileRows]
@@ -151,6 +152,23 @@ object ReplayCli {
         f"secs=$secs%.1f")
       spark.stop()
 
+    // incrementally-maintained materialized aggregate: drain pending
+    // changes (read with update preimages) into a (group, cnt, bytes)
+    // view and print it — re-run after more commits to see it converge
+    // without rescanning the table
+    case "mv" :: workDir :: viewDir :: rest if rest.length <= 1 =>
+      val groupCol = rest.headOption.getOrElse("language")
+      val spark = Sessions.local(sys.env.getOrElse("GRAFT_CORES", "8").toInt, "graft-mv")
+      val t0 = System.nanoTime()
+      graft.stream.Mv.maintainInto(spark, s"$workDir/table", s"$viewDir/view",
+        s"$viewDir/ckpt", groupCol = groupCol)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val v = graft.stream.Mv.read(spark, s"$viewDir/view")
+        .orderBy(col("cnt").desc)
+      println(f"[mv] view $viewDir/view by $groupCol secs=$secs%.1f")
+      v.show(20, truncate = false)
+      spark.stop()
+
     // cursor-based sync with expired-history recovery: incremental drain
     // when the feed window is retained, exact full-sync resync (BY SOURCE
     // delete arm) + cursor re-seed when retention erased it
@@ -252,7 +270,7 @@ object ReplayCli {
 
     case _ =>
       System.err.println(
-        "usage: ReplayCli gen|replay|show|stats|sql|changes|drain|follow|resync|compact|rebucket|vacuum ... (see scaladoc)")
+        "usage: ReplayCli gen|replay|show|stats|sql|changes|drain|follow|mv|resync|compact|rebucket|vacuum ... (see scaladoc)")
       sys.exit(2)
   }
 }

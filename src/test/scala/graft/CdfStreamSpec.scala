@@ -672,4 +672,90 @@ class CdfStreamSpec extends SparkSpec {
     assert(causes(e).exists(c => Option(c.getMessage).exists(_.contains("graft-cdf"))),
       s"want a graft-cdf usage error, got: ${e.getMessage}")
   }
+
+  for (mode <- Seq(LakeTable.Cow, LakeTable.Mor))
+  test(s"update preimages: reader ≡ changesBetween(updatePreimages) and retractions balance (property, $mode)") {
+    val base = tmpDir(s"cdf-pre-$mode")
+    val primary = LakeTable(s"$base/t", 4, mode)
+    val rnd = new scala.util.Random(7)
+    var seq = 0L
+    var batch = 0L
+    // random upserts/deletes where updates MOVE GROUPS (language changes):
+    // exactly the transitions after-image-only feeds cannot restate
+    val langs = Array("scala", "java", "rust")
+    (1 to 8).foreach { _ =>
+      val keys = rnd.shuffle((0 until 12).toList).take(1 + rnd.nextInt(6))
+      val rows = keys.map { k =>
+        seq += 1
+        val del = rnd.nextInt(4) == 0
+        (s"r${k % 3}", s"p$k", if (del) "D" else "U", seq, s"c$seq",
+          langs(rnd.nextInt(langs.length)),
+          if (del) null else s"v$seq", if (del) Option.empty[Long] else Option(seq))
+      }
+      primary.merge(spark, rows.toDF(cols: _*), batch); batch += 1
+      if (batch % 3 == 0) primary.compact(spark)
+    }
+    val head = primary.headVersion()
+
+    type Row8 = (String, String, String, String, String, String, Option[Long], Long)
+    def viaReader(s: graft.stream.CdfMicroBatchStream)(from: Int, to: Int): Seq[Row8] = {
+      val factory = s.createReaderFactory()
+      s.planInputPartitions(graft.stream.CdfOffset(from), graft.stream.CdfOffset(to))
+        .toSeq.flatMap { p =>
+          val r = factory.createReader(p)
+          val buf = scala.collection.mutable.ArrayBuffer[Row8]()
+          while (r.next()) {
+            val row = r.get()
+            def f(i: Int) = Option(row.getUTF8String(i)).map(_.toString).orNull
+            buf += ((f(0), f(1), f(2), f(3), f(4), f(5),
+              if (row.isNullAt(6)) None else Some(row.getLong(6)), row.getLong(7)))
+          }
+          r.close(); buf
+        }
+    }
+    val pre = new graft.stream.CdfMicroBatchStream(s"$base/t", 0, 0,
+      updatePreimages = true)
+    val preSliced = new graft.stream.CdfMicroBatchStream(s"$base/t", 0, 0,
+      maxStateRows = 2L, updatePreimages = true)
+    val plain = new graft.stream.CdfMicroBatchStream(s"$base/t", 0, 0)
+
+    def viaDataset(from: Int, to: Int): Set[Row8] =
+      primary.changesBetween(spark, from, to, updatePreimages = true)
+        .select("op", "repo", "path", "commit", "language", "content", "size_bytes", "seq")
+        .as[(String, String, String, String, String, String, Option[Long], Long)]
+        .collect().toSet
+
+    (1 to 8).foreach { _ =>
+      val from = rnd.nextInt(head)
+      val to = from + 1 + rnd.nextInt(head - from)
+      val want = viaDataset(from, to)
+      val got = viaReader(pre)(from, to)
+      assert(got.toSet === want,
+        s"window [$from, $to]: preimage reader diverged from changesBetween")
+      assert(viaReader(preSliced)(from, to).toSet === want,
+        s"window [$from, $to]: preimage reader diverged under slicing")
+      // schema-level invariants of the retraction alphabet:
+      assert(!got.exists(_._1 == "U"), "plain U must not appear with preimages on")
+      val byKey = got.groupBy(r => (r._2, r._3))
+      byKey.foreach { case (k, rs) =>
+        assert(rs.count(_._1 == "U-") === rs.count(_._1 == "U+"),
+          s"key $k: U-/U+ must pair within a window")
+      }
+      // collapsing the pair (drop U-, relabel U+→U) recovers the plain feed
+      val collapsed = got.filter(_._1 != "U-")
+        .map(r => if (r._1 == "U+") r.copy(_1 = "U") else r).toSet
+      val plainFeed = viaReader(plain)(from, to).toSet
+      assert(collapsed === plainFeed,
+        s"window [$from, $to]: U-/U+ must collapse to the plain feed")
+      // the U- row is the window's OLD image: for every retraction there
+      // is a live row in the FROM snapshot with exactly that (key, seq)
+      val fromState = primary.readAt(spark, from)
+        .select("repo", "path", "seq")
+        .as[(String, String, Long)].collect().toSet
+      got.filter(_._1 == "U-").foreach { r =>
+        assert(fromState.contains((r._2, r._3, r._8)),
+          s"U- image ${(r._2, r._3, r._8)} must be live in v$from")
+      }
+    }
+  }
 }

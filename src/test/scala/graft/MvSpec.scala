@@ -1,0 +1,126 @@
+package graft
+
+import graft.lake.LakeTable
+import graft.stream.Mv
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained materialized aggregate ([[Mv]]): the view must
+  * equal a full recompute from the primary's live state after every
+  * maintenance cycle — including GROUP-MOVING updates (the case an
+  * after-image-only feed cannot maintain) — and replays must be no-ops.
+  */
+class MvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cols = Seq("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes")
+
+  /** Ground truth: the same (group, cnt, bytes) shape recomputed from the
+    * primary's full live state.
+    */
+  private def recompute(t: LakeTable, groupCol: String): Set[(String, Long, Long)] =
+    t.read(spark).groupBy(col(groupCol))
+      .agg(count(lit(1)).as("cnt"),
+        sum(coalesce(col("size_bytes"), lit(0L))).as("bytes"))
+      .as[(String, Long, Long)].collect().toSet
+
+  private def view(viewDir: String): Set[(String, Long, Long)] =
+    Mv.read(spark, viewDir).select("language", "cnt", "bytes")
+      .as[(String, Long, Long)].collect().toSet
+
+  for (mode <- Seq(LakeTable.Cow, LakeTable.Mor))
+  test(s"view == recompute across insert/update/move/delete cycles, resumable ($mode)") {
+    val base = tmpDir(s"mv-$mode")
+    val primary = LakeTable(s"$base/t", 4, mode)
+    val viewDir = s"$base/view"
+    val ckpt = s"$base/ckpt"
+    var batch = 0L
+    def mergeP(rows: (String, String, String, Long, String, String, String, Option[Long])*): Unit = {
+      primary.merge(spark, rows.toSeq.toDF(cols: _*), batch); batch += 1
+    }
+    def mk(r: String, p: String, s: Long, lang: String, size: Long, op: String = "U") =
+      (r, p, op, s, s"c$s", lang, if (op == "D") null else s"v$s", if (op == "D") Option.empty[Long] else Option(size))
+
+    // cycle 1: bootstrap (first batch = full state as I rows)
+    mergeP(mk("r1", "a", 1, "scala", 10), mk("r1", "b", 2, "scala", 20),
+      mk("r2", "c", 3, "java", 30))
+    Mv.maintainInto(spark, s"$base/t", viewDir, ckpt, groupCol = "language")
+    assert(view(viewDir) === recompute(primary, "language"), "bootstrap")
+    assert(view(viewDir) === Set(("scala", 2L, 30L), ("java", 1L, 30L)))
+
+    // cycle 2: a GROUP-MOVING update (scala→java), a delete, an insert, and
+    // a compaction inside the window — resumed from the same checkpoint
+    mergeP(mk("r1", "a", 10, "java", 11)) // moves groups AND changes size
+    primary.compact(spark)
+    mergeP(mk("r2", "c", 11, "java", 30, "D"), mk("r3", "d", 12, "rust", 5))
+    Mv.maintainInto(spark, s"$base/t", viewDir, ckpt, groupCol = "language")
+    assert(view(viewDir) === recompute(primary, "language"), "after move+delete")
+    assert(view(viewDir) === Set(("scala", 1L, 20L), ("java", 1L, 11L), ("rust", 1L, 5L)),
+      "the moved row must retract from scala and apply to java")
+
+    // cycle 3: empty a group entirely — it must LEAVE the view
+    mergeP(mk("r3", "d", 20, "rust", 5, "D"))
+    Mv.maintainInto(spark, s"$base/t", viewDir, ckpt, groupCol = "language")
+    assert(view(viewDir) === recompute(primary, "language"))
+    assert(!view(viewDir).exists(_._1 == "rust"), "emptied group must vanish")
+
+    // caught-up drain: view version pointer must not advance
+    val before = Mv.read(spark, viewDir).collect().toSet
+    Mv.maintainInto(spark, s"$base/t", viewDir, ckpt)
+    assert(Mv.read(spark, viewDir).collect().toSet === before, "drained no-op")
+  }
+
+  test("replayed batch is a no-op (pointer fence) and plain-U feeds fail loudly") {
+    val base = tmpDir("mv-fence")
+    val primary = LakeTable(s"$base/t", 4)
+    val viewDir = s"$base/view"
+    primary.merge(spark,
+      Seq(("r1", "a", "U", 1L, "c1", "scala", "v1", Option(10L))).toDF(cols: _*), 0L)
+    val feed = primary.changesBetween(spark, 0, primary.headVersion(),
+      updatePreimages = true)
+    Mv.applyDeltas(viewDir, "language", feed, batchId = 0L)
+    val v0 = Mv.read(spark, viewDir).collect().toSet
+    // same batchId re-delivered (foreachBatch crash-replay): no-op even if
+    // the replayed feed were garbage — the fence short-circuits first
+    Mv.applyDeltas(viewDir, "language", feed.limit(0), batchId = 0L)
+    assert(Mv.read(spark, viewDir).collect().toSet === v0, "replay must no-op")
+
+    // a feed WITHOUT preimages carries plain U rows on an update — the
+    // maintainer must refuse rather than silently drift
+    primary.merge(spark,
+      Seq(("r1", "a", "U", 2L, "c2", "java", "v2", Option(10L))).toDF(cols: _*), 1L)
+    val plain = primary.changesBetween(spark, 1, primary.headVersion())
+    val e = intercept[IllegalStateException] {
+      Mv.applyDeltas(viewDir, "language", plain, batchId = 1L)
+    }
+    assert(e.getMessage.contains("updatePreimages"))
+    // and the preimage feed for the same window applies exactly
+    val pre = primary.changesBetween(spark, 1, primary.headVersion(),
+      updatePreimages = true)
+    Mv.applyDeltas(viewDir, "language", pre, batchId = 1L)
+    assert(Mv.read(spark, viewDir).select("language", "cnt", "bytes")
+      .as[(String, Long, Long)].collect().toSet === Set(("java", 1L, 10L)))
+  }
+
+  test("continuous maintenance converges while the primary keeps committing") {
+    val base = tmpDir("mv-cont")
+    val primary = LakeTable(s"$base/t", 4)
+    val viewDir = s"$base/view"
+    def rows(lang: String, n: Int, seq0: Long) = (0 until n).map(i =>
+      ("r1", s"p${seq0 + i}", "U", seq0 + i, s"c${seq0 + i}", lang, "x", Option(1L)))
+    primary.merge(spark, rows("scala", 5, 1).toDF(cols: _*), 0L)
+    val q = Mv.maintainContinuously(spark, s"$base/t", viewDir, s"$base/ckpt",
+      intervalMs = 100L)
+    try {
+      primary.merge(spark, rows("java", 3, 100).toDF(cols: _*), 1L)
+      primary.merge(spark, rows("scala", 2, 200).toDF(cols: _*), 2L)
+      val want = recompute(primary, "language")
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var ok = false
+      while (!ok && System.nanoTime() < deadline) {
+        ok = try view(viewDir) == want catch { case _: IllegalStateException => false }
+        if (!ok) Thread.sleep(100)
+      }
+      assert(ok, s"view must converge to $want")
+    } finally q.stop()
+  }
+}
