@@ -524,19 +524,27 @@ object GraftChangesTvf {
 
   val info = new ExpressionInfo(
     GraftChangesTvf.getClass.getCanonicalName, null, "graft_changes",
-    "graft_changes(root, fromVersion, toVersion) - change-data-feed rows " +
-      "(op I/U/D + key + payload) of the graft lake table at `root` between " +
-      "two snapshot versions", "", "", "", "", "", "", "built-in")
+    "graft_changes(root, fromVersion, toVersion[, updatePreimages]) - " +
+      "change-data-feed rows (op I/U/D + key + payload) of the graft lake " +
+      "table at `root` between two snapshot versions; updatePreimages=true " +
+      "replaces each U with the U-/U+ retraction pair", "", "", "", "", "",
+    "", "built-in")
 
   def build(args: Seq[Expression]): LogicalPlan = args match {
-    case Seq(root, f, t) if GraftTvf.strLit(root).isDefined =>
+    case Seq(root, f, t, rest @ _*)
+        if rest.length <= 1 && GraftTvf.strLit(root).isDefined =>
+      val pre = rest.headOption.map {
+        case Literal(b: Boolean, org.apache.spark.sql.types.BooleanType) => b
+        case _ => fail("updatePreimages must be a boolean literal")
+      }.getOrElse(false)
       (GraftTvf.intLit(f), GraftTvf.intLit(t)) match {
         case (Some(from), Some(to)) =>
           GraftTvf.analyzed(LakeTable.open(GraftTvf.strLit(root).get)
-            .changesBetween(GraftTvf.session, from, to))
+            .changesBetween(GraftTvf.session, from, to, updatePreimages = pre))
         case _ => fail("fromVersion/toVersion must be integer literals")
       }
-    case _ => fail("usage: graft_changes('<table root>', <fromVersion>, <toVersion>)")
+    case _ => fail(
+      "usage: graft_changes('<table root>', <fromVersion>, <toVersion>[, <updatePreimages>])")
   }
 
   private def fail(msg: String): Nothing =

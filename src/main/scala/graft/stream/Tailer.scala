@@ -424,6 +424,11 @@ object Tailer {
     spark.readStream.format("graft-cdf")
       .option("path", primaryRoot)
       .options(sourceOptions)
+      // after the caller's options: replication applies WHOLE rows by key
+      // (LWW), so the sink asserts one source row per key — a preimage
+      // feed's U-/U+ pair would break that, and the U- leg could regress
+      // an equal-seq mirror. Aggregate consumers use Mv, which forces it ON.
+      .option("updatePreimages", "false")
       .load()
       .writeStream
       .option("checkpointLocation", checkpointDir)

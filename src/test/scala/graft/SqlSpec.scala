@@ -732,6 +732,28 @@ class SqlSpec extends SparkSpec {
     val e = intercept[Exception](spark.sql(s"SELECT * FROM graft_changes('$base/t', 3, 1)"))
     assert(e.getMessage.contains("fromVersion") || e.getMessage.contains("must be <"),
       e.getMessage)
+
+    // 4th arg: update preimages from SQL ≡ the Dataset flag — an update
+    // appears as the U-/U+ retraction pair, directly aggregatable
+    put(4, "p2")
+    val preSql = spark.sql(
+      s"""SELECT op, path, seq FROM graft_changes('$base/t', 3, 4, true)
+         |ORDER BY op""".stripMargin)
+      .as[(String, String, Long)].collect().toSeq
+    val preDs = table.changesBetween(spark, 3, 4, updatePreimages = true)
+      .select("op", "path", "seq").orderBy("op")
+      .as[(String, String, Long)].collect().toSeq
+    assert(preSql === preDs)
+    assert(preSql === Seq(("U+", "p2", 4L), ("U-", "p2", 2L)))
+    // retraction algebra straight from SQL: net live-row delta of the window
+    val net = spark.sql(
+      s"""SELECT sum(CASE WHEN op IN ('I','U+') THEN 1 ELSE -1 END)
+         |FROM graft_changes('$base/t', 3, 4, true)""".stripMargin)
+      .as[Long].head()
+    assert(net === 0L) // an update changes no live-row count
+    val e2 = intercept[Exception](
+      spark.sql(s"SELECT * FROM graft_changes('$base/t', 3, 4, 'yes')"))
+    assert(e2.getMessage.contains("boolean"), e2.getMessage)
   }
 
   test("graft_history / graft_files metadata TVFs mirror the table state") {
