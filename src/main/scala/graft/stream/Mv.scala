@@ -90,7 +90,8 @@ object Mv {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((feed: DataFrame, batchId: Long) =>
-        applyDeltas(viewDir, groupCol, feed, batchId, retain))
+        applyDeltas(viewDir, groupCol, feed, batchId, retain,
+          consumerTag = Some(checkpointDir)))
       .trigger(trigger)
       .start()
 
@@ -109,12 +110,22 @@ object Mv {
     * previous view version, write v<batchId>, advance the pointer. Public
     * so a non-streaming consumer (e.g. [[LakeTable.drainChanges]] windows)
     * can drive the same fold.
+    *
+    * `consumerTag` pins the view to ONE offset ledger: batchIds are only
+    * comparable within a single checkpoint, so re-pointing an existing
+    * view at a FRESH checkpoint would restart them at 0 — the pointer
+    * fence would silently no-op the new bootstrap batch and every apply
+    * after that could drift. The tag (the checkpoint path, for the
+    * streaming path) is recorded on first apply and must match forever
+    * after; mismatches fail loudly with recovery guidance.
     */
   def applyDeltas(viewDir: String, groupCol: String, feed: DataFrame,
-                  batchId: Long, retain: Int = 2): Unit = {
+                  batchId: Long, retain: Int = 2,
+                  consumerTag: Option[String] = None): Unit = {
     val spark = feed.sparkSession
     val dir = Paths.get(viewDir)
     Files.createDirectories(dir)
+    consumerTag.foreach(checkConsumer(dir, _))
     val prev = pointer(dir)
     // replay of an already-applied batch (crash after pointer advance, or
     // a foreachBatch re-delivery): the pointer is the fence — no-op
@@ -164,6 +175,31 @@ object Mv {
       advancePointer(dir, batchId)
       gc(dir, batchId, retain)
     } finally deltas.unpersist()
+  }
+
+  /** First apply records the consumer (checkpoint) identity; later applies
+    * must present the same one. Written BEFORE the first pointer advance —
+    * a crash between the two leaves a tagged, pointerless view that the
+    * same checkpoint simply bootstraps again.
+    */
+  private def checkConsumer(dir: Path, tag: String): Unit = {
+    val f = dir.resolve("_consumer")
+    if (!Files.exists(f)) {
+      val tmp = dir.resolve(s"_consumer.tmp.${ProcessHandle.current().pid()}")
+      Files.writeString(tmp, tag)
+      try Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp) // lost a benign race; fall through to compare
+      }
+    }
+    val have = Files.readString(f).trim
+    if (have != tag)
+      throw new IllegalStateException(
+        s"mv: view $dir is maintained from checkpoint '$have' but this query " +
+          s"uses '$tag' — batchIds across checkpoints are not comparable, so " +
+          "continuing would silently corrupt the view. Either resume with the " +
+          "original checkpoint, or delete the view directory to rebuild it " +
+          "from the new checkpoint's bootstrap batch.")
   }
 
   private def pointer(dir: Path): Option[Long] = {

@@ -101,6 +101,30 @@ class MvSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSet === Set(("java", 1L, 10L)))
   }
 
+  test("a fresh checkpoint cannot silently re-point an existing view (consumer tag)") {
+    val base = tmpDir("mv-tag")
+    val primary = LakeTable(s"$base/t", 4)
+    primary.merge(spark,
+      Seq(("r1", "a", "U", 1L, "c1", "scala", "v1", Option(10L))).toDF(cols: _*), 0L)
+    Mv.maintainInto(spark, s"$base/t", s"$base/view", s"$base/ckptA")
+    assert(view(s"$base/view") === Set(("scala", 1L, 10L)))
+    // a NEW checkpoint restarts batchIds at 0 — without the tag the pointer
+    // fence would no-op the bootstrap and the view could then drift; with
+    // it the mismatch is loud
+    primary.merge(spark,
+      Seq(("r2", "b", "U", 2L, "c2", "java", "v2", Option(5L))).toDF(cols: _*), 1L)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Mv.maintainInto(spark, s"$base/t", s"$base/view", s"$base/ckptB")
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => Option(c.getMessage).exists(_.contains("checkpoint"))),
+      s"want the consumer-tag error, got: ${e.getMessage}")
+    // the original checkpoint still converges
+    Mv.maintainInto(spark, s"$base/t", s"$base/view", s"$base/ckptA")
+    assert(view(s"$base/view") === recompute(primary, "language"))
+  }
+
   test("continuous maintenance converges while the primary keeps committing") {
     val base = tmpDir("mv-cont")
     val primary = LakeTable(s"$base/t", 4)
