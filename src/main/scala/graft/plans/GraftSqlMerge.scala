@@ -705,6 +705,21 @@ object GraftMetaTvf {
     val dir = rootArg(args, "graft_lineage")
     GraftTvf.analyzed(graft.stream.Tailer.readLineage(GraftTvf.session, dir))
   }
+
+  val mvIdent: FunctionIdentifier = FunctionIdentifier("graft_mv")
+  val mvInfo = new ExpressionInfo(GraftMetaTvf.getClass.getCanonicalName,
+    null, "graft_mv", "graft_mv(viewDir) - the incrementally-maintained " +
+      "materialized aggregate at `viewDir` as of its last applied batch " +
+      "((group, cnt, bytes) rows; see Mv.maintainInto / ReplayCli mv)",
+    "", "", "", "", "", "", "built-in")
+
+  /** [[graft.stream.Mv.read]] as a TVF — reads the PINNED version behind
+    * the view's pointer, never a half-written one.
+    */
+  def buildMv(args: Seq[Expression]): LogicalPlan = {
+    val dir = rootArg(args, "graft_mv")
+    GraftTvf.analyzed(graft.stream.Mv.read(GraftTvf.session, dir))
+  }
 }
 
 /** Table-maintenance procedures as TVFs (Iceberg's
@@ -945,6 +960,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftMetaTvf.buildFiles _))
     ext.injectTableFunction((GraftMetaTvf.lineageIdent, GraftMetaTvf.lineageInfo,
       GraftMetaTvf.buildLineage _))
+    ext.injectTableFunction((GraftMetaTvf.mvIdent, GraftMetaTvf.mvInfo,
+      GraftMetaTvf.buildMv _))
     ext.injectTableFunction((GraftMaintTvf.compactIdent, GraftMaintTvf.compactInfo,
       GraftMaintTvf.buildCompact _))
     ext.injectTableFunction((GraftMaintTvf.expireIdent, GraftMaintTvf.expireInfo,

@@ -756,6 +756,28 @@ class SqlSpec extends SparkSpec {
     assert(e2.getMessage.contains("boolean"), e2.getMessage)
   }
 
+  test("graft_mv TVF reads the maintained aggregate view (and composes with SQL)") {
+    val base = tmpDir("sqlmv")
+    val table = lake.LakeTable(s"$base/t", 4)
+    table.merge(spark, Seq(
+        ("r1", "a", "U", 1L, "c1", "scala", "v1", Option(10L)),
+        ("r1", "b", "U", 2L, "c2", "java", "v2", Option(20L)))
+      .toDF("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes"), 0L)
+    stream.Mv.maintainInto(spark, s"$base/t", s"$base/view", s"$base/ckpt")
+    val got = spark.sql(
+      s"SELECT language, cnt, bytes FROM graft_mv('$base/view') ORDER BY language")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("java", 1L, 20L), ("scala", 1L, 10L)))
+    // composes like any relation
+    val total = spark.sql(
+      s"SELECT sum(cnt) FROM graft_mv('$base/view')").as[Long].head()
+    assert(total === 2L)
+    // loud error before any batch has been applied
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM graft_mv('$base/empty')").collect())
+    assert(e.getMessage.contains("maintainInto"), e.getMessage)
+  }
+
   test("graft_history / graft_files metadata TVFs mirror the table state") {
     val base = tmpDir("sqlmeta")
     val table = lake.LakeTable(s"$base/t", 4)
