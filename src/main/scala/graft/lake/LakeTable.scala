@@ -669,7 +669,8 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     * expireSnapshots ran — [[changesBetween]] fails with bootstrap
     * guidance rather than silently skipping history.
     */
-  def drainChanges(spark: SparkSession, cursorFile: Path): Option[ChangeWindow] = {
+  def drainChanges(spark: SparkSession, cursorFile: Path,
+                   updatePreimages: Boolean = false): Option[ChangeWindow] = {
     val from =
       if (!Files.exists(cursorFile)) 0
       else Files.readString(cursorFile).trim.toIntOption.getOrElse(
@@ -681,7 +682,8 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     // snapshot-JSON IO (same contract as the streaming source's tick)
     val to = headVersion()
     if (to <= from) None
-    else Some(ChangeWindow(from, to, changesBetween(spark, from, to),
+    else Some(ChangeWindow(from, to,
+      changesBetween(spark, from, to, updatePreimages),
       () => LakeTable.writeCursor(cursorFile, to)))
   }
 

@@ -95,6 +95,47 @@ object Mv {
       .trigger(trigger)
       .start()
 
+  /** Non-streaming maintenance: one [[graft.lake.LakeTable.drainChanges]]
+    * window (read with preimages) folded into the view, cursor committed
+    * AFTER the fold is durable. batchId = the window's toVersion — snapshot
+    * versions are monotone, so the pointer fence gives the same replay
+    * algebra as the streaming path without a Structured Streaming query
+    * (the fit for cron-style batch refresh). Returns true if a window was
+    * applied, false if already caught up. The consumer tag is the cursor
+    * file — a view is pinned to ONE cursor exactly as the streaming view
+    * is pinned to one checkpoint.
+    */
+  def maintainViaCursor(spark: SparkSession, primaryRoot: String,
+                        cursorFile: Path, viewDir: String,
+                        groupCol: String = "language",
+                        retain: Int = 2): Boolean = {
+    val table = graft.lake.LakeTable.open(primaryRoot)
+    // Heal a crash between applyDeltas and cursor commit FIRST. Unlike the
+    // streaming path (whose offset log re-delivers the IDENTICAL window),
+    // re-draining from a stale cursor widens the window to the new head —
+    // [from, newTo] overlaps the already-applied [from, oldTo] and the
+    // fence (which only stops batchId <= pointer) would double-apply the
+    // overlap. The view pointer is durable proof of application through
+    // that version, so advance the cursor to it before draining — but only
+    // after the consumer tag confirms this cursor owns this view.
+    val dir = Paths.get(viewDir)
+    pointer(dir).foreach { applied =>
+      checkConsumer(dir, cursorFile.toString)
+      val cur = if (Files.exists(cursorFile))
+        Files.readString(cursorFile).trim.toLong else 0L
+      if (applied > cur)
+        graft.lake.LakeTable.writeCursor(cursorFile, applied.toInt)
+    }
+    table.drainChanges(spark, cursorFile, updatePreimages = true) match {
+      case None => false
+      case Some(w) =>
+        applyDeltas(viewDir, groupCol, w.feed, batchId = w.toVersion.toLong,
+          retain, consumerTag = Some(cursorFile.toString))
+        w.commit() // crash before this re-delivers the window; fence no-ops
+        true
+    }
+  }
+
   /** The maintained view as of its last applied batch:
     * (<groupCol>, cnt, bytes). Fails with bootstrap guidance if no batch
     * has ever been applied.

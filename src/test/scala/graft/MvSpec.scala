@@ -125,6 +125,45 @@ class MvSpec extends SparkSpec {
     assert(view(s"$base/view") === recompute(primary, "language"))
   }
 
+  test("cursor-driven maintenance (no streaming query) converges and absorbs crash-replays") {
+    val base = tmpDir("mv-cursor")
+    val primary = LakeTable(s"$base/t", 4)
+    val cursor = java.nio.file.Paths.get(s"$base/cursor")
+    val viewDir = s"$base/view"
+    def mk(r: String, p: String, s: Long, lang: String, op: String = "U") =
+      (r, p, op, s, s"c$s", lang, if (op == "D") null else s"v$s",
+        if (op == "D") Option.empty[Long] else Option(s))
+    primary.merge(spark, Seq(mk("r1", "a", 1, "scala"), mk("r2", "b", 2, "java")).toDF(cols: _*), 0L)
+    assert(Mv.maintainViaCursor(spark, s"$base/t", cursor, viewDir))
+    assert(view(viewDir) === recompute(primary, "language"), "bootstrap window")
+    assert(!Mv.maintainViaCursor(spark, s"$base/t", cursor, viewDir), "caught up")
+
+    // crash between applyDeltas and cursor commit: simulate by re-draining
+    // the SAME window manually — the pointer fence must no-op it
+    primary.merge(spark, Seq(mk("r1", "a", 10, "java"), mk("r3", "c", 11, "rust")).toDF(cols: _*), 1L)
+    val w = primary.drainChanges(spark, cursor, updatePreimages = true).get
+    Mv.applyDeltas(viewDir, "language", w.feed, batchId = w.toVersion.toLong,
+      consumerTag = Some(cursor.toString))
+    // no w.commit() — the crash. A NEW commit lands BEFORE the retry, so a
+    // naive re-drain from the stale cursor would widen the window to
+    // [from, newHead] and double-apply the already-folded overlap; the
+    // pointer-heal must seed the retry at the applied version instead
+    primary.merge(spark, Seq(mk("r2", "b", 20, "java", "D")).toDF(cols: _*), 2L)
+    assert(Mv.maintainViaCursor(spark, s"$base/t", cursor, viewDir),
+      "retry after crash still advances")
+    assert(view(viewDir) === recompute(primary, "language"),
+      "crash + concurrent commit must not double-apply the overlap")
+
+    // and the cursor view rejects a different cursor (same foot-gun as a
+    // fresh checkpoint)
+    val e = intercept[IllegalStateException] {
+      Mv.maintainViaCursor(spark, s"$base/t",
+        java.nio.file.Paths.get(s"$base/cursor2"), viewDir)
+    }
+    assert(e.getMessage.contains("checkpoint") || e.getMessage.contains("cursor"),
+      e.getMessage)
+  }
+
   test("continuous maintenance converges while the primary keeps committing") {
     val base = tmpDir("mv-cont")
     val primary = LakeTable(s"$base/t", 4)
