@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   * ReplayCli changes <workDir> <fromVersion> <toVersion>
   * ReplayCli drain   <workDir>
   * ReplayCli follow  <workDir> <derivedDir> [maxVersionsPerBatch] [maxStateRowsPerPartition]
-  * ReplayCli mv      <workDir> <viewDir> [groupCol]
+  * ReplayCli mv      <workDir> <viewDir> [groupCol] [maxVersionsPerBatch]
   * ReplayCli resync  <workDir> <derivedDir>
   * ReplayCli compact <workDir> [gc] [targetFileRows]
   * ReplayCli rebucket <workDir> <newBuckets> [targetFileRows]
@@ -156,12 +156,17 @@ object ReplayCli {
     // changes (read with update preimages) into a (group, cnt, bytes)
     // view and print it — re-run after more commits to see it converge
     // without rescanning the table
-    case "mv" :: workDir :: viewDir :: rest if rest.length <= 1 =>
+    case "mv" :: workDir :: viewDir :: rest if rest.length <= 2 =>
       val groupCol = rest.headOption.getOrElse("language")
+      // optional: [maxVersionsPerBatch] — same bounded-catch-up knob as
+      // `follow`, so a long-idle view drains the backlog as many
+      // checkpointed batches instead of one giant window
+      val opts = Map(
+        "maxVersionsPerBatch" -> rest.drop(1).headOption.getOrElse("0"))
       val spark = Sessions.local(sys.env.getOrElse("GRAFT_CORES", "8").toInt, "graft-mv")
       val t0 = System.nanoTime()
       graft.stream.Mv.maintainInto(spark, s"$workDir/table", s"$viewDir/view",
-        s"$viewDir/ckpt", groupCol = groupCol)
+        s"$viewDir/ckpt", groupCol = groupCol, sourceOptions = opts)
       val secs = (System.nanoTime() - t0) / 1e9
       val v = graft.stream.Mv.read(spark, s"$viewDir/view")
         .orderBy(col("cnt").desc)
