@@ -665,9 +665,12 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     * upserts/deletes by key re-apply harmlessly). A missing cursor file
     * starts from version 0 (full history as one feed). Crash between
     * callback and commit ⇒ the same window is re-delivered, never skipped.
-    * If the cursor (or v0) predates the oldest RETAINED snapshot —
-    * expireSnapshots ran — [[changesBetween]] fails with bootstrap
-    * guidance rather than silently skipping history.
+    * A FRESH consumer (no cursor file) bootstraps even after
+    * expireSnapshots erased v0: its window needs no history — v0 is the
+    * empty initial snapshot, so the bootstrap feed is exactly the live
+    * state at head as I rows, emitted directly. A NON-fresh cursor that
+    * predates the oldest retained snapshot fails with bootstrap guidance
+    * ([[changesBetween]]) rather than silently skipping history.
     */
   def drainChanges(spark: SparkSession, cursorFile: Path,
                    updatePreimages: Boolean = false): Option[ChangeWindow] = {
@@ -682,6 +685,19 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     // snapshot-JSON IO (same contract as the streaming source's tick)
     val to = headVersion()
     if (to <= from) None
+    else if (from == 0 && !Files.exists(metaDir.resolve("v0.json"))) {
+      // fresh consumer, but v0 was expired: the bootstrap window needs no
+      // history — v0 is the empty initial snapshot, so changesBetween(0,
+      // to) is BY CONSTRUCTION the live state at v<to> as I rows (the
+      // before side is empty). Emit exactly that, read AT v<to> (not
+      // head(), which a racing commit could advance past the cursor).
+      val sTo = snapshotAt(to)
+      val live = liveRows(readFiles(spark, filesOf(sTo)), sTo.mode)
+      Some(ChangeWindow(0, to,
+        live.select(Seq(lit("I").as("op"), col("repo"), col("path")) ++
+          payloadCols.map(col): _*),
+        () => LakeTable.writeCursor(cursorFile, to)))
+    }
     else Some(ChangeWindow(from, to,
       changesBetween(spark, from, to, updatePreimages),
       () => LakeTable.writeCursor(cursorFile, to)))

@@ -69,7 +69,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * composes as with the WAL tailer: replayable version-window batches + an
   * idempotent sink ([[Tailer.applyChanges]], fenced by batchId) make
   * replays no-ops. Version retention is the table's own concern
-  * (expireSnapshots); the source never deletes history.
+  * (expireSnapshots); the source never deletes history. The bootstrap
+  * batch survives retention: a FRESH checkpoint plans [0, head] with an
+  * empty before side even after v0 was expired (v0 is the empty initial
+  * snapshot, so that window IS the live state as I rows — no history
+  * required); only a NON-fresh checkpoint that predates the oldest
+  * retained snapshot fails, with bootstrap guidance.
   */
 object CdfFeed {
   /** One change row: op ∈ I/U/D + the table columns (I/U = after-image,
@@ -302,6 +307,35 @@ final class CdfMicroBatchStream(root: String, startVersion: Int,
     val from = ver(start) // checkpoint offset wins over startVersion (see latestOffset)
     val to = ver(end)
     if (to <= from) return Array.empty
+    def files(s: LakeTable.Snapshot, b: Int): Array[String] =
+      table.filesOf(s, b).map(f => s"$root/${f.path}").toArray
+    // reader-memory bound: a bucket whose endpoint state exceeds
+    // maxStateRows rows OR maxStateBytes manifest-recorded bytes (both
+    // known from the manifests' denormalized counts — no data IO at plan
+    // time) becomes k hash-of-key slice partitions. afterUnique = the
+    // after snapshot is COW (file set unique-per-key: every commit
+    // rewrites its buckets whole), so the reader streams the after side
+    // in ONE pass with no winner-locator; MOR needs the locator prepass.
+    def sliced(bucket: Int, before: Array[String], after: Array[String],
+               rows: Long, bytes: Long, afterUnique: Boolean): Seq[InputPartition] = {
+      val kRows = (rows + maxStateRows - 1) / maxStateRows
+      val kBytes = (bytes + maxStateBytes - 1) / maxStateBytes
+      val k = math.max(1L, math.max(kRows, kBytes)).toInt
+      (0 until k).map(i => CdfInputPartition(bucket, before, after, i, k,
+        afterUnique, updatePreimages))
+    }
+    // fresh consumer whose v0 was expired: the BOOTSTRAP window needs no
+    // history — v0 is the empty initial snapshot, so [0, to] is by
+    // construction the live state at v<to> as I rows. Plan v<to>'s
+    // buckets with an EMPTY before side (same reader, same slice bounds)
+    // instead of failing; only a RETAINED v<to> can be read exactly.
+    if (from == 0 && !table.snapshotRetained(0) && table.snapshotRetained(to)) {
+      val sTo = table.snapshotAt(to)
+      val afterUnique = sTo.mode == LakeTable.Cow
+      return sTo.manifests.sortBy(_.bucket).flatMap(r =>
+        sliced(r.bucket, Array.empty, files(sTo, r.bucket),
+          r.rowCount, r.sizeBytes, afterUnique)).toArray
+    }
     // existence is checked EXPLICITLY (not via the read throwing): snapshot
     // bodies are cached in the table handle, so a cached endpoint could
     // otherwise outlive retention and mask the curated expired error
@@ -320,24 +354,7 @@ final class CdfMicroBatchStream(root: String, startVersion: Int,
             "is gone; bootstrap the consumer with a full read() and a fresh " +
             "checkpoint seeded at head")
       }
-    def files(s: LakeTable.Snapshot, b: Int): Array[String] =
-      table.filesOf(s, b).map(f => s"$root/${f.path}").toArray
-    // a COW endpoint's file set is unique-per-key (every commit rewrites
-    // its buckets whole), so the after side can stream in ONE pass with
-    // no winner-locator; MOR needs the locator prepass
     val afterUnique = sTo.mode == LakeTable.Cow
-    // reader-memory bound: a bucket whose endpoint state exceeds
-    // maxStateRows rows OR maxStateBytes manifest-recorded bytes (both
-    // known from the manifests' denormalized counts — no data IO at plan
-    // time) becomes k hash-of-key slice partitions
-    def sliced(bucket: Int, before: Array[String], after: Array[String],
-               rows: Long, bytes: Long): Seq[InputPartition] = {
-      val kRows = (rows + maxStateRows - 1) / maxStateRows
-      val kBytes = (bytes + maxStateBytes - 1) / maxStateBytes
-      val k = math.max(1L, math.max(kRows, kBytes)).toInt
-      (0 until k).map(i => CdfInputPartition(bucket, before, after, i, k,
-        afterUnique, updatePreimages))
-    }
     // a rebucket inside the window changes the key→bucket mapping, so
     // per-bucket pairing is unsound — fall back to a whole-state diff
     // (still slice-split under the same memory bounds). Conservative on
@@ -352,7 +369,7 @@ final class CdfMicroBatchStream(root: String, startVersion: Int,
       return sliced(-1, all(sFrom), all(sTo),
         math.max(sFrom.totalRows, sTo.totalRows),
         math.max(sFrom.manifests.map(_.sizeBytes).sum,
-          sTo.manifests.map(_.sizeBytes).sum)).toArray
+          sTo.manifests.map(_.sizeBytes).sum), afterUnique).toArray
     }
     val refsFrom = sFrom.manifests.map(r => r.bucket -> r).toMap
     val refsTo = sTo.manifests.map(r => r.bucket -> r).toMap
@@ -363,7 +380,7 @@ final class CdfMicroBatchStream(root: String, startVersion: Int,
           refsTo.get(b).map(_.rowCount).getOrElse(0L))
         val bytes = math.max(refsFrom.get(b).map(_.sizeBytes).getOrElse(0L),
           refsTo.get(b).map(_.sizeBytes).getOrElse(0L))
-        sliced(b, files(sFrom, b), files(sTo, b), rows, bytes)
+        sliced(b, files(sFrom, b), files(sTo, b), rows, bytes, afterUnique)
       }
   }
 

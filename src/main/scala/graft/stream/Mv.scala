@@ -126,7 +126,26 @@ object Mv {
       if (applied > cur)
         graft.lake.LakeTable.writeCursor(cursorFile, applied.toInt)
     }
-    table.drainChanges(spark, cursorFile, updatePreimages = true) match {
+    val window =
+      try table.drainChanges(spark, cursorFile, updatePreimages = true)
+      catch {
+        // the cursor's window was expired (expireSnapshots outran this
+        // view): changesBetween's generic guidance ("full read + re-seed
+        // the cursor") is WRONG for an aggregate view — a keyed mirror can
+        // absorb a full-state merge, but a delta-folded aggregate cannot
+        // distinguish already-counted rows. The exact rebuild is total:
+        // drop the view and cursor; the next run's v0 window IS the full
+        // live state as I rows, so the bootstrap fold recreates the view.
+        case e: IllegalStateException if e.getMessage != null &&
+            e.getMessage.contains("expired") =>
+          throw new IllegalStateException(
+            s"mv: the view's change window was expired on the primary " +
+              s"(${e.getMessage}). An aggregate view cannot be healed " +
+              s"incrementally across an expired gap — rebuild it: delete " +
+              s"'$viewDir' and '$cursorFile', then re-run; the fresh drain " +
+              "folds the table's full live state as the bootstrap batch.", e)
+      }
+    window match {
       case None => false
       case Some(w) =>
         applyDeltas(viewDir, groupCol, w.feed, batchId = w.toVersion.toLong,

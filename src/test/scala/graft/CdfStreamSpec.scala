@@ -637,6 +637,46 @@ class CdfStreamSpec extends SparkSpec {
     assert(!state(derived).exists(_._1 == "r1"), "the delete inside the window must land")
   }
 
+  for (mode <- Seq(LakeTable.Cow, LakeTable.Mor))
+  test(s"fresh consumers bootstrap after v0 expiry: stream + cursor ($mode)") {
+    val base = tmpDir("cdf-expired-bootstrap")
+    val primary = LakeTable(s"$base/t", 4, mode)
+    def mk(r: String, s: Long, op: String = "U") =
+      (r, "p", op, s, s"c$s", "scala", if (op == "D") null else s"v$s", Option(s))
+    primary.merge(spark, Seq(mk("r1", 1), mk("r2", 2)).toDF(cols: _*), 0L)
+    primary.merge(spark, Seq(mk("r1", 10), mk("r2", 11, "D"), mk("r3", 12)).toDF(cols: _*), 1L)
+    primary.expireSnapshots(keepLast = 1)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/t/meta/v0.json")), "v0 must be expired")
+
+    // a FRESH streaming consumer needs no history: its bootstrap window is
+    // the live state at head as I rows, not a diff against expired v0
+    val derived = LakeTable(s"$base/d", 2, mode)
+    Tailer.followInto(spark, s"$base/t", derived, s"$base/ckpt")
+    assert(state(derived) === state(primary), "fresh stream bootstrap parity")
+
+    // same for a fresh CURSOR consumer (drainChanges from no cursor file)
+    val cursor = java.nio.file.Paths.get(s"$base/cursor")
+    val w = primary.drainChanges(spark, cursor, updatePreimages = true).get
+    val feed = w.feed.select("op", "repo", "seq").as[(String, String, Long)].collect()
+    assert(feed.forall(_._1 == "I"), s"bootstrap feed must be all-I: ${feed.toSeq}")
+    assert(feed.map(r => (r._2, r._3)).toSet === Set(("r1", 10L), ("r3", 12L)),
+      s"bootstrap feed == live state: ${feed.toSeq}")
+    w.commit()
+    // and the cursor resumes incrementally from there
+    primary.merge(spark, Seq(mk("r4", 20)).toDF(cols: _*), 2L)
+    val w2 = primary.drainChanges(spark, cursor).get
+    assert(w2.feed.select("op", "repo").as[(String, String)].collect().toSet ===
+      Set(("I", "r4")), "post-bootstrap incremental window")
+
+    // a NON-fresh cursor that predates retention still fails loudly
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$base/stale"), "1")
+    val e = intercept[IllegalStateException](
+      primary.drainChanges(spark,
+        java.nio.file.Paths.get(s"$base/stale")).foreach(_.feed.count()))
+    assert(e.getMessage.contains("expired"), e.getMessage)
+  }
+
   test("graft-cdf source: startVersion skips history; missing path fails loudly") {
     val base = tmpDir("cdf-opts")
     val primary = LakeTable(s"$base/t", 4)

@@ -164,6 +164,50 @@ class MvSpec extends SparkSpec {
       e.getMessage)
   }
 
+  test("expired window fails with rebuild guidance; following it rebuilds exactly") {
+    val base = tmpDir("mv-expire")
+    val primary = LakeTable(s"$base/t", 4)
+    val cursor = java.nio.file.Paths.get(s"$base/cursor")
+    val viewDir = s"$base/view"
+    def mk(r: String, p: String, s: Long, lang: String, op: String = "U") =
+      (r, p, op, s, s"c$s", lang, if (op == "D") null else s"v$s",
+        if (op == "D") Option.empty[Long] else Option(s))
+    primary.merge(spark, Seq(mk("r1", "a", 1, "scala"), mk("r2", "b", 2, "java")).toDF(cols: _*), 0L)
+    assert(Mv.maintainViaCursor(spark, s"$base/t", cursor, viewDir))
+
+    // the view falls behind by two commits (one a group move, one a
+    // delete), then expireSnapshots erases the cursor's window
+    primary.merge(spark, Seq(mk("r1", "a", 10, "java"), mk("r3", "c", 11, "rust")).toDF(cols: _*), 1L)
+    primary.merge(spark, Seq(mk("r2", "b", 20, "java", "D")).toDF(cols: _*), 2L)
+    primary.expireSnapshots(keepLast = 1)
+
+    val e = intercept[IllegalStateException] {
+      Mv.maintainViaCursor(spark, s"$base/t", cursor, viewDir)
+    }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+    assert(e.getMessage.contains(viewDir) && e.getMessage.contains("cursor"),
+      s"guidance must name what to delete: ${e.getMessage}")
+    // the failed attempt must not have moved anything: cursor and view
+    // pointer are exactly where they were
+    assert(java.nio.file.Files.readString(cursor).trim.toLong === 1L)
+    assert(Mv.read(spark, viewDir).count() > 0)
+
+    // follow the guidance: drop view + cursor; the fresh bootstrap window
+    // (full live state as I rows) rebuilds the aggregate exactly
+    def rm(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    rm(java.nio.file.Paths.get(viewDir)); rm(cursor)
+    assert(Mv.maintainViaCursor(spark, s"$base/t", cursor, viewDir),
+      "rebuild drain applies")
+    assert(view(viewDir) === recompute(primary, "language"),
+      "rebuilt view == full recompute")
+    assert(!Mv.maintainViaCursor(spark, s"$base/t", cursor, viewDir), "caught up")
+  }
+
   test("continuous maintenance converges while the primary keeps committing") {
     val base = tmpDir("mv-cont")
     val primary = LakeTable(s"$base/t", 4)
