@@ -803,6 +803,39 @@ object GraftMaintTvf {
     }
   }
 
+  val mvRefreshIdent: FunctionIdentifier = FunctionIdentifier("graft_mv_refresh")
+  val mvRefreshInfo = new ExpressionInfo(GraftMaintTvf.getClass.getCanonicalName,
+    null, "graft_mv_refresh", "graft_mv_refresh(root, cursorFile, viewDir" +
+      "[, groupCol]) - drain the table's pending changes into the " +
+      "incrementally-maintained (group, cnt, bytes) aggregate view " +
+      "(cursor-committed after the fold is durable); returns whether a " +
+      "window was applied and the view's pointer", "", "", "", "", "", "",
+    "built-in")
+
+  /** [[graft.stream.Mv.maintainViaCursor]] as a TVF — the cron-style MV
+    * refresh from plain SQL, completing the SQL story graft_mv (read)
+    * started. Same eager-at-analysis semantics as the other maintenance
+    * TVFs; idempotent (a caught-up view returns applied=false).
+    */
+  def buildMvRefresh(args: Seq[Expression]): LogicalPlan = {
+    val session = GraftTvf.session
+    import session.implicits._
+    val lits = args.map(GraftTvf.strLit)
+    val (root, cursor, viewDir, groupCol) = lits match {
+      case Seq(Some(r), Some(c), Some(v)) => (r, c, v, "language")
+      case Seq(Some(r), Some(c), Some(v), Some(g)) => (r, c, v, g)
+      case _ => fail("graft_mv_refresh",
+        "usage: graft_mv_refresh('<table root>', '<cursor file>', " +
+          "'<view dir>'[, '<groupCol>'])")
+    }
+    val applied = graft.stream.Mv.maintainViaCursor(session, root,
+      java.nio.file.Paths.get(cursor), viewDir, groupCol)
+    val pointer = java.nio.file.Paths.get(viewDir, "_latest")
+    val v = if (java.nio.file.Files.exists(pointer))
+      java.nio.file.Files.readString(pointer).trim.toLong else -1L
+    GraftTvf.analyzed(Seq((applied, v)).toDF("applied", "view_batch"))
+  }
+
   def buildVacuum(args: Seq[Expression]): LogicalPlan = {
     val session = GraftTvf.session
     import session.implicits._
@@ -968,6 +1001,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftMaintTvf.buildExpire _))
     ext.injectTableFunction((GraftMaintTvf.vacuumIdent, GraftMaintTvf.vacuumInfo,
       GraftMaintTvf.buildVacuum _))
+    ext.injectTableFunction((GraftMaintTvf.mvRefreshIdent, GraftMaintTvf.mvRefreshInfo,
+      GraftMaintTvf.buildMvRefresh _))
     ext.injectTableFunction((GraftChunkTvf.chunksIdent, GraftChunkTvf.chunksInfo,
       GraftChunkTvf.buildChunks _))
     ext.injectTableFunction((GraftChunkTvf.packIdent, GraftChunkTvf.packInfo,

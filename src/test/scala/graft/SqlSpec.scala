@@ -778,6 +778,46 @@ class SqlSpec extends SparkSpec {
     assert(e.getMessage.contains("maintainInto"), e.getMessage)
   }
 
+  test("graft_mv_refresh TVF: SQL-only MV maintenance (cursor-driven)") {
+    val base = tmpDir("sqlmvref")
+    val table = lake.LakeTable(s"$base/t", 4)
+    val cols = Seq("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes")
+    table.merge(spark, Seq(
+        ("r1", "a", "U", 1L, "c1", "scala", "v1", Option(10L)),
+        ("r1", "b", "U", 2L, "c2", "java", "v2", Option(20L))).toDF(cols: _*), 0L)
+
+    // bootstrap window applies
+    val first = spark.sql(s"SELECT * FROM graft_mv_refresh('$base/t', " +
+      s"'$base/cursor', '$base/view')").as[(Boolean, Long)].head()
+    assert(first === ((true, 1L)), s"bootstrap: $first")
+    assert(spark.sql(s"SELECT language, cnt, bytes FROM graft_mv('$base/view') " +
+      "ORDER BY language").as[(String, Long, Long)].collect().toSeq ===
+      Seq(("java", 1L, 20L), ("scala", 1L, 10L)))
+
+    // caught up → applied=false, pointer unchanged
+    val again = spark.sql(s"SELECT * FROM graft_mv_refresh('$base/t', " +
+      s"'$base/cursor', '$base/view')").as[(Boolean, Long)].head()
+    assert(again === ((false, 1L)), s"caught up: $again")
+
+    // a group-moving SQL MERGE, then refresh from SQL: the view follows
+    spark.sql(
+      s"""MERGE INTO graft_lake.`$base/t` AS t
+         |USING (SELECT 'r1' AS repo, 'a' AS path, 5L AS seq, 'java' AS language) AS s
+         |ON t.repo = s.repo AND t.path = s.path
+         |WHEN MATCHED THEN UPDATE SET t.language = s.language, t.seq = s.seq""".stripMargin)
+    val moved = spark.sql(s"SELECT * FROM graft_mv_refresh('$base/t', " +
+      s"'$base/cursor', '$base/view')").as[(Boolean, Long)].head()
+    assert(moved._1, "group move window applies")
+    assert(spark.sql(s"SELECT language, cnt FROM graft_mv('$base/view') " +
+      "ORDER BY language").as[(String, Long)].collect().toSeq ===
+      Seq(("java", 2L)), "scala group emptied, java counts both")
+
+    // usage errors are curated
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM graft_mv_refresh('x')").collect())
+    assert(e.getMessage.contains("usage"), e.getMessage)
+  }
+
   test("graft_history / graft_files metadata TVFs mirror the table state") {
     val base = tmpDir("sqlmeta")
     val table = lake.LakeTable(s"$base/t", 4)
