@@ -152,14 +152,25 @@ object Tailer {
                  cursorFile: java.nio.file.Path): Boolean = {
     val primary = LakeTable.open(primaryRoot)
     def seed(v: Int): Unit = LakeTable.writeCursor(cursorFile, v)
+    // A MISSING cursor on a mirror that already holds state is a lost
+    // cursor, not a fresh consumer: the bootstrap feed (live state as I
+    // rows — whether v0 is retained or expired) carries no deletes, so
+    // keys removed on the primary while the cursor was lost would linger
+    // in the mirror forever. Only the full-sync arm (its anti-join D pass)
+    // can purge them — take it directly.
+    val lostCursor = !java.nio.file.Files.exists(cursorFile) &&
+      derived.head().totalRows > 0
     try {
+      if (lostCursor) throw new IllegalStateException(
+        "resync: cursor file missing but the mirror holds state — " +
+          "incremental history is unanchored (treated as expired)")
       primary.drainChanges(spark, cursorFile).foreach { w =>
         applyChanges(derived, w.feed, batchId = derived.head().lastBatchId + 1)
         w.commit()
       }
       false
     } catch { case e: IllegalStateException if e.getMessage != null &&
-        e.getMessage.contains("expired") =>
+        (e.getMessage.contains("expired") || e.getMessage.contains("unanchored")) =>
       // Full sync as ONE synthetic change-feed batch through the normal
       // sink ([[applyChanges]]), so it works on COW and MOR mirrors alike
       // (the previous SQL-MERGE form required COW). Pinned at headV so the

@@ -637,6 +637,35 @@ class CdfStreamSpec extends SparkSpec {
     assert(!state(derived).exists(_._1 == "r1"), "the delete inside the window must land")
   }
 
+  test("resyncInto treats a LOST cursor on a stateful mirror as expired (purges stale keys)") {
+    val base = tmpDir("cdf-lost-cursor")
+    val primary = LakeTable(s"$base/p", 4)
+    val derived = LakeTable(s"$base/d", 4)
+    val cursor = java.nio.file.Paths.get(base, "cursor")
+    def mk(r: String, s: Long, op: String = "U") =
+      (r, "p", op, s, s"c$s", "scala", if (op == "D") null else s"v$s", Option(s))
+
+    primary.merge(spark, Seq(mk("r1", 1), mk("r2", 2)).toDF(cols: _*), 0L)
+    assert(!Tailer.resyncInto(spark, s"$base/p", derived, cursor))
+    assert(state(derived) === state(primary))
+
+    // the cursor is lost; meanwhile the primary deletes r2 and adds r3.
+    // History stays RETAINED — so the bootstrap window (live state as I
+    // rows) would apply cleanly but could never purge r2 from the mirror;
+    // the lost-cursor guard must take the full-sync arm instead.
+    java.nio.file.Files.delete(cursor)
+    primary.merge(spark, Seq(mk("r2", 10, "D"), mk("r3", 11)).toDF(cols: _*), 1L)
+    assert(Tailer.resyncInto(spark, s"$base/p", derived, cursor),
+      "lost cursor on a stateful mirror must full-sync")
+    assert(state(derived) === state(primary), "post-resync parity")
+    assert(!state(derived).exists(_._1 == "r2"), "stale key must be purged")
+
+    // and the re-seeded cursor resumes incrementally
+    primary.merge(spark, Seq(mk("r4", 20)).toDF(cols: _*), 2L)
+    assert(!Tailer.resyncInto(spark, s"$base/p", derived, cursor))
+    assert(state(derived) === state(primary))
+  }
+
   for (mode <- Seq(LakeTable.Cow, LakeTable.Mor))
   test(s"fresh consumers bootstrap after v0 expiry: stream + cursor ($mode)") {
     val base = tmpDir("cdf-expired-bootstrap")
