@@ -35,6 +35,13 @@ object JoinOps {
     *    where engines with unspecified asof tie-break (DuckDB included)
     *    are free to differ run-to-run.
     *
+    * NULL timestamps sort first (Spark asc default): a null-ts left row
+    * matches nothing (payload nulls — same as engines where NULL
+    * comparisons are false), while a null-ts RIGHT row behaves as a
+    * from-the-beginning-of-time record and can match every left row of
+    * its key — DuckDB ASOF would never match it. Filter null right
+    * timestamps upstream when strict NULL-comparison parity matters.
+    *
     * `right` must carry `keyCols ++ (tsCol +: payloadCols)`; payload
     * column names surface unchanged in the output (rename upstream on
     * collision with a left column). Skew note: one key's rows sort within
