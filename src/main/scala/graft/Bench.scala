@@ -16,7 +16,35 @@ object Bench {
     "d3_minhash_lsh", "s1_ann_bruteforce", "t4_fingerprint", "c8_sha256",
     "d7_decontaminate", "x1_hash_sample")
 
+  /** Host CPU-grant calibration: M SHA-256 hashes/s/thread at `threads`
+    * threads (pure ALU, no IO, no Spark). On this shared VM a clean window
+    * measures ~11-14, a throttled one ~3-7 — emitting it before/after the
+    * run lets a reader judge whether a given bench artifact caught a capped
+    * window (BENCH.md "host calibration" section) without re-running.
+    */
+  def calibMhps(threads: Int = 8, millis: Long = 3000L): Double = {
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val counts = new java.util.concurrent.atomic.AtomicLongArray(threads)
+    val ts = (0 until threads).map { id =>
+      val t = new Thread(() => {
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        var buf = new Array[Byte](64)
+        var n = 0L
+        while (!stop.get()) { buf = md.digest(buf); n += 1 }
+        counts.set(id, n)
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    val t0 = System.nanoTime()
+    Thread.sleep(millis)
+    stop.set(true)
+    ts.foreach(_.join())
+    val secs = (System.nanoTime() - t0) / 1e9
+    (0 until threads).map(counts.get).sum / secs / threads / 1e6
+  }
+
   def main(args: Array[String]): Unit = {
+    val calibPre = calibMhps()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.max(4, Runtime.getRuntime.availableProcessors()).toString).toInt
@@ -67,8 +95,9 @@ object Bench {
     // stop FIRST, print LAST: the result JSON must be the final stdout line
     // (round 1 lost its bench numbers to a post-print listener stack trace)
     spark.stop()
+    val calibPost = calibMhps()
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cores":$cpus,"cdcReplay":{"events":1000000,"secs":$cdcSecs%.3f,"eventsPerSec":$cdcEps%.0f}}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cores":$cpus,"cdcReplay":{"events":1000000,"secs":$cdcSecs%.3f,"eventsPerSec":$cdcEps%.0f},"hostCalib":{"threads":8,"preMhps":$calibPre%.2f,"postMhps":$calibPost%.2f,"cleanRefMhps":13.5}}"""
     // belt and braces vs stdout decoration (rounds 1+2 lost the line to
     // sbt's log prefix): persist the identical JSON next to the repo root
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
