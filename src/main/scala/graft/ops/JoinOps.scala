@@ -42,6 +42,13 @@ object JoinOps {
     * its key — DuckDB ASOF would never match it. Filter null right
     * timestamps upstream when strict NULL-comparison parity matters.
     *
+    * NULL JOIN KEYS never match (SQL equality: NULL = NULL is not true):
+    * right rows with any null key column are dropped before the window —
+    * without that, `Window.partitionBy` would group null keys together
+    * and hand null-keyed left rows a payload DuckDB's `ON l.k = r.k`
+    * would never produce. Null-keyed LEFT rows still emit (payload
+    * nulls), preserving the one-output-row-per-left-row contract.
+    *
     * `right` must carry `keyCols ++ (tsCol +: payloadCols)`; payload
     * column names surface unchanged in the output (rename upstream on
     * collision with a left column). Skew note: one key's rows sort within
@@ -62,11 +69,13 @@ object JoinOps {
         col(tsCol).as("_ts"), lit(1).as("_side"),
         struct(leftCols.filterNot(keyCols.contains).map(col): _*).as("_l"),
         lit(null).cast(structType(right, payloadCols)).as("_r")): _*)
-    val r = right.select(
-      keys ++ Seq(
-        col(tsCol).as("_ts"), lit(0).as("_side"),
-        lit(null).cast(structType(left, leftCols.filterNot(keyCols.contains))).as("_l"),
-        struct(payloadCols.map(col): _*).as("_r")): _*)
+    val r = right
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _)) // SQL equality: null keys never match
+      .select(
+        keys ++ Seq(
+          col(tsCol).as("_ts"), lit(0).as("_side"),
+          lit(null).cast(structType(left, leftCols.filterNot(keyCols.contains))).as("_l"),
+          struct(payloadCols.map(col): _*).as("_r")): _*)
     // _r joins the sort key so equal-(key, ts) right rows resolve
     // deterministically (left rows' null _r sorts first — harmless, they
     // are already ordered after right rows by _side)
@@ -110,16 +119,22 @@ object JoinOps {
                 vCol: String, loCol: String, hiCol: String,
                 binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    // exact long floor-division: pmod is non-negative, so c − pmod(c, W)
-    // is the floored multiple, and SQL `div` keeps the arithmetic in
-    // BIGINT (Column./ is DOUBLE division — lossy past 2^53)
-    def floorDiv(sqlExpr: String): Column =
-      expr(s"(($sqlExpr) - pmod(($sqlExpr), ${binWidth}L)) div ${binWidth}L")
-    val p = points.withColumn("_bin", floorDiv(s"CAST($vCol AS BIGINT)"))
+    // The bin id is the FLOORED MULTIPLE itself (v − pmod(v, W) — pmod is
+    // non-negative, so this floors correctly on negative domains), not
+    // v div W: any injective bin label joins identically, and skipping
+    // the division keeps every step in exact BIGINT Column arithmetic —
+    // no expr() string splicing (quoted/dotted column names would parse
+    // wrong) and no DOUBLE division (lossy past 2^53). Interval bins
+    // enumerate via sequence(loBin, hiBin, step = W).
+    def binOf(c: Column): Column = {
+      val v = c.cast("bigint")
+      v - pmod(v, lit(binWidth))
+    }
+    val p = points.withColumn("_bin", binOf(col(vCol)))
     val i = intervals
       .filter(col(hiCol) >= col(loCol))
       .withColumn("_bin", explode(sequence(
-        floorDiv(s"CAST($loCol AS BIGINT)"), floorDiv(s"CAST($hiCol AS BIGINT)"))))
+        binOf(col(loCol)), binOf(col(hiCol)), lit(binWidth))))
     p.join(i, keyCols :+ "_bin")
       .filter(col(vCol).between(col(loCol), col(hiCol)))
       .drop("_bin")

@@ -256,7 +256,22 @@ final class CdfMicroBatchStream(root: String, startVersion: Int,
       if (maxVersionsPerBatch > 0) math.min(target, base + maxVersionsPerBatch)
       else target
     val capped = applyReadLimit(limit, base, capped0)
-    CdfOffset(math.max(base, capped))
+    // Fresh consumer whose v0 was expired: the bootstrap arm in
+    // planInputPartitions can only read a RETAINED endpoint, but every
+    // admission knob (maxVersionsPerBatch / maxRowsPerTrigger /
+    // maxFilesPerTrigger) caps by COUNT and can land the first window on
+    // an expired intermediate version — which would throw the curated
+    // expired error at a checkpoint that IS fresh (circular guidance).
+    // Raise the first window to the earliest retained version: retention
+    // keeps a contiguous suffix, so everything from there on is readable,
+    // and the bootstrap batch was always going to carry the full live
+    // state regardless of where the count-cap landed.
+    val admitted =
+      if (base == 0 && capped > 0 && !table.snapshotRetained(0) &&
+          !table.snapshotRetained(capped))
+        math.max(capped, table.versions().headOption.getOrElse(capped))
+      else capped
+    CdfOffset(math.max(base, admitted))
   }
 
   /** Honor Spark's standard admission-control hints on top of the source's

@@ -247,10 +247,17 @@ object Mv {
     if (!Files.exists(f)) {
       val tmp = dir.resolve(s"_consumer.tmp.${ProcessHandle.current().pid()}")
       Files.writeString(tmp, tag)
-      try Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE)
+      // createLink, NOT move: POSIX rename(2) silently REPLACES an existing
+      // target, so two concurrent first-appliers could each overwrite the
+      // other's tag and both pass the compare below — exactly the
+      // cross-checkpoint drift this tag exists to fail loudly on. link(2)
+      // fails with EEXIST if the target appeared first, and the linked
+      // content is complete (the tmp file was fully written before the
+      // link), so the loser always compares against the winner's tag.
+      try Files.createLink(f, tmp)
       catch { case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp) // lost a benign race; fall through to compare
-      }
+        () // lost a benign race; fall through to compare
+      } finally Files.deleteIfExists(tmp)
     }
     val have = Files.readString(f).trim
     if (have != tag)
@@ -274,20 +281,25 @@ object Mv {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Delete view versions older than the newest `retain` (the pointer's
-    * version is always kept — a replayed batch reads only v<pointer>).
+  /** Delete all but the newest `retain` EXISTING view versions (the
+    * pointer's version is always among them — it is the newest). Counted
+    * over versions present on disk, not a numeric id floor: cursor-driven
+    * refreshes use batchId = toVersion, which JUMPS (v1 then v5), so a
+    * `latest - retain + 1` floor would silently keep fewer versions than
+    * the retain contract promises.
     */
   private def gc(dir: Path, latest: Long, retain: Int): Unit = {
-    val keepFloor = latest - math.max(1, retain) + 1
+    val ids = scala.collection.mutable.ArrayBuffer[Long]()
     val it = Files.list(dir)
     try {
       it.forEach { p =>
         val n = p.getFileName.toString
-        if (n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
-            n.drop(1).toLong < keepFloor)
-          rmTree(p)
+        if (n.startsWith("v") && n.length > 1 && n.drop(1).forall(_.isDigit))
+          ids += n.drop(1).toLong
       }
     } finally it.close()
+    val keep = ids.sorted.takeRight(math.max(1, retain)).toSet + latest
+    ids.filterNot(keep).foreach(v => rmTree(dir.resolve(s"v$v")))
   }
 
   private def rmTree(root: Path): Unit =

@@ -706,6 +706,36 @@ class CdfStreamSpec extends SparkSpec {
     assert(e.getMessage.contains("expired"), e.getMessage)
   }
 
+  test("fresh consumer + admission caps on an expired-v0 table: first window clamps to a retained version") {
+    val base = tmpDir("cdf-expired-capped")
+    val primary = LakeTable(s"$base/t", 4)
+    def mk(r: String, s: Long, op: String = "U") =
+      (r, "p", op, s, s"c$s", "scala", if (op == "D") null else s"v$s", Option(s))
+    // 4 commits, then retention leaves ONLY v4 — every count-capped first
+    // window (maxVersionsPerBatch=1 → [0,1]) would land on an EXPIRED
+    // intermediate version and throw the curated error at a checkpoint
+    // that IS fresh; latestOffset must raise it to the earliest retained
+    primary.merge(spark, Seq(mk("r1", 1)).toDF(cols: _*), 0L)
+    primary.merge(spark, Seq(mk("r2", 2)).toDF(cols: _*), 1L)
+    primary.merge(spark, Seq(mk("r1", 10), mk("r3", 11)).toDF(cols: _*), 2L)
+    primary.merge(spark, Seq(mk("r2", 20, "D")).toDF(cols: _*), 3L)
+    primary.expireSnapshots(keepLast = 1)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/t/meta/v1.json")), "v1 must be expired")
+
+    val derived = LakeTable(s"$base/d", 2)
+    Tailer.followInto(spark, s"$base/t", derived, s"$base/ckpt",
+      sourceOptions = Map("maxVersionsPerBatch" -> "1", "maxRowsPerTrigger" -> "1"))
+    assert(state(derived) === state(primary), "capped fresh bootstrap parity")
+
+    // post-bootstrap the caps pace normally from a retained base
+    primary.merge(spark, Seq(mk("r4", 30)).toDF(cols: _*), 4L)
+    primary.merge(spark, Seq(mk("r5", 31)).toDF(cols: _*), 5L)
+    Tailer.followInto(spark, s"$base/t", derived, s"$base/ckpt",
+      sourceOptions = Map("maxVersionsPerBatch" -> "1"))
+    assert(state(derived) === state(primary), "incremental catch-up under the cap")
+  }
+
   test("graft-cdf source: startVersion skips history; missing path fails loudly") {
     val base = tmpDir("cdf-opts")
     val primary = LakeTable(s"$base/t", 4)

@@ -4,6 +4,8 @@ import graft.lake.LakeTable
 import graft.stream.Mv
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** Incrementally-maintained materialized aggregate ([[Mv]]): the view must
   * equal a full recompute from the primary's live state after every
   * maintenance cycle — including GROUP-MOVING updates (the case an
@@ -162,6 +164,45 @@ class MvSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("checkpoint") || e.getMessage.contains("cursor"),
       e.getMessage)
+  }
+
+  test("view gc retains the newest N EXISTING versions even when batchIds jump (cursor mode)") {
+    val base = tmpDir("mv-gc-retain")
+    val primary = LakeTable(s"$base/t", 4)
+    val cursor = java.nio.file.Paths.get(s"$base/cursor")
+    val viewDir = s"$base/view"
+    def mk(r: String, p: String, s: Long, lang: String) =
+      (r, p, "U", s, s"c$s", lang, s"v$s", Option(s))
+    def versionsOnDisk: Set[Long] = {
+      val d = java.nio.file.Paths.get(viewDir)
+      scala.util.Using.resource(java.nio.file.Files.list(d))(
+        _.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+          .map(_.drop(1).toLong).toSet)
+    }
+    primary.merge(spark, Seq(mk("r1", "a", 1, "scala")).toDF(cols: _*), 0L)
+    assert(Mv.maintainViaCursor(spark, s"$base/t", cursor, viewDir, retain = 2))
+    val first = versionsOnDisk
+    assert(first.size === 1, s"bootstrap leaves one version: $first")
+
+    // two commits fold in ONE refresh → batchId = toVersion JUMPS past
+    // first+1; a numeric latest−retain+1 floor would wrongly gc the
+    // bootstrap version, leaving 1 where the retain=2 contract promises 2
+    primary.merge(spark, Seq(mk("r2", "b", 10, "java")).toDF(cols: _*), 1L)
+    primary.merge(spark, Seq(mk("r3", "c", 11, "rust")).toDF(cols: _*), 2L)
+    assert(Mv.maintainViaCursor(spark, s"$base/t", cursor, viewDir, retain = 2))
+    val second = versionsOnDisk
+    assert(second.size === 2 && second.subsetOf(first ++ Set(2L, 3L)),
+      s"newest two versions retained across a batchId jump: $second")
+    assert(view(viewDir) === recompute(primary, "language"))
+
+    // a third refresh rolls the window: newest two survive, oldest goes
+    primary.merge(spark, Seq(mk("r4", "d", 20, "go")).toDF(cols: _*), 3L)
+    assert(Mv.maintainViaCursor(spark, s"$base/t", cursor, viewDir, retain = 2))
+    val third = versionsOnDisk
+    assert(third.size === 2 && !third.contains(first.head),
+      s"oldest version gc'd once retain is exceeded: $third")
+    assert(view(viewDir) === recompute(primary, "language"))
   }
 
   test("expired window fails with rebuild guidance; following it rebuilds exactly") {

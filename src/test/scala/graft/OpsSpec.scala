@@ -484,6 +484,40 @@ class OpsSpec extends SparkSpec {
     assert(out.length === out.distinct.length)
   }
 
+  test("asofJoin: NULL join keys never match (SQL equality), null-keyed left rows still emit") {
+    import graft.ops.JoinOps
+    val left = Seq(
+      (Option(1L), 10L, "l-keyed"),
+      (Option.empty[Long], 10L, "l-null") // must emit with NULL payload
+    ).toDF("k", "ts", "tag")
+    val right = Seq(
+      (Option(1L), 5L, "r-keyed"),
+      (Option.empty[Long], 5L, "r-null") // must match NOTHING (NULL = NULL is not true)
+    ).toDF("k", "ts", "v")
+    val out = JoinOps.asofJoin(left, right, Seq("k"), "ts", Seq("v"))
+      .select("tag", "v").as[(String, Option[String])].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(
+      ("l-keyed", Some("r-keyed")),
+      ("l-null", None)), s"got ${out.toSeq}")
+  }
+
+  test("rangeJoin: space-named value column resolves; bins stay exact past 2^53") {
+    import graft.ops.JoinOps
+    // both would break the old expr()-spliced floor-division: a space in
+    // the column name fails to parse, and values past 2^53 lose precision
+    // under DOUBLE division
+    val big = 9007199254741000L // > 2^53
+    val points = Seq((1L, big + 5L, 10L)).toDF("k", "event ts", "pid")
+    val intervals = Seq(
+      (1L, 100L, big + 3L, big + 6L),  // contains the point
+      (1L, 200L, big + 6L, big + 9L)   // adjacent, does not
+    ).toDF("k", "iid", "lo", "hi")
+    val out = JoinOps.rangeJoin(points, intervals, Seq("k"), "event ts", "lo", "hi",
+        binWidth = 7L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((10L, 100L)), s"got $out")
+  }
+
   test("heavyHitters: exact result over a long tail, partitioning-invariant, empty when nothing qualifies") {
     import graft.ops.FreqOps
     // 3 heavy items + 100-singleton tail; phi=0.05 → threshold 9.6 over
