@@ -259,7 +259,10 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     * metadata-IO hole on the CDF path — a rows-limited stream's admission
     * walk and every batch plan re-read and re-parsed the same immutable
     * summaries from storage each tick otherwise. [[expireSnapshots]]
-    * evicts what it deletes, keeping the cache bounded by retention.
+    * evicts what it deletes; independently, [[snapshotAt]] caps the cache
+    * at [[LakeTable.SnapshotCacheMax]] entries (oldest evicted) so a
+    * long-lived reader handle stays bounded even when retention runs in a
+    * DIFFERENT process whose eviction cannot reach this JVM.
     */
   private val snapshotCache =
     new java.util.concurrent.ConcurrentHashMap[Integer, Snapshot]()
@@ -713,6 +716,19 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
       else {
         val s = readSnapshot(metaDir.resolve(s"v$version.json"))
         snapshotCache.put(version, s)
+        // Bound the cache for long-lived READER handles: a 24/7 stream's
+        // handle never runs this table's expireSnapshots (a separate
+        // maintenance process does — its eviction can't reach this JVM),
+        // so retention alone would let a once-a-second committer accrue
+        // ~86k cached snapshot bodies per day in the stream driver. Evict
+        // the OLDEST versions: every reader access pattern here (CDF
+        // admission walk, batch planning, versionAt) skews recent.
+        if (snapshotCache.size > LakeTable.SnapshotCacheMax) {
+          val keys = snapshotCache.keySet.toArray(Array.empty[Integer])
+            .sortBy(_.intValue)
+          keys.take(keys.length - LakeTable.SnapshotCacheMax / 2)
+            .foreach(snapshotCache.remove)
+        }
         s
       }
     } else readSnapshot(metaDir.resolve(s"v$version.json"))
@@ -1885,6 +1901,14 @@ object LakeTable {
     * its file and flips HEAD within milliseconds of creating it).
     */
   val StrayCommitGraceMs: Long = 60000L
+
+  /** Per-handle snapshot-body cache cap (entries). Snapshot bodies are
+    * small (manifest refs, not data), so 4096 recent versions is ample
+    * for every reader pattern while keeping a long-lived stream handle's
+    * footprint bounded even when retention is enforced by a different
+    * process. Eviction drops the oldest half beyond the cap.
+    */
+  val SnapshotCacheMax: Int = 4096
 
   /** Copy-on-write mode tag. */
   val Cow = "cow"

@@ -53,7 +53,8 @@ case class KmvAgg(
         s"cast to bigint); got ${hash.dataType.catalogString}")
 
   /** 60-bit hash space (md5-derived h60 inputs). */
-  private val HashSpace = 1152921504606846976.0d // 2^60
+  private val HashSpaceL = 1152921504606846976L // 2^60, exact (range guard)
+  private val HashSpace = 1152921504606846976.0d // 2^60, double (estimator)
 
   override def children: Seq[Expression] = Seq(hash)
   override def nullable: Boolean = false
@@ -68,8 +69,11 @@ case class KmvAgg(
       // the estimator is only meaningful over the [0, 2^60) hash space the
       // md5-derived h60 produces — a full-range 64-bit hash (xxhash64)
       // passes the bigint type check but yields silently absurd estimates
-      // (negative kth-min clamps to 1 → ~2.9e20); fail loudly instead
-      if (hl < 0L || hl.toDouble >= HashSpace)
+      // (negative kth-min clamps to 1 → ~2.9e20); fail loudly instead.
+      // Compared as LONGS: (2^60−1).toDouble rounds UP to exactly 2^60
+      // (ulp is 128 at that magnitude), so a double compare would reject
+      // the top 64 legitimate hash values
+      if (hl < 0L || hl >= HashSpaceL)
         throw new IllegalArgumentException(
           s"kmv_distinct hash value $hl outside [0, 2^60) — use a 60-bit " +
             "hash, e.g. cast(conv(substring(md5(x),1,15),16,10) as bigint) " +

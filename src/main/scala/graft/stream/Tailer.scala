@@ -216,7 +216,12 @@ object Tailer {
     * O(batches × partitions) rows — metadata scale.
     */
   def readLineage(spark: SparkSession, lineageDir: String): DataFrame = {
-    val df0 = spark.read.parquet(lineageDir)
+    // mergeSchema: a dir MIXING pre-upgrade (no `attempt` column) and
+    // stamped files must surface the union schema — the default samples
+    // ONE part-file footer (arbitrary under UUID file names), and a
+    // legacy footer would silently drop the attempt column and with it
+    // the newest-attempt dedupe rule
+    val df0 = spark.read.option("mergeSchema", "true").parquet(lineageDir)
     val latest =
       if (df0.columns.contains("attempt")) {
         // a dir MIXING pre-stamp and stamped files surfaces the union

@@ -285,6 +285,18 @@ class OpsSpec extends SparkSpec {
       if (t == null) Nil else t +: causes(t.getCause)
     assert(causes(e).exists(c => Option(c.getMessage).exists(_.contains("2^60"))),
       s"want the range-guard error, got: ${e.getMessage}")
+    // boundary exactness: 2^60−1 is IN range and must be accepted — its
+    // Double image rounds up to exactly 2^60 (ulp 128 at that magnitude),
+    // so a double-typed guard wrongly rejected the top 64 legal values
+    val top = (1L << 60) - 1L
+    val est = Seq(top, top - 1L).toDF("h")
+      .agg(KmvAgg.kmvDistinct(col("h"), 16)).head.getLong(0)
+    assert(est === 2L, s"2^60−1 must be accepted and counted exactly, got $est")
+    val e2 = intercept[Exception] {
+      Seq(1L << 60).toDF("h").agg(KmvAgg.kmvDistinct(col("h"), 16)).collect()
+    }
+    assert(causes(e2).exists(c => Option(c.getMessage).exists(_.contains("2^60"))),
+      s"2^60 itself is out of range: ${e2.getMessage}")
   }
 
   test("hyperplane signature: content equality for plan reuse; ragged matrix rejected") {

@@ -132,6 +132,19 @@ class ReplaySpec extends SparkSpec {
     assert(mixed.count() === 12L,
       s"legacy batch 0 (8 partitions) + stamped batch 1 (4) must both survive, got ${mixed.count()}")
     assert(mixed.agg(sum("rowsApplied")).head.getLong(0) === 1000L)
+    // …and a STAMPED re-delivery of the legacy batch must beat the legacy
+    // rows in the same mixed dir. This is the read that REQUIRES
+    // mergeSchema on the parquet scan: without it Spark samples ONE
+    // arbitrary footer, and a legacy footer drops the attempt column
+    // entirely — reverting to plain (batchId, partitionId) dedupe that
+    // max-merges rows across attempts into totals no delivery produced
+    rows(0 until 2, 400L, attempt = 4000L)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(mixedDir) // batch 0 re-delivered, stamped
+    val healed = Tailer.readLineage(spark, mixedDir)
+    assert(healed.filter(col("batchId") === 0L).count() === 2L,
+      "stamped re-delivery wins wholesale over legacy batch-0 rows")
+    assert(healed.agg(sum("rowsApplied")).head.getLong(0) === 1000L,
+      "batch 0 counts its true 800 rows once (+200 from batch 1)")
   }
 
   test("exactly-once: replaying the same batch is a no-op (batchId fence)") {
