@@ -22,26 +22,13 @@ object Bench {
     * run lets a reader judge whether a given bench artifact caught a capped
     * window (BENCH.md "host calibration" section) without re-running.
     */
-  def calibMhps(threads: Int = 8, millis: Long = 3000L): Double = {
-    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val counts = new java.util.concurrent.atomic.AtomicLongArray(threads)
-    val ts = (0 until threads).map { id =>
-      val t = new Thread(() => {
-        val md = java.security.MessageDigest.getInstance("SHA-256")
-        var buf = new Array[Byte](64)
-        var n = 0L
-        while (!stop.get()) { buf = md.digest(buf); n += 1 }
-        counts.set(id, n)
-      })
-      t.setDaemon(true); t.start(); t
-    }
-    val t0 = System.nanoTime()
-    Thread.sleep(millis)
-    stop.set(true)
-    ts.foreach(_.join())
-    val secs = (System.nanoTime() - t0) / 1e9
-    (0 until threads).map(counts.get).sum / secs / threads / 1e6
-  }
+  def calibMhps(threads: Int = 8, millis: Long = 3000L): Double =
+    // ONE calibration kernel repo-wide: delegate to ScalingBench.calibrate
+    // (total hashes/s) so bench hostCalib, ScalingBench per-trial calib,
+    // and the clean-window watchers' threshold stay comparable by
+    // construction — a second copy could silently diverge (buffer size,
+    // probe duration) and invalidate every cross-artifact comparison.
+    tools.ScalingBench.calibrate(threads, millis) / threads / 1e6
 
   def main(args: Array[String]): Unit = {
     val calibPre = calibMhps()
@@ -90,14 +77,20 @@ object Bench {
     val cdcSecs = (System.nanoTime() - t0) / 1e9
     val cdcEps = 1000000L / cdcSecs
 
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    // Locale.ROOT formatting throughout: the f-interpolator uses the
+    // DEFAULT locale, and a comma-decimal locale (de_DE etc.) would turn
+    // 4.53 into "4,53" — invalid JSON that loses the whole result line
+    def num(x: Double, pat: String): String =
+      String.format(java.util.Locale.ROOT, pat, Double.box(x))
+    val qs = results.map { case (k, v) => s""""$k":${num(v, "%.3f")}""" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum + cdcSecs
     // stop FIRST, print LAST: the result JSON must be the final stdout line
     // (round 1 lost its bench numbers to a post-print listener stack trace)
     spark.stop()
     val calibPost = calibMhps()
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cores":$cpus,"cdcReplay":{"events":1000000,"secs":$cdcSecs%.3f,"eventsPerSec":$cdcEps%.0f},"hostCalib":{"threads":8,"preMhps":$calibPre%.2f,"postMhps":$calibPost%.2f,"cleanRefMhps":13.5}}"""
+      s"""{"metric":"total","value":${num(total, "%.3f")},"unit":"sec","queries":$qs,"sf":"$sfDir","cores":$cpus,"cdcReplay":{"events":1000000,"secs":${num(cdcSecs, "%.3f")},"eventsPerSec":${num(cdcEps, "%.0f")}},"hostCalib":{"threads":8,"preMhps":${num(calibPre, "%.2f")},"postMhps":${num(calibPost, "%.2f")},"cleanRefMhps":13.5}}"""
     // belt and braces vs stdout decoration (rounds 1+2 lost the line to
     // sbt's log prefix): persist the identical JSON next to the repo root
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")

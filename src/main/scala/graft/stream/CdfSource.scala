@@ -266,6 +266,12 @@ final class CdfMicroBatchStream(root: String, startVersion: Int,
     // keeps a contiguous suffix, so everything from there on is readable,
     // and the bootstrap batch was always going to carry the full live
     // state regardless of where the count-cap landed.
+    // AvailableNow edge: if an external expireSnapshots erases the drain
+    // target captured at query start BEFORE the first tick, the earliest
+    // retained version is past that target and the bootstrap deliberately
+    // exceeds it — the minimal readable state is the only alternative to
+    // failing a fresh checkpoint, and later commits folded into it are a
+    // superset the next incremental window would have delivered anyway.
     val admitted =
       if (base == 0 && capped > 0 && !table.snapshotRetained(0) &&
           !table.snapshotRetained(capped))

@@ -245,7 +245,12 @@ object Mv {
   private def checkConsumer(dir: Path, tag: String): Unit = {
     val f = dir.resolve("_consumer")
     if (!Files.exists(f)) {
-      val tmp = dir.resolve(s"_consumer.tmp.${ProcessHandle.current().pid()}")
+      // tmp is pid AND thread scoped: two maintainers in ONE driver JVM
+      // (two streaming queries, two cursor callers) racing first-apply
+      // must not share a tmp path, or one could publish the other's
+      // half-written bytes
+      val tmp = dir.resolve(s"_consumer.tmp.${ProcessHandle.current().pid()}" +
+        s".${Thread.currentThread().getId}")
       Files.writeString(tmp, tag)
       // createLink, NOT move: POSIX rename(2) silently REPLACES an existing
       // target, so two concurrent first-appliers could each overwrite the
@@ -254,9 +259,16 @@ object Mv {
       // fails with EEXIST if the target appeared first, and the linked
       // content is complete (the tmp file was fully written before the
       // link), so the loser always compares against the winner's tag.
+      // Filesystems WITHOUT hard links (FUSE object stores, FAT) fall back
+      // to the rename publish — atomic there too, just without the
+      // concurrent-first-apply loud-failure guarantee link(2) adds.
       try Files.createLink(f, tmp)
-      catch { case _: java.nio.file.FileAlreadyExistsException =>
-        () // lost a benign race; fall through to compare
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          () // lost a benign race; fall through to compare
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          try Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
       } finally Files.deleteIfExists(tmp)
     }
     val have = Files.readString(f).trim
