@@ -166,6 +166,44 @@ class MvSpec extends SparkSpec {
       e.getMessage)
   }
 
+  test("property: view == recompute under randomized keyed U/D feeds with group moves (seeded)") {
+    // Deterministic randomized soak of the maintenance algebra: random
+    // upsert/delete ops over a small key space across several windows,
+    // each op free to MOVE its key's group (the case an after-image-only
+    // feed cannot maintain) or delete it; after every drain the view must
+    // equal a full recompute. Seeded Random → reproducible, no shrinking
+    // machinery needed; one seq-descending LWW pick per (key, window)
+    // because merge rejects duplicate source keys per batch (the Tailer
+    // feeds it deduped batches the same way).
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val base = tmpDir(s"mv-prop$trial")
+      val primary = LakeTable(s"$base/t", 4)
+      val cursor = java.nio.file.Paths.get(s"$base/cursor")
+      val viewDir = s"$base/view"
+      val keys = for (r <- 0 until 3; p <- 0 until 4) yield (s"r$r", s"p$p")
+      var seq = 0L
+      for (window <- 0 until 4) {
+        val nOps = 3 + rnd.nextInt(10)
+        val ops = (0 until nOps).map { _ =>
+          val (r, p) = keys(rnd.nextInt(keys.size))
+          seq += 1
+          val del = rnd.nextInt(4) == 0
+          val lang = s"g${rnd.nextInt(4)}"
+          (r, p, if (del) "D" else "U", seq, s"c$seq", lang,
+            if (del) null else s"v$seq",
+            if (del) Option.empty[Long] else Option(seq))
+        }
+        val batch = ops.groupBy(o => (o._1, o._2)) // LWW within the window
+          .values.map(_.maxBy(_._4)).toSeq
+        primary.merge(spark, batch.toDF(cols: _*), window.toLong)
+        Mv.maintainViaCursor(spark, s"$base/t", cursor, viewDir)
+        assert(view(viewDir) === recompute(primary, "language"),
+          s"trial=$trial window=$window seqThrough=$seq")
+      }
+    }
+  }
+
   test("view gc retains the newest N EXISTING versions even when batchIds jump (cursor mode)") {
     val base = tmpDir("mv-gc-retain")
     val primary = LakeTable(s"$base/t", 4)
