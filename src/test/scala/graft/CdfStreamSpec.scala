@@ -736,6 +736,42 @@ class CdfStreamSpec extends SparkSpec {
     assert(state(derived) === state(primary), "incremental catch-up under the cap")
   }
 
+  test("AvailableNow edge: target expired before the first tick → fresh bootstrap exceeds it instead of failing") {
+    // prepareForTriggerAvailableNow captures head=V; if an EXTERNAL
+    // expireSnapshots then erases V before the first latestOffset tick, a
+    // fresh consumer has no retained version <= V to bootstrap from. The
+    // documented resolution: the first window deliberately exceeds the
+    // captured target up to the earliest retained version — the minimal
+    // readable state — rather than failing a fresh checkpoint.
+    val base = tmpDir("cdf-an-edge")
+    val primary = LakeTable(s"$base/t", 4)
+    def mk(r: String, s: Long) =
+      (r, "p", "U", s, s"c$s", "scala", s"v$s", Option(s))
+    primary.merge(spark, Seq(mk("r1", 1)).toDF(cols: _*), 0L)
+    primary.merge(spark, Seq(mk("r2", 2)).toDF(cols: _*), 1L)
+    primary.merge(spark, Seq(mk("r3", 3)).toDF(cols: _*), 2L)
+
+    val s = new graft.stream.CdfMicroBatchStream(s"$base/t", 0, 1)
+    s.prepareForTriggerAvailableNow() // captures target = v3
+    // a 4th commit lands and retention erases everything but it
+    primary.merge(spark, Seq(mk("r4", 4)).toDF(cols: _*), 3L)
+    primary.expireSnapshots(keepLast = 1)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/t/meta/v3.json")), "captured target must be expired")
+
+    val start = s.deserializeOffset("0")
+    val end = s.latestOffset(start,
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+    assert(end.json.trim.toInt === 4,
+      s"first window must clamp past the erased target to the earliest retained, got ${end.json}")
+    val parts = s.planInputPartitions(start, end)
+    assert(parts.nonEmpty, "bootstrap partitions must plan (not throw the curated expired error)")
+    assert(parts.collect { case p: graft.stream.CdfInputPartition => p }
+      .forall(_.beforeFiles.isEmpty),
+      "bootstrap partitions carry an EMPTY before side (live state as I rows)")
+    s.stop()
+  }
+
   test("graft-cdf source: startVersion skips history; missing path fails loudly") {
     val base = tmpDir("cdf-opts")
     val primary = LakeTable(s"$base/t", 4)
