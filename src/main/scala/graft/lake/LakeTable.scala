@@ -1433,9 +1433,27 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
     * (end of stream / past the ingest low-watermark). At scale this would
     * be incremental (pick buckets by tombstone ratio / file count from
     * manifest stats); the snapshot protocol is identical.
+    *
+    * `maxBucketsPerWave` (guide §5 — bound the working set): a full-table
+    * rewrite as ONE job needs "heap + shuffle < RAM" for the whole table
+    * (the r5 256M-event/32-core threshold compaction was OOM-killed
+    * exactly there, bench/results_r5.jsonl `soak_256M_mor_cadence`).
+    * With Some(k), buckets are rewritten in waves of ≤ k — each wave one
+    * bounded job + its own live-state-preserving commit (same
+    * `compaction` summary key, so concurrent merges still rebase over it)
+    * — and peak memory is O(k / numBuckets × table) instead of O(table).
+    * A crash between waves leaves a valid, partially-compacted table.
     */
   def compact(spark: SparkSession, gcTombstones: Boolean = false,
-              retries: Int = 3, targetFileRows: Option[Long] = None): Unit = {
+              retries: Int = 3, targetFileRows: Option[Long] = None,
+              maxBucketsPerWave: Option[Int] = None): Unit = {
+    if (maxBucketsPerWave.exists(_ > 0)) {
+      val k = maxBucketsPerWave.get
+      checkedHead().manifests.map(_.bucket).sorted.grouped(k).foreach { wave =>
+        compactSelected(spark, wave.toSet, gcTombstones, retries, targetFileRows)
+      }
+      return
+    }
     // retry LOOP, not recursion with a shrunk budget: commitBackoff must
     // see the TRUE attempt number so the jittered cap escalates toward
     // 1600ms under sustained contention instead of replaying the first step
@@ -1466,6 +1484,47 @@ final class LakeTable(val root: String, val numBuckets: Int = 32,
         commitBackoff(attemptsLeft, retries)
       }
     }
+  }
+
+  /** Rewrite ONE fixed bucket subset (a compaction wave): read + resolve +
+    * rewrite the picked buckets, carry every other manifest by reference,
+    * commit with the `compaction` summary key (live-state preserving — a
+    * concurrent merge's rebase treats it as non-conflicting). The commit
+    * protocol matches [[compactBuckets]]; the selection is the caller's.
+    */
+  private def compactSelected(spark: SparkSession, picked: Set[Int],
+                              gcTombstones: Boolean, retries: Int,
+                              targetFileRows: Option[Long]): Int = {
+    var attemptsLeft = retries
+    while (true) {
+      val h0 = checkedHead()
+      val (pickedRefs, carried) = h0.manifests.partition(r => picked(r.bucket))
+      if (pickedRefs.isEmpty) return 0
+      val physical = readFiles(spark, pickedRefs.flatMap(loadManifest))
+      // per-bucket-closed: a key's files all live in its bucket, so MOR
+      // LWW resolution over a bucket subset sees every version it needs
+      val resolved = if (h0.mode == Mor) resolve(physical) else physical
+      val live = if (gcTombstones) resolved.filter(!col("deleted")) else resolved
+      val token = newToken()
+      val newRefs = writeManifests(token,
+        writeSnapshotFiles(live, token, sorted = true, maxRowsPerFile = targetFileRows))
+      firePreCommitHook()
+      try {
+        commitSnapshot(Snapshot(h0.version + 1, h0.version, h0.lastBatchId,
+          h0.schemaIds, carried ++ newRefs,
+          Map("compaction" -> "incremental",
+            "compactedBuckets" -> picked.size.toString,
+            "totalRows" -> (carried.map(_.rowCount).sum + newRefs.map(_.rowCount).sum).toString),
+          mode = h0.mode),
+          expectedParent = h0.version)
+        return pickedRefs.size
+      } catch { case e: ConcurrentCommitException =>
+        if (attemptsLeft <= 0) throw e
+        attemptsLeft -= 1
+        commitBackoff(attemptsLeft, retries)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Incremental compaction: fold ONLY the buckets whose manifest lists

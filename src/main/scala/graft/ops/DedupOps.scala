@@ -102,6 +102,23 @@ object DedupOps {
       .select(col("id"), array_distinct(shingleArr(n)).as("strs"))
       .select(col("id"), transform(col("strs"), s => h60(s)).as("sh"))
 
+  /** Shingle sets REBUILT from already-computed postings (one collect_list
+    * aggregation of cached 8-byte tokens) instead of a fresh
+    * split/shingle/md5 pass over the corpus text. verifyJaccard joins the
+    * sets twice (id_a and id_b side), so [[shingleSets]] re-ran the whole
+    * CPU-heavy shingle stage TWICE per query (r6 plans: two identical
+    * Scan→split→transform(md5) subtrees under the verify join); this runs
+    * it zero times. Same elements per doc (postings are per-doc distinct
+    * h60 tokens); array order differs, which array_intersect ignores —
+    * jaccard values are identical. Eager localCheckpoint: the caller
+    * unpersists the postings cache before the verify join executes.
+    */
+  private def setsFromPostings(p: DataFrame): DataFrame =
+    // SORTED sets: verifyJaccard's merge-scan intersect kernel requires
+    // ascending duplicate-free arrays (postings are per-doc distinct)
+    p.groupBy("id").agg(sort_array(collect_list(col("shingle"))).as("sh"))
+      .localCheckpoint()
+
   /** Verify candidate (id_a, id_b) pairs with the TRUE Jaccard: join each
     * side to its shingle set, intersect, threshold. Cost is O(candidates),
     * never O(corpus²) — shared by the prefix-filter and LSH paths.
@@ -109,15 +126,34 @@ object DedupOps {
   private def verifyJaccard(cand: DataFrame, sets: DataFrame,
                             threshold: Double): DataFrame =
     // sets = one row per doc: NOT a broadcast side at corpus scale (AQE
-    // broadcasts it by runtime stats when a small corpus fits)
+    // broadcasts it by runtime stats when a small corpus fits). `sh` MUST
+    // be sorted ascending (setsFromPostings) for the intersect kernel.
     cand
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("n_a", size(col("sh_a")))
+      .withColumn("n_b", size(col("sh_b")))
+      // PPJoin length filter: J ≥ t ⟹ |A∩B| ≥ t·|A∪B| ⟹ min ≥ t·max —
+      // prunes size-mismatched candidates with two int compares before any
+      // per-element work (1e-9 slack so IEEE t·max landing just above the
+      // rational cannot drop an at-threshold pair; false KEEPS are fine,
+      // the exact jaccard below re-checks)
+      .filter(least(col("n_a"), col("n_b")).cast("double") >=
+        lit(threshold) * greatest(col("n_a"), col("n_b")) - lit(1e-9))
+      // merge-scan intersect count (VecExpr kernel): same integer as
+      // size(array_intersect(...)) on these duplicate-free sets, without
+      // the per-row hash set + materialized intersection array
+      .withColumn("common", VecExpr.sortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", round(col("common").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("common")).cast("double"), 6))
+        (col("n_a") + col("n_b") - col("common")).cast("double"), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+
+  // measurement-only aliases for the r6 phase probe (D2Probe)
+  private[ops] def probePostings(df: DataFrame, idCol: String, textCol: String, n: Int) =
+    postings(df, idCol, textCol, n)
+  private[ops] def probeVerify(cand: DataFrame, sets: DataFrame, t: Double) =
+    verifyJaccard(cand, sets, t)
 
   /** Exact n-gram Jaccard ≥ threshold pairs (id_a < id_b), via inverted
     * index: group postings by shingle, emit co-occurring pairs, count
@@ -166,12 +202,16 @@ object DedupOps {
                          n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val p = postings(df, idCol, textCol, n).persist()
     try {
+      // ONE aggregation of the cached postings yields the per-doc shingle
+      // set; counts and the verify join both read it, so the
+      // split/shingle/md5 stage runs ONCE per query instead of three times
+      // (was: postings + 2× shingleSets under the verify join — r6 plan
+      // evidence in plans/r06/d2_ngram_jaccard_before.txt).
+      val sets = setsFromPostings(p)
       // counts is doc-scale (one row per doc) — joined, not force-broadcast;
-      // AQE broadcasts it by runtime stats when the corpus is small. Read
-      // it FROM the persisted postings (one row per distinct shingle per
-      // doc, so the group count IS n_sh) — shingleCounts(df, ...) would
-      // re-run the whole split/shingle stage the cache exists to avoid.
-      val counts = p.groupBy("id").agg(count(lit(1)).as("n_sh"))
+      // AQE broadcasts it by runtime stats when the corpus is small. Derived
+      // from the checkpointed sets (size of the set IS n_sh) — no shuffle.
+      val counts = sets.select(col("id"), size(col("sh")).as("n_sh"))
       val freq = p.groupBy("shingle").agg(count(lit(1)).as("df"))
       val ranked = p.join(freq, "shingle")
         .join(counts, Seq("id"))
@@ -179,13 +219,19 @@ object DedupOps {
           Window.partitionBy("id").orderBy(col("df"), col("shingle"))))
         .filter(col("rnk") <=
           col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + lit(1))
+        .select("shingle", "id")
+        // eager: the prefix self-join below reads BOTH sides from this
+        // materialized frame — without it each side re-runs the
+        // freq-join + rarity window from the postings cache (2× the
+        // candidate-stage work; Spark plans common subtrees twice)
+        .localCheckpoint()
       val a = ranked.select(col("shingle"), col("id").as("id_a"))
       val b = ranked.select(col("shingle"), col("id").as("id_b"))
       val cand = a.join(b, Seq("shingle"))
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
         .localCheckpoint() // eager: postings no longer needed downstream
-      verifyJaccard(cand, shingleSets(df, idCol, textCol, n), threshold)
+      verifyJaccard(cand, sets, threshold)
     } finally p.unpersist()
   }
 
@@ -216,18 +262,41 @@ object DedupOps {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
                       threshold: Double = 0.8): DataFrame = {
+    require(numHashes <= 32, "double-hash family bounded to 32 (overflow margin)")
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = minhashSignatures(df, idCol, textCol, n, numHashes)
-    val banded = sig.select(col("id"), explode(
-      array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          slice(col("sig"), b * rows + 1, rows).as("bucket"))): _*)).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bucket"))
-    val cand = banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
-      .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
-    verifyJaccard(cand, shingleSets(df, idCol, textCol, n), threshold)
+    // One postings pass feeds signatures AND the verify-phase shingle sets
+    // (was: the banded self-join recomputed the postings→signature pipeline
+    // once PER SIDE, and verifyJaccard re-ran the split/shingle/md5 stage
+    // twice more via shingleSets — five shingle passes per query; now one).
+    val p = postings(df, idCol, textCol, n).persist()
+    try {
+      // ONE aggregation of the postings yields BOTH the per-doc sorted
+      // shingle set (verify side) and the minhash minima (same derivation
+      // as minhashSignatures) — two separate groupBy("id") passes would
+      // re-aggregate the same cached rows twice.
+      val mins = (0 until numHashes).map(i =>
+        min(col("shingle") + lit(i.toLong) * col("h2")).as(s"h$i"))
+      val byDoc = p.groupBy(col("id"))
+        .agg(sort_array(collect_list(col("shingle"))).as("sh"),
+          mins: _*)
+        .localCheckpoint()
+      val sets = byDoc.select(col("id"), col("sh"))
+      val sig = byDoc.select(col("id"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+      val banded = sig.select(col("id"), explode(
+        array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            slice(col("sig"), b * rows + 1, rows).as("bucket"))): _*)).as("bb"))
+        .select(col("id"), col("bb.band"), col("bb.bucket"))
+        // eager: both self-join sides read the materialized banding
+        .localCheckpoint()
+      val cand = banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
+        .filter(col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+        .localCheckpoint() // eager: postings no longer needed downstream
+      verifyJaccard(cand, sets, threshold)
+    } finally p.unpersist()
   }
 
   /** 60-bit SimHash per doc: sign-sum of token-hash bits weighted by term
@@ -295,13 +364,26 @@ object DedupOps {
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     idCol: String, textCol: String, n: Int = 5): DataFrame = {
     val contaminated = postings(benchmark, idCol, textCol, n)
-      .select("shingle").distinct().withColumn("_hit", lit(true))
-    postings(corpus, idCol, textCol, n)
-      .join(contaminated, Seq("shingle"), "left")
-      .groupBy(col("id").as(idCol))
-      .agg(count(col("_hit")).as("n_shared"), // postings are per-doc distinct
-        count(lit(1)).as("n_sh"))
-      .filter(col("n_shared") > 0)
+      .select("shingle").distinct()
+    // Aggregate MATCHED postings only (inner join against the broadcast
+    // benchmark n-grams drops non-hits before any exchange): the groupBy
+    // shuffles O(hits) rows, not the whole corpus' postings — contamination
+    // is rare by construction, so this is metadata-scale. (The previous
+    // left-join shape hash-aggregated every corpus posting just to carry
+    // the per-doc total; r6 re-shape per guide §2.3 "aggregate less".)
+    val matched = postings(corpus, idCol, textCol, n)
+      .join(contaminated, Seq("shingle"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared")) // postings are per-doc distinct
+    // per-doc totals from a NARROW second text pass (split/shingle/size —
+    // no md5, no explode, no shuffle); the matched side is tiny, so AQE
+    // broadcasts it and contaminated rows are annotated without moving the
+    // corpus at all. n_sh values are identical to the old per-posting
+    // count (postings carry exactly the distinct shingles counted here).
+    shingleCounts(corpus, idCol, textCol, n)
+      .join(matched, Seq("id"))
+      .select(col("id").as(idCol), col("n_shared"),
+        col("n_sh").cast("long").as("n_sh"))
       .withColumn("overlap_frac",
         round(col("n_shared").cast("double") / col("n_sh"), 6))
   }

@@ -33,6 +33,13 @@ object Tailer {
       metricsDir: String,
       numBuckets: Int = 32,
       saltBuckets: Int = 16,
+      // MEASURED ANTI-SCALING (r5 multi_jvm_cluster_probe): the salted
+      // two-phase LWW went 35.6s → 61.5s scaling 2→8 executors while the
+      // unsalted path scaled normally — its extra exchange costs more than
+      // map-side combine saves at every skew the generator produces (zipf
+      // s=1.2). Leave false unless a heavy-hitter probe (ops.FreqOps MgAgg)
+      // shows a single key above ~5% of a batch AND the cluster is large
+      // enough that one reducer's fan-in is the straggler.
       useSalt: Boolean = false,
       tableMode: String = graft.lake.LakeTable.Cow,
       compactEvery: Option[Int] = None, // auto-compact after every N applied batches
@@ -42,6 +49,49 @@ object Tailer {
 
   val mergeCols: Seq[String] =
     Seq("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes")
+
+  /** Buffered metrics writer (r6 tiny-file hygiene + per-batch overhead):
+    * merge.* and progress.* rows accumulate in a driver-side buffer and are
+    * flushed as ONE parquet append per `spark.graft.metrics.flushEveryBatches`
+    * batches (default 32) and at stream end — instead of 2+ coalesce(1)
+    * appends PER micro-batch, which at 10^10-event scale with small
+    * triggers meant millions of K-sized files in the metrics dir (r5
+    * verdict finding #4). Metrics stay best-effort (same contract as
+    * before: a crash can lose the unflushed tail — lineage, the
+    * correctness-bearing table, keeps its own per-batch post-commit write).
+    */
+  private final class MetricsSink(spark: SparkSession, dir: String) {
+    private val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Double, java.sql.Timestamp)]
+    private var batches = 0
+    private val flushEvery = scala.util.Try(spark.conf.get(
+      "spark.graft.metrics.flushEveryBatches").toInt).getOrElse(32)
+    def add(batchId: Long, rows: Seq[(String, Double)]): Unit = {
+      val ts = new java.sql.Timestamp(System.currentTimeMillis)
+      val flushNow = synchronized {
+        rows.foreach { case (n, v) => buf += ((batchId, n, v, ts)) }
+        batches += 1
+        batches >= flushEvery
+      }
+      if (flushNow) flush()
+    }
+    def flush(): Unit = synchronized {
+      if (buf.nonEmpty && !spark.sparkContext.isStopped) {
+        import spark.implicits._
+        buf.toSeq.toDF("batchId", "name", "value", "ts")
+          .coalesce(1).write.mode(SaveMode.Append).parquet(dir)
+        buf.clear()
+        batches = 0
+      }
+    }
+  }
+  private val metricsSinks =
+    new java.util.concurrent.ConcurrentHashMap[String, MetricsSink]()
+  private def sinkFor(spark: SparkSession, dir: String): MetricsSink =
+    metricsSinks.computeIfAbsent(dir, d => new MetricsSink(spark, d))
+  /** Flush any buffered metrics for `dir` (stream end / test hooks). */
+  def flushMetrics(dir: String): Unit =
+    Option(metricsSinks.get(dir)).foreach(_.flush())
 
   /** One micro-batch: raw events → lineage stats → normalize → LWW → MERGE. */
   def applyBatch(table: LakeTable, cfg: TailerConfig)(raw: DataFrame, batchId: Long): Unit = {
@@ -87,9 +137,16 @@ object Tailer {
     // extreme skew × very large clusters, so it's configurable (default
     // off; equivalence is property-tested, the bench reports both).
     val rawCols = raw.select("repo", "path", "seq", "op", "schema_id", "ts", "payload")
+    // Default path: adaptive two-pass broadcast LWW — winners are found on
+    // the narrow (key, seq) columns and payloads never shuffle (guide
+    // §2.3); batches whose winner set is too large to broadcast fall back
+    // to the single-pass hash-agg inside lwwBroadcast. The cap is
+    // parameterised (cluster deployments size it to executor memory).
+    val maxKeys = scala.util.Try(spark.conf.get(
+      "spark.graft.lww.broadcastMaxKeys").toLong).getOrElse(1000000L)
     val dedupedRaw =
       if (cfg.useSalt) Dedupe.lwwTypedSalted(rawCols, Seq("repo", "path"), "seq", cfg.saltBuckets)
-      else Dedupe.lwwTyped(rawCols, Seq("repo", "path"), "seq")
+      else Dedupe.lwwBroadcast(rawCols, Seq("repo", "path"), "seq", maxKeys)
     val deduped = Normalize(dedupedRaw).select(mergeCols.map(col): _*)
 
     val t0 = System.nanoTime()
@@ -107,20 +164,13 @@ object Tailer {
     }
     val secs = (System.nanoTime() - t0) / 1e9
 
-    val metrics = Seq(
+    // buffered (one append per N batches, not per batch) — see MetricsSink
+    sinkFor(spark, cfg.metricsDir).add(batchId, Seq(
       ("merge.applied", if (stats.applied) 1.0 else 0.0),
       ("merge.srcRows", stats.srcRows.toDouble),
       ("merge.touchedBuckets", stats.touchedBuckets.toDouble),
       ("merge.rowsAfter", stats.rowsAfter.toDouble),
-      ("merge.seconds", secs))
-    import spark.implicits._
-    val metricsF = Future {
-      metrics.toDF("name", "value")
-        .select(lit(batchId).as("batchId"), col("name"), col("value"),
-          current_timestamp().as("ts"))
-        .coalesce(1)
-        .write.mode(SaveMode.Append).parquet(cfg.metricsDir)
-    }
+      ("merge.seconds", secs)))
     // commit-then-append: only reached after table.merge returned — a
     // failed/crashed merge leaves NO lineage rows for the batch
     val lineageF = lineageRowsF.map { rows =>
@@ -128,7 +178,7 @@ object Tailer {
         .coalesce(1)
         .write.mode(SaveMode.Append).parquet(cfg.lineageDir)
     }
-    Await.result(Future.sequence(Seq(lineageF, metricsF)), Duration.Inf)
+    Await.result(lineageF, Duration.Inf)
   }
 
   /** Cursor-based incremental sync with EXPIRED-HISTORY RECOVERY: drains
@@ -273,23 +323,21 @@ object Tailer {
     override def onQueryProgress(e: QueryProgressEvent): Unit = try {
       if (!spark.sparkContext.isStopped &&
           e.progress.name == queryName && e.progress.numInputRows > 0) {
-        import spark.implicits._
         val durs = e.progress.durationMs
-        Seq(
+        // buffered with the merge.* rows — one flush per N batches
+        sinkFor(spark, metricsDir).add(e.progress.batchId, Seq(
           ("progress.numInputRows", e.progress.numInputRows.toDouble),
           ("progress.processedRowsPerSecond", e.progress.processedRowsPerSecond),
           ("progress.triggerMs", Option(durs.get("triggerExecution")).map(_.toDouble).getOrElse(-1.0)),
-          ("progress.addBatchMs", Option(durs.get("addBatch")).map(_.toDouble).getOrElse(-1.0)))
-          .toDF("name", "value")
-          .select(lit(e.progress.batchId).as("batchId"), col("name"), col("value"),
-            current_timestamp().as("ts"))
-          .coalesce(1).write.mode(SaveMode.Append).parquet(metricsDir)
+          ("progress.addBatchMs", Option(durs.get("addBatch")).map(_.toDouble).getOrElse(-1.0))))
       }
     } catch { case scala.util.control.NonFatal(_) => () }
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
       if (queryId != null && e.id == queryId) {
         spark.streams.removeListener(this)
         listeners.remove(e.id) // continuous-mode queries detach here too
+        try flushMetrics(metricsDir)
+        catch { case scala.util.control.NonFatal(_) => () }
       }
   }
 
@@ -345,6 +393,7 @@ object Tailer {
     val q = run(spark, cfg.copy(availableNow = true))
     q.awaitTermination()
     Option(listeners.remove(q.id)).foreach(spark.streams.removeListener)
+    flushMetrics(cfg.metricsDir) // stream drained: land the buffered tail
   }
 
   /** Apply one change-feed micro-batch (op/repo/path/payload/seq rows from

@@ -107,6 +107,32 @@ class MorSpec extends SparkSpec {
     assert(table.lookup(spark, "zz/new", "a").count() === 1)
   }
 
+  test("wave compaction (maxBucketsPerWave) = single-shot state, bounded commits") {
+    val tc = mkTailer()
+    Tailer.replay(spark, tc)
+    val table = LakeTable(tc.tableRoot, tc.numBuckets)
+    val before = table.head()
+    val bucketsBefore = before.manifests.map(_.bucket).distinct.size
+    // waves of ≤3 buckets: each wave is its own bounded job + commit — the
+    // r6 memory-bounding of the full-table rewrite (r5 256M/32c OOM edge)
+    table.compact(spark, gcTombstones = true, maxBucketsPerWave = Some(3))
+    val after = table.head()
+    val expectedWaves = (bucketsBefore + 2) / 3
+    assert(after.version === before.version + expectedWaves,
+      "one live-state-preserving commit per wave")
+    assert(after.totalRows === golden.size.toLong, "waves compact = live rows only")
+    assert(after.lastBatchId === before.lastBatchId, "fence preserved")
+    assert(after.mode === LakeTable.Mor)
+    assertGolden(table) // byte-for-byte the single-shot result
+    // every bucket folded: one file per remaining bucket, all key-sorted
+    assert(after.manifests.forall(_.fileCount === 1), "each bucket folded to one file")
+    // ingest continues after wave compaction
+    val extra = Seq(("zz/wave", "a", "I", 999999998L, "c", "scala", "post-wave", Option.empty[Long]))
+      .toDF("repo", "path", "op", "seq", "commit", "language", "content", "size_bytes")
+    table.merge(spark, extra, after.lastBatchId + 1)
+    assert(table.lookup(spark, "zz/wave", "a").count() === 1)
+  }
+
   test("compaction applies the table sort order: files are key-clustered") {
     val tc = mkTailer()
     Tailer.replay(spark, tc)
