@@ -35,22 +35,37 @@ object Queries {
         array_join(sort_array(collect_set(col("source"))), "|").as("sources"),
         countDistinct("doc_id").as("n_docs"))),
 
-    // A2: first-value semantics (min_by / arg_min)
+    // A2: first-value semantics (min_by / arg_min). r6: min_by over a
+    // string buffer plans as SortAggregate (var-length DeclarativeAggregate
+    // buffers are not UnsafeRow-mutable) — the engine's LwwAgg hash-agg
+    // kernel computes the identical winner (min_by(x, id) = LWW winner
+    // under seq = -id; event_id is unique so ties are impossible) in
+    // ObjectHashAggregate with map-side combine.
     "a2_first_by_key" -> ((s, d) =>
       t(s, d, "events").groupBy("user_id").agg(
-        min_by(col("event_type"), col("event_id")).as("first_type"),
-        min("event_id").as("first_event"))),
+        graft.cdc.LwwAgg.lww(struct(col("event_type")), -col("event_id")).as("_w"),
+        min("event_id").as("first_event"))
+        .select(col("user_id"), col("_w.event_type").as("first_type"),
+          col("first_event"))),
 
     // A3: count-by-key
     "a3_count_by_key" -> ((s, d) =>
       t(s, d, "events").groupBy("event_type").agg(count(lit(1)).as("n"))),
 
-    // A4: last-writer-wins by key — THE core CDC reduction, on events
+    // A4: last-writer-wins by key — THE core CDC reduction, on events.
+    // r6: the two max_by calls over a string/double buffer planned as
+    // SortAggregate (PlanSweep smell); the engine's LwwAgg kernel — the
+    // exact operator this query models — computes the same winner row
+    // (event_id unique ⇒ deterministic) as ObjectHashAggregate with
+    // map-side combine, one winner struct instead of two sorted aggs.
     "a4_lww" -> ((s, d) =>
       t(s, d, "events").groupBy("user_id").agg(
-        max_by(col("event_type"), col("event_id")).as("last_type"),
-        max_by(col("value"), col("event_id")).cast("decimal(18,4)").cast("double").as("last_value"),
-        max("event_id").as("last_event"))),
+        graft.cdc.LwwAgg.lww(struct(col("event_type"), col("value")),
+          col("event_id")).as("_w"),
+        max("event_id").as("last_event"))
+        .select(col("user_id"), col("_w.event_type").as("last_type"),
+          col("_w.value").cast("decimal(18,4)").cast("double").as("last_value"),
+          col("last_event"))),
 
     // A5: conditional distinct counts
     "a5_conditional_distinct" -> ((s, d) =>

@@ -97,7 +97,12 @@ object ReplayCli {
       val table = LakeTable.open(s"$workDir/table")
       val before = table.head()
       val tombs = table.readWithTombstones(spark).filter(col("deleted")).count()
-      table.compact(spark, gcTombstones = gc, targetFileRows = targetRows)
+      // GRAFT_COMPACT_WAVE=<k>: memory-bounded wave compaction (≤k buckets
+      // per job+commit) — the r6 fix for full-table rewrites whose working
+      // set exceeds the heap (r5 256M/32c OOM)
+      val wave = sys.env.get("GRAFT_COMPACT_WAVE").map(_.toInt).filter(_ > 0)
+      table.compact(spark, gcTombstones = gc, targetFileRows = targetRows,
+        maxBucketsPerWave = wave)
       val after = table.head()
       val tombMsg = if (gc) f"dropped $tombs%,d tombstones"
                     else f"retained $tombs%,d tombstones"
