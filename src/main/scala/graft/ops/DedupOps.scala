@@ -96,16 +96,11 @@ object DedupOps {
     docWords(df, idCol, textCol)
       .select(col("id"), size(array_distinct(shingleArr(n))).as("n_sh"))
 
-  /** Doc → distinct shingle SET as h60 tokens (candidate verification). */
-  private def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int) =
-    docWords(df, idCol, textCol)
-      .select(col("id"), array_distinct(shingleArr(n)).as("strs"))
-      .select(col("id"), transform(col("strs"), s => h60(s)).as("sh"))
-
   /** Shingle sets REBUILT from already-computed postings (one collect_list
     * aggregation of cached 8-byte tokens) instead of a fresh
     * split/shingle/md5 pass over the corpus text. verifyJaccard joins the
-    * sets twice (id_a and id_b side), so [[shingleSets]] re-ran the whole
+    * sets twice (id_a and id_b side), so the old `shingleSets` helper (a
+    * docWords→array_distinct→h60 projection, removed r6) re-ran the whole
     * CPU-heavy shingle stage TWICE per query (r6 plans: two identical
     * Scan→split→transform(md5) subtrees under the verify join); this runs
     * it zero times. Same elements per doc (postings are per-doc distinct
@@ -332,7 +327,10 @@ object DedupOps {
     val chunks = maxDist + 1
     require(SimhashBits % chunks == 0, s"maxDist+1 must divide $SimhashBits")
     val width = SimhashBits / chunks
-    val sh = simhash(df, idCol, textCol)
+    // eager localCheckpoint: the chunk self-join below otherwise re-runs
+    // the whole tokenize + 60-bit-sum simhash aggregation once PER SIDE
+    // (Spark plans common subtrees twice — same r6 fix as d2/d3)
+    val sh = simhash(df, idCol, textCol).localCheckpoint()
     val blocked = sh.select(col("id"), col("simhash"), explode(
       array((0 until chunks).map(c => struct(lit(c).as("c"),
         shiftrightunsigned(col("simhash"), c * width)
