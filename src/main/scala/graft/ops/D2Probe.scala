@@ -45,6 +45,14 @@ object D2Probe {
         .select("id_a", "id_b").distinct()
         .localCheckpoint())
       time("cand-count")(println("  cand=" + cand.count()))
+      // length-filter selectivity: candidates surviving min >= t*max
+      val nFiltered = cand
+        .join(counts.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+        .join(counts.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+        .filter(least(col("n_a"), col("n_b")).cast("double") >=
+          lit(threshold) * greatest(col("n_a"), col("n_b")) - lit(1e-9))
+        .count()
+      println(s"  lengthFilterSurvivors=$nFiltered")
       val out = DedupOps.probeVerify(cand, sets, threshold)
       time("verify-noop")(out.write.format("noop").mode("overwrite").save())
       p.unpersist()
